@@ -1,0 +1,117 @@
+"""Record codec tests: round-trip plus byte-level interop with TF.
+
+The TFRecord framing + Example wire format is the reference's L2↔L5 data
+contract (SURVEY §1); TensorFlow (present in the test image only) is
+used as an independent oracle that our TF-free codec is
+format-compatible.
+"""
+
+import numpy as np
+import pytest
+
+from ecog2txt_tpu import records
+
+
+def test_crc32c_known_values():
+    # Standard CRC32C test vectors (RFC 3720 appendix style).
+    assert records.crc32c(b"") == 0
+    assert records.crc32c(b"123456789") == 0xE3069283
+    assert records.crc32c(b"a" * 32) == records._crc32c_py(b"a" * 32)
+
+
+def test_native_matches_python():
+    data = bytes(range(256)) * 7 + b"tail"
+    assert records.crc32c(data) == records._crc32c_py(data)
+
+
+def test_example_roundtrip(tmp_path, rng):
+    ecog = rng.normal(size=(37, 5)).astype(np.float32)
+    trial = {
+        "ecog_sequence": ecog,
+        "text_sequence": ["the_", "dog_", "ran_"],
+        "phoneme_sequence": ["DH", "AH", "D"],
+        "audio_sequence": np.zeros((0, 13), dtype=np.float32),
+    }
+    path = str(tmp_path / "t.tfrecord")
+    with records.TFRecordWriter(path) as w:
+        w.write(records.encode_example(trial))
+        w.write(records.encode_example(trial))
+
+    examples = list(records.read_examples(path))
+    assert len(examples) == 2
+    ex = examples[0]
+    np.testing.assert_allclose(
+        ex["ecog_sequence"].reshape(37, 5), ecog, rtol=1e-6
+    )
+    assert ex["text_sequence"] == [b"the_", b"dog_", b"ran_"]
+    assert ex["audio_sequence"].size == 0
+
+    # framing CRCs verify
+    payloads = list(records.tfrecord_iterator(path, verify=True))
+    assert len(payloads) == 2
+
+
+def test_corruption_detected(tmp_path):
+    path = str(tmp_path / "bad.tfrecord")
+    with records.TFRecordWriter(path) as w:
+        w.write(b"hello world payload")
+    raw = bytearray(open(path, "rb").read())
+    raw[14] ^= 0xFF  # flip a payload byte
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        list(records.tfrecord_iterator(path, verify=True))
+
+
+def test_interop_with_tensorflow(tmp_path, rng):
+    tf = pytest.importorskip("tensorflow")
+
+    ecog = rng.normal(size=(11, 3)).astype(np.float32)
+    words = ["hello_", "world_"]
+
+    # ours → TF parses
+    ours = str(tmp_path / "ours.tfrecord")
+    with records.TFRecordWriter(ours) as w:
+        w.write(
+            records.encode_example(
+                {"ecog_sequence": ecog, "text_sequence": words}
+            )
+        )
+    ds = list(tf.data.TFRecordDataset(ours))
+    assert len(ds) == 1
+    parsed = tf.train.Example.FromString(ds[0].numpy())
+    got = np.asarray(
+        parsed.features.feature["ecog_sequence"].float_list.value
+    )
+    np.testing.assert_allclose(got.reshape(11, 3), ecog, rtol=1e-6)
+    assert [
+        v.decode() for v in parsed.features.feature["text_sequence"].bytes_list.value
+    ] == words
+
+    # TF → ours parses
+    theirs = str(tmp_path / "theirs.tfrecord")
+    example = tf.train.Example(
+        features=tf.train.Features(
+            feature={
+                "ecog_sequence": tf.train.Feature(
+                    float_list=tf.train.FloatList(value=ecog.flatten())
+                ),
+                "text_sequence": tf.train.Feature(
+                    bytes_list=tf.train.BytesList(
+                        value=[w.encode() for w in words]
+                    )
+                ),
+                "counts": tf.train.Feature(
+                    int64_list=tf.train.Int64List(value=[1, -2, 3])
+                ),
+            }
+        )
+    )
+    with tf.io.TFRecordWriter(theirs) as w:
+        w.write(example.SerializeToString())
+    exs = list(records.read_examples(theirs))
+    assert len(exs) == 1
+    np.testing.assert_allclose(
+        exs[0]["ecog_sequence"].reshape(11, 3), ecog, rtol=1e-6
+    )
+    assert exs[0]["text_sequence"] == [b"hello_", b"world_"]
+    np.testing.assert_array_equal(exs[0]["counts"], [1, -2, 3])
