@@ -34,10 +34,13 @@ def test_reference_manifest_loads():
     assert isinstance(m["RGB_color"], tuple)
     # !!set parsed to set
     assert m["block_types"]["training"] == {"mocha-1"}
-    # !!python/name deferred to registry (warns: lab generator unknown)
+    # !!python/name deferred to registry, never executed
+    gen_cls = config.resolve_data_generator(m["DataGenerator"])
+    assert isinstance(gen_cls, type)
+    # a truly unknown generator name falls back with a warning
     with pytest.warns(UserWarning):
-        gen_cls = config.resolve_data_generator(m["DataGenerator"])
-    assert gen_cls.__name__ == "DummyGen"
+        fb = config.resolve_data_generator("no.such.pkg.NoSuchGenerator")
+    assert fb.__name__ == "DummyGen"
 
 
 def test_resolution_order():
