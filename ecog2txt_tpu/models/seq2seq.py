@@ -1,0 +1,532 @@
+"""Encoder-decoder seq2seq core — the TPU-native rebuild of the absent
+``machine_learning`` SequenceNetwork (reconstructed spec: SURVEY §2.8).
+
+Architecture (reference scope grammar, trainers.py:444-554 +
+layer_sizes, mocha-1_word_sequence.yaml:56-69):
+
+* per-subject ``subnet``: input reversal (``tf.reverse_sequence``,
+  trainers.py:806-811) + temporal-conv downsampling stack (total stride
+  = ``decimation_factor`` ≈ 12, 200 Hz → 16.5 Hz);
+* shared bidirectional LSTM encoder stack (3×400 per direction);
+* auxiliary encoder head(s) (``encoder_1_projection`` [225]) regressing
+  the reversed+decimated MFCC (Gaussian) or per-sample phoneme labels
+  (categorical) at every downsampled step, weighted by
+  ``penalty_scale`` (trainers.py:789-799, SequenceDataManifest
+  distributions);
+* attention-free LSTM decoder (embedding 150 → LSTM 800) initialized
+  from the final encoder state, teacher-forced in training, greedy /
+  temperature-sampled at assessment (temperature 0.384, beam 1 —
+  yaml:82,31).
+
+TPU-first choices:
+
+* Temporal conv with kernel width == stride is computed as
+  reshape→matmul ((T', d·C) @ W) — one big MXU-friendly GEMM instead of
+  a conv op.
+* All per-subject subnet parameters are **stacked** along a leading
+  subject axis and selected with a traced index, so multi-subject
+  transfer training is ONE compiled program (no per-subject retrace;
+  heterogeneous channel counts are zero-padded to a common max).
+* Sequences are time-major ``(T, B, F)``; recurrences are `lax.scan`
+  (ops/lstm.py); decoding is a fixed-length scan with a finished mask.
+* Dropout (FF 0.1 / recurrent 0.5, yaml:6,13) uses explicit rng;
+  recurrent dropout is variational (one mask per sequence).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.lstm import (
+    bidirectional_lstm,
+    init_lstm_params,
+    lstm_scan,
+    lstm_step,
+    reverse_padded,
+)
+
+
+class AuxHead(NamedTuple):
+    """One auxiliary encoder target head (e.g. 'encoder_1_targets')."""
+
+    name: str
+    distribution: str  # 'categorical' | 'Gaussian'
+    out_dim: int  # num classes or num features
+
+
+@dataclass(frozen=True)
+class Seq2SeqConfig:
+    vocab_size: int
+    num_subjects: int = 1
+    in_channels: int = 256  # common (padded) channel count
+    conv_sizes: tuple = (100,)
+    decimation_factor: int = 12
+    rnn_sizes: tuple = (400, 400, 400)
+    aux_proj_sizes: tuple = (225,)
+    aux_heads: tuple = ()  # tuple[AuxHead]
+    dec_embedding_size: int = 150
+    dec_rnn_sizes: tuple = (800,)
+    max_dec_len: int = 20
+    FF_dropout: float = 0.1
+    RNN_dropout: float = 0.5
+    temperature: float = 0.0  # 0 → greedy argmax
+    BIDIRECTIONAL: bool = True
+    compute_dtype: Any = jnp.float32
+    pad_id: int = 0
+    eos_id: int = 1
+
+    @property
+    def conv_strides(self) -> tuple:
+        """Factor ``decimation_factor`` into one stride per conv layer
+        (the reference recovers per-layer strides from checkpoint shapes,
+        trainers.py:534-541; here they're near-equal factors)."""
+        if not self.conv_sizes:
+            return ()
+        remaining = self.decimation_factor
+        n = len(self.conv_sizes)
+        strides = []
+        for i in range(n, 0, -1):
+            s = max(int(round(remaining ** (1.0 / i))), 1)
+            while remaining % s and s > 1:
+                s -= 1
+            strides.append(s)
+            remaining //= s
+        strides[-1] *= remaining  # absorb any leftover
+        return tuple(strides)
+
+    @property
+    def enc_out_dim(self) -> int:
+        return self.rnn_sizes[-1] * (2 if self.BIDIRECTIONAL else 1)
+
+
+def _dense_init(rng, in_dim, out_dim):
+    scale = np.sqrt(6.0 / (in_dim + out_dim))
+    w = jax.random.uniform(rng, (in_dim, out_dim), jnp.float32, -scale, scale)
+    return {"w": w, "b": jnp.zeros((out_dim,), jnp.float32)}
+
+
+def _dense(params, x, compute_dtype=jnp.float32):
+    return (
+        jnp.dot(
+            x.astype(compute_dtype),
+            params["w"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + params["b"]
+    )
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+
+def init_seq2seq(rng: jax.Array, config: Seq2SeqConfig) -> dict:
+    """Parameter pytree.  Subnet params carry a leading subject axis —
+    the pytree split 'subnet' vs everything-else mirrors the reference's
+    ``seq2seq/subnet_<id>`` vs shared scopes (trainers.py:337-338), so
+    transfer learning is an optax mask over these keys."""
+    keys = iter(jax.random.split(rng, 64))
+    params: dict[str, Any] = {}
+
+    # per-subject conv stack, stacked on axis 0
+    subnet_layers = []
+    in_dim = self_in = config.in_channels
+    for size, stride in zip(config.conv_sizes, config.conv_strides):
+        layer_keys = jax.random.split(next(keys), config.num_subjects)
+        stacked = jax.vmap(
+            lambda k: _dense_init(k, in_dim * stride, size)
+        )(layer_keys)
+        subnet_layers.append(stacked)
+        in_dim = size
+    params["subnet"] = {"conv": subnet_layers}
+
+    # shared encoder rnn stack
+    enc_layers = []
+    for size in config.rnn_sizes:
+        if config.BIDIRECTIONAL:
+            enc_layers.append(
+                {
+                    "fwd": init_lstm_params(next(keys), in_dim, size),
+                    "bwd": init_lstm_params(next(keys), in_dim, size),
+                }
+            )
+            in_dim = 2 * size
+        else:
+            enc_layers.append({"fwd": init_lstm_params(next(keys), in_dim, size)})
+            in_dim = size
+    params["encoder"] = {"rnn": enc_layers}
+
+    # aux heads: MLP (aux_proj_sizes) → linear to target dim
+    aux = {}
+    for head in config.aux_heads:
+        hidden = []
+        dim = config.enc_out_dim
+        for size in config.aux_proj_sizes:
+            hidden.append(_dense_init(next(keys), dim, size))
+            dim = size
+        aux[head.name] = {
+            "mlp": hidden,
+            "out": _dense_init(next(keys), dim, head.out_dim),
+        }
+    params["aux"] = aux
+
+    # decoder
+    emb_scale = 1.0 / np.sqrt(config.dec_embedding_size)
+    decoder: dict[str, Any] = {
+        "embedding": emb_scale
+        * jax.random.normal(
+            next(keys), (config.vocab_size, config.dec_embedding_size)
+        ),
+    }
+    dec_layers = []
+    in_dim = config.dec_embedding_size
+    for size in config.dec_rnn_sizes:
+        dec_layers.append(init_lstm_params(next(keys), in_dim, size))
+        in_dim = size
+    decoder["rnn"] = dec_layers
+    # bridge from encoder final state to decoder layer-0 state when the
+    # sizes differ (they match in the reference config: 2×400 = 800)
+    if config.enc_out_dim != config.dec_rnn_sizes[0]:
+        decoder["bridge_h"] = _dense_init(
+            next(keys), config.enc_out_dim, config.dec_rnn_sizes[0]
+        )
+        decoder["bridge_c"] = _dense_init(
+            next(keys), config.enc_out_dim, config.dec_rnn_sizes[0]
+        )
+    decoder["out"] = _dense_init(next(keys), in_dim, config.vocab_size)
+    params["decoder"] = decoder
+    return params
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+
+def _ff_dropout(rng, x, rate, train):
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def _select_subject(stacked, subject_idx):
+    return jax.tree.map(lambda a: a[subject_idx], stacked)
+
+
+def convolve_sequences(
+    params: dict,
+    config: Seq2SeqConfig,
+    xs: jax.Array,  # (T, B, C) time-major, already reversed
+    subject_idx: jax.Array,
+    rng: jax.Array,
+    train: bool,
+) -> jax.Array:
+    """Per-subject temporal conv stack as reshape→GEMM (width == stride,
+    'VALID'):  (T, B, C) → (T/d, B, d·C) @ W_subject → relu → dropout.
+    The reference's ``_convolve_sequences`` (probe: trainers.py:813-818).
+    """
+    for i, (layer, stride) in enumerate(
+        zip(params["subnet"]["conv"], config.conv_strides)
+    ):
+        w = _select_subject(layer, subject_idx)
+        T, B, C = xs.shape
+        T_out = T // stride
+        xs = xs[: T_out * stride].reshape(T_out, stride, B, C)
+        xs = jnp.moveaxis(xs, 1, 2).reshape(T_out, B, stride * C)
+        xs = jax.nn.relu(_dense(w, xs, config.compute_dtype))
+        rng, sub = jax.random.split(rng)
+        xs = _ff_dropout(sub, xs, config.FF_dropout, train)
+    return xs
+
+
+def encode(
+    params: dict,
+    config: Seq2SeqConfig,
+    inputs: jax.Array,  # (B, T, C) batch-major raw
+    lengths: jax.Array,  # (B,)
+    subject_idx: jax.Array,
+    rng: jax.Array,
+    train: bool = False,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array], jax.Array]:
+    """Full encoder: reversal → conv → biLSTM stack.
+
+    Returns (enc_outputs (T', B, 2H), final (h, c) (B, 2H),
+    enc_lengths (B,))."""
+    xs = jnp.moveaxis(inputs, 0, 1)  # (T, B, C)
+    xs = reverse_padded(xs, lengths)
+    rng, conv_rng = jax.random.split(rng)
+    if config.conv_sizes:
+        xs = convolve_sequences(params, config, xs, subject_idx, conv_rng, train)
+    else:
+        # no-conv experiment variant (reference suffix taxonomy,
+        # plotters.py:1513-1575): plain strided decimation
+        d0 = config.decimation_factor
+        xs = xs[: (xs.shape[0] // d0) * d0 : d0]
+    d = config.decimation_factor
+    enc_lengths = jnp.minimum((lengths + d - 1) // d, xs.shape[0])
+
+    out = xs
+    final_h = final_c = None
+    for i, layer in enumerate(params["encoder"]["rnn"]):
+        rng, m_rng, d_rng = jax.random.split(rng, 3)
+        if config.BIDIRECTIONAL:
+            masks = None
+            if train and config.RNN_dropout > 0:
+                B = out.shape[1]
+                H = layer["fwd"]["wh"].shape[0]
+                keep = 1.0 - config.RNN_dropout
+                mf, mb = jax.random.split(m_rng)
+                masks = (
+                    jax.random.bernoulli(mf, keep, (B, H)) / keep,
+                    jax.random.bernoulli(mb, keep, (B, H)) / keep,
+                )
+            out, (final_h, final_c) = bidirectional_lstm(
+                layer["fwd"], layer["bwd"], out, enc_lengths,
+                masks, config.compute_dtype,
+            )
+        else:
+            mask = None
+            if train and config.RNN_dropout > 0:
+                B = out.shape[1]
+                H = layer["fwd"]["wh"].shape[0]
+                keep = 1.0 - config.RNN_dropout
+                mask = jax.random.bernoulli(m_rng, keep, (B, H)) / keep
+            out, (final_h, final_c) = lstm_scan(
+                layer["fwd"], out, enc_lengths, None, mask, config.compute_dtype
+            )
+        if i < len(params["encoder"]["rnn"]) - 1:
+            out = _ff_dropout(d_rng, out, config.FF_dropout, train)
+    return out, (final_h, final_c), enc_lengths
+
+
+def _decoder_init_state(
+    params: dict, config: Seq2SeqConfig, enc_final: tuple[jax.Array, jax.Array]
+) -> list[tuple[jax.Array, jax.Array]]:
+    h, c = enc_final
+    decoder = params["decoder"]
+    if "bridge_h" in decoder:
+        h = jnp.tanh(_dense(decoder["bridge_h"], h, config.compute_dtype))
+        c = jnp.tanh(_dense(decoder["bridge_c"], c, config.compute_dtype))
+    states = [(h, c)]
+    B = h.shape[0]
+    for size_params in decoder["rnn"][1:]:
+        H = size_params["wh"].shape[0]
+        states.append(
+            (jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32))
+        )
+    return states
+
+
+# --------------------------------------------------------------------------
+# decoder — teacher forcing
+# --------------------------------------------------------------------------
+
+
+def decoder_teacher_forcing(
+    params: dict,
+    config: Seq2SeqConfig,
+    enc_final: tuple[jax.Array, jax.Array],
+    targets: jax.Array,  # (B, L) int32, EOS-terminated, pad-padded
+    rng: jax.Array,
+    train: bool = False,
+) -> jax.Array:
+    """Teacher-forced logits (L, B, V).  Decoder inputs are the targets
+    shifted right with an initial ``<pad>`` (the reference's
+    init/EOS/pad convention, trainers.py:96-97 + tokenizers)."""
+    decoder = params["decoder"]
+    B, L = targets.shape
+    shifted = jnp.concatenate(
+        [jnp.full((B, 1), config.pad_id, targets.dtype), targets[:, :-1]],
+        axis=1,
+    )
+    emb = decoder["embedding"][shifted]  # (B, L, E)
+    xs = jnp.moveaxis(emb, 0, 1)  # (L, B, E)
+    states = _decoder_init_state(params, config, enc_final)
+    out = xs
+    for li, layer in enumerate(decoder["rnn"]):
+        rng, m_rng, d_rng = jax.random.split(rng, 3)
+        mask = None
+        if train and config.RNN_dropout > 0:
+            H = layer["wh"].shape[0]
+            keep = 1.0 - config.RNN_dropout
+            mask = jax.random.bernoulli(m_rng, keep, (B, H)) / keep
+        out, _ = lstm_scan(
+            layer, out, None, states[li], mask, config.compute_dtype
+        )
+        if li < len(decoder["rnn"]) - 1:
+            out = _ff_dropout(d_rng, out, config.FF_dropout, train)
+    logits = _dense(decoder["out"], out, config.compute_dtype)  # (L, B, V)
+    return logits
+
+
+# --------------------------------------------------------------------------
+# losses
+# --------------------------------------------------------------------------
+
+
+def _decimate_targets(ts: jax.Array, lengths: jax.Array, stride: int, T_out: int):
+    """Align per-sample encoder targets with encoder steps: reverse the
+    valid prefix, then take every ``stride``-th sample (the reference
+    reverses + decimates encoder targets, trainers.py:789-799)."""
+    ts_rev = reverse_padded(ts, lengths)
+    return ts_rev[: T_out * stride : stride]
+
+
+def seq2seq_loss(
+    params: dict,
+    config: Seq2SeqConfig,
+    batch: dict[str, jax.Array],
+    rng: jax.Array,
+    train: bool = True,
+    penalty_scales: dict[str, float] | None = None,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Total loss + metrics.
+
+    ``batch``: 'encoder_inputs' (B,T,C), 'encoder_lengths' (B,),
+    'decoder_targets' (B,L) EOS-terminated, 'decoder_lengths' (B,),
+    'subject_idx' scalar int, plus one entry per aux head (per-sample
+    targets at the raw rate: categorical (B,T), Gaussian (B,T,F)).
+
+    ``penalty_scales``: loss weight per aux head name (the manifests'
+    ``penalty_scale``; zeroing all but one is how saliency isolates a
+    head, reference trainers.py:709-719).
+    """
+    penalty_scales = penalty_scales or {}
+    rng_enc, rng_dec = jax.random.split(rng)
+    enc_out, enc_final, enc_lengths = encode(
+        params,
+        config,
+        batch["encoder_inputs"],
+        batch["encoder_lengths"],
+        batch["subject_idx"],
+        rng_enc,
+        train,
+    )
+    T_out = enc_out.shape[0]
+    step_mask = (
+        jnp.arange(T_out)[:, None] < enc_lengths[None, :]
+    )  # (T', B)
+
+    metrics: dict[str, jax.Array] = {}
+    total = 0.0
+
+    # auxiliary encoder heads
+    for head in config.aux_heads:
+        head_params = params["aux"][head.name]
+        h = enc_out
+        for mlp in head_params["mlp"]:
+            h = jax.nn.relu(_dense(mlp, h, config.compute_dtype))
+        pred = _dense(head_params["out"], h, config.compute_dtype)
+        raw = batch[head.name]
+        scale = penalty_scales.get(head.name, 1.0)
+        if head.distribution == "categorical":
+            ts = jnp.moveaxis(raw, 0, 1)  # (T, B)
+            aligned = _decimate_targets(
+                ts, batch["encoder_lengths"], config.decimation_factor, T_out
+            )
+            logp = jax.nn.log_softmax(pred, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, aligned[..., None], axis=-1
+            )[..., 0]
+            loss = jnp.sum(nll * step_mask) / jnp.maximum(
+                jnp.sum(step_mask), 1
+            )
+        else:  # Gaussian → masked MSE
+            ts = jnp.moveaxis(raw, 0, 1)  # (T, B, F)
+            aligned = _decimate_targets(
+                ts, batch["encoder_lengths"], config.decimation_factor, T_out
+            )
+            se = jnp.sum((pred - aligned) ** 2, axis=-1)
+            loss = jnp.sum(se * step_mask) / jnp.maximum(jnp.sum(step_mask), 1)
+        metrics[f"loss_{head.name}"] = loss
+        total = total + scale * loss
+
+    # decoder cross-entropy
+    targets = batch["decoder_targets"]  # (B, L)
+    logits = decoder_teacher_forcing(
+        params, config, enc_final, targets, rng_dec, train
+    )  # (L, B, V)
+    L = targets.shape[1]
+    dec_mask = (
+        jnp.arange(L)[:, None] < batch["decoder_lengths"][None, :]
+    )  # (L, B)
+    t_lb = jnp.moveaxis(targets, 0, 1)  # (L, B)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, t_lb[..., None], axis=-1)[..., 0]
+    dec_loss = jnp.sum(nll * dec_mask) / jnp.maximum(jnp.sum(dec_mask), 1)
+    scale = penalty_scales.get("decoder_targets", 1.0)
+    total = total + scale * dec_loss
+    metrics["loss_decoder"] = dec_loss
+
+    # teacher-forced token accuracy (word accuracy proxy)
+    pred_ids = jnp.argmax(logits, axis=-1)
+    correct = (pred_ids == t_lb) * dec_mask
+    metrics["token_accuracy"] = jnp.sum(correct) / jnp.maximum(
+        jnp.sum(dec_mask), 1
+    )
+    metrics["loss_total"] = total
+    return total, metrics
+
+
+# --------------------------------------------------------------------------
+# free-running decode (greedy / temperature sampling)
+# --------------------------------------------------------------------------
+
+
+def greedy_decode(
+    params: dict,
+    config: Seq2SeqConfig,
+    inputs: jax.Array,  # (B, T, C)
+    lengths: jax.Array,
+    subject_idx: jax.Array,
+    rng: jax.Array | None = None,
+    temperature: float | None = None,
+) -> jax.Array:
+    """Free-running decode to ``max_dec_len``: argmax when temperature is
+    0/None, else temperature sampling (reference temperature 0.384,
+    beam_width 1 — yaml:82,31).  Fixed-length scan with a finished mask
+    (EOS reached → emits pad).  Returns (B, max_dec_len) int32."""
+    if temperature is None:
+        temperature = config.temperature
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dummy = jax.random.PRNGKey(0)
+    _, enc_final, _ = encode(
+        params, config, inputs, lengths, subject_idx, dummy, train=False
+    )
+    decoder = params["decoder"]
+    states = _decoder_init_state(params, config, enc_final)
+    B = inputs.shape[0]
+
+    def step(carry, step_rng):
+        states, token, finished = carry
+        x = decoder["embedding"][token]  # (B, E)
+        new_states = []
+        out = x
+        for layer, st in zip(decoder["rnn"], states):
+            st_new, out = lstm_step(layer, st, out, None, config.compute_dtype)
+            new_states.append(st_new)
+        logits = _dense(decoder["out"], out, config.compute_dtype)  # (B, V)
+        if temperature and temperature > 0:
+            nxt = jax.random.categorical(step_rng, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        emitted = jnp.where(finished, config.pad_id, nxt)
+        finished = finished | (nxt == config.eos_id)
+        return (new_states, emitted, finished), emitted
+
+    init_token = jnp.full((B,), config.pad_id, jnp.int32)
+    finished0 = jnp.zeros((B,), bool)
+    step_rngs = jax.random.split(rng, config.max_dec_len)
+    _, tokens = jax.lax.scan(
+        step, (states, init_token, finished0), step_rngs
+    )
+    return jnp.moveaxis(tokens, 0, 1)  # (B, L)

@@ -1,0 +1,876 @@
+"""Training orchestration: the MultiSubjectTrainer.
+
+Rebuilds the reference's ``MultiSubjectTrainer`` (reference
+trainers.py:41-922) *and* the fit/assess engine of the absent
+``machine_learning`` core it delegates to — as a TPU-native design:
+
+* whole corpus resident in HBM (pipeline.PackedDataset), minibatches
+  gathered on-device by traced index;
+* an **assessment interval of epochs is ONE jitted `lax.scan`** over the
+  precomputed (subject, indices) schedule — the reference's per-batch
+  ``session.run`` hot loop (SURVEY §3.3) collapses into a single device
+  call;
+* EMA shadow parameters maintained inside the scan and used for every
+  assessment (reference keeps EMA vars in-checkpoint and assesses with
+  them, trainers.py:466-468,693-694);
+* transfer learning = optax masked updates over the ``subnet`` /
+  ``shared`` pytree split (the reference's scope regexes
+  ``seq2seq/subnet`` vs ``seq2seq/(?!subnet)``, trainers.py:337-338);
+* Orbax checkpoints with explicit metadata (epoch discovery replaces
+  the reference's ``model.ckpt-*.index`` scan, trainers.py:235-255).
+
+API parity: ``parallel_transfer_learn`` (joint multi-subject fit,
+trainers.py:303-327), ``sequential_transfer_learn`` (freeze/reuse
+curriculum, :329-374), ``assess_saved_model`` (:376-381),
+``set_feature_lists`` 4-level vocab resolution (:147-211),
+``subject_to_table`` (:639-665), ``count_all_targets`` (:622-637),
+``print_tensor_names`` (:667-675), ``tf_record_to_numpy_data``
+(:861-922), ``get_saliencies`` (:703-732), ``get_encoder_embedding``
+(:734-751), ``_save_results`` accuracies file (:556-620).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from functools import partial
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import DATA_PARTITIONS, EOS_token, OOV_token, TOKEN_TYPES, pad_token
+from .assess import confusion_matrix, sequence_accuracy, wer_vector
+from .config import Manifest, load_experiment_manifest
+from .models.seq2seq import (
+    AuxHead,
+    Seq2SeqConfig,
+    encode,
+    greedy_decode,
+    init_seq2seq,
+    seq2seq_loss,
+)
+from .pipeline import PackedDataset, make_schedule, pack_partition
+from .records import read_examples
+from .subjects import ECoGSubject
+from .tokenizers import (
+    read_vocab_file,
+    target_inds_to_sequences,
+    with_special_tokens,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    ema: Any
+    opt_state: Any
+    epoch: jax.Array  # scalar int32
+
+
+# --------------------------------------------------------------------------
+# jitted training segment (N epochs in one device call)
+# --------------------------------------------------------------------------
+
+
+def make_segment_runner(
+    config: Seq2SeqConfig,
+    optimizer: optax.GradientTransformation,
+    penalty_scales: dict[str, float],
+    ema_decay: float,
+) -> Callable:
+    """Build the scanned multi-step runner.  ``data`` is the stacked
+    (S, N, ...) batch dict; schedule arrays pick (subject, trials) per
+    step."""
+
+    def train_step(state: TrainState, data, subject, idx, rng):
+        batch = {
+            key: value[subject][idx] for key, value in data.items()
+        }
+        batch["subject_idx"] = subject
+
+        def loss_fn(params):
+            return seq2seq_loss(
+                params, config, batch, rng, train=True,
+                penalty_scales=penalty_scales,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema,
+            params,
+        )
+        return TrainState(params, ema, opt_state, state.epoch), metrics
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("epochs_in_segment",))
+    def run_segment(
+        state: TrainState,
+        data: dict,
+        subject_per_step: jax.Array,  # (K,)
+        indices_per_step: jax.Array,  # (K, B)
+        rng: jax.Array,
+        epochs_in_segment: int,
+    ):
+        def body(carry, xs):
+            state, rng = carry
+            subject, idx = xs
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, data, subject, idx, sub)
+            return (state, rng), metrics
+
+        (state, _), metrics = jax.lax.scan(
+            body, (state, rng), (subject_per_step, indices_per_step)
+        )
+        state = state._replace(epoch=state.epoch + epochs_in_segment)
+        return state, jax.tree.map(lambda m: m.mean(), metrics)
+
+    return run_segment
+
+
+# --------------------------------------------------------------------------
+# trainer
+# --------------------------------------------------------------------------
+
+
+class MultiSubjectTrainer:
+    """Main user-facing API object (reference README.md:70-102).
+
+    The LAST subject id is the target subject; all earlier ids are
+    transfer donors trained with ``pretrain_all_blocks`` (reference
+    trainers.py:72-82)."""
+
+    def __init__(
+        self,
+        experiment_manifest_name: str,
+        subject_ids: Sequence[int],
+        text_dir: str | None = None,
+        SN_kwargs: dict | None = None,
+        DG_kwargs: dict | None = None,
+        ES_kwargs: dict | None = None,
+        RP_kwargs: dict | None = None,
+        VERBOSE: bool = True,
+        seed: int = 0,
+        **kwargs: Any,
+    ):
+        self.subject_ids = [int(s) for s in subject_ids]
+        self.manifests = load_experiment_manifest(
+            experiment_manifest_name, text_dir
+        )
+        self.SN_kwargs = dict(SN_kwargs or {})
+        self.RP_kwargs = dict(RP_kwargs or {})
+        self.kwargs = kwargs
+        self.VERBOSE = VERBOSE
+        self.seed = seed
+        self.vprint = print if VERBOSE else (lambda *a, **k: None)
+
+        manifest = self.manifests[self.subject_ids[-1]]
+        token_type = manifest.resolve("token_type", default="word_sequence")
+        if token_type not in TOKEN_TYPES:
+            raise ValueError(f"unrecognized token_type {token_type!r}")
+        self.token_type = token_type
+        self.TARGETS_ARE_SEQUENCES = token_type.endswith("sequence")
+
+        # one ECoGSubject per id; all but the last pretrain on all blocks
+        self.ecog_subjects = [
+            ECoGSubject(
+                self.manifests[sid],
+                sid,
+                pretrain_all_blocks=(sid != self.subject_ids[-1]),
+                DG_kwargs=DG_kwargs,
+                **(ES_kwargs or {}),
+            )
+            for sid in self.subject_ids
+        ]
+
+        # per-tensor wiring: APPEND_EOS on sequence decoder targets,
+        # penalty scales from `<seq_type>_penalty_scale` manifest keys
+        # (reference trainers.py:94-102)
+        for subject in self.ecog_subjects:
+            if self.TARGETS_ARE_SEQUENCES:
+                subject.set_append_eos("decoder_targets", True)
+
+        self.set_feature_lists()
+        self._build_net()
+
+    # -- manifest-derived properties ---------------------------------------
+
+    @property
+    def target_subject(self) -> ECoGSubject:
+        return self.ecog_subjects[-1]
+
+    @property
+    def manifest(self) -> Manifest:
+        return self.manifests[self.subject_ids[-1]]
+
+    @property
+    def checkpoint_dir(self) -> str:
+        path = self.manifest.resolve(
+            "checkpoint_dir",
+            self.SN_kwargs.get("checkpoint_dir"),
+            os.path.join(
+                self.manifest.resolve("saved_results_dir", default="."),
+                "checkpoints",
+            ),
+        )
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    # -- vocab resolution (reference trainers.py:147-211) ------------------
+
+    def set_feature_lists(self) -> None:
+        """4-level resolution per categorical sequence type:
+        (1) explicit ``<seq_type>_vocab_list`` kwarg →
+        (2) vocab file → (3) pickled list in checkpoint_dir →
+        (4) induced training-∩ / validation-∪ across subjects."""
+        mapping = self.target_subject.data_mapping
+        for tensor_key, seq_type in mapping.items():
+            manifest0 = self.target_subject.data_manifests[tensor_key]
+            if not manifest0.is_categorical:
+                continue
+            class_list = self.kwargs.get(f"{seq_type}_vocab_list")
+            if class_list is None:
+                vocab_file = self.manifest.resolve(f"{seq_type}_vocab_file")
+                if vocab_file is not None:
+                    from . import text_dir as default_text_dir
+
+                    path = (
+                        vocab_file
+                        if os.path.isabs(vocab_file)
+                        else os.path.join(default_text_dir, vocab_file)
+                    )
+                    if os.path.exists(path):
+                        class_list = read_vocab_file(path)
+            if class_list is None:
+                pkl = os.path.join(
+                    self.checkpoint_dir, f"{seq_type}_vocab_file.pkl"
+                )
+                if os.path.exists(pkl):
+                    with open(pkl, "rb") as f:
+                        class_list = pickle.load(f)
+            if class_list is None:
+                class_list = self._training_intersection_validation_union(
+                    seq_type
+                )
+                pkl = os.path.join(
+                    self.checkpoint_dir, f"{seq_type}_vocab_file.pkl"
+                )
+                with open(pkl, "wb") as f:
+                    pickle.dump(class_list, f)
+            class_list = with_special_tokens(class_list)
+            for subject in self.ecog_subjects:
+                subject.set_feature_list(tensor_key, class_list)
+
+    def _training_intersection_validation_union(
+        self, sequence_type: str
+    ) -> list[str]:
+        """Induced vocab: per-partition reduce over subjects (∩ for
+        training, ∪ otherwise), then ∪ over partitions, order-preserving
+        (reference trainers.py:410-442)."""
+        per_partition: dict[str, list[str]] = {}
+        for partition in DATA_PARTITIONS:
+            lists = []
+            for subject in self.ecog_subjects:
+                blocks = sorted(subject.block_ids(partition))
+                lists.append(
+                    subject.data_generator.write_to_Protobuf_maybe(
+                        sequence_type, blocks
+                    )
+                )
+            if not lists:
+                per_partition[partition] = []
+                continue
+            if partition == "training":
+                keep = set(lists[0])
+                for l in lists[1:]:
+                    keep &= set(l)
+                per_partition[partition] = [t for t in lists[0] if t in keep]
+            else:
+                merged: dict[str, None] = {}
+                for l in lists:
+                    for t in l:
+                        merged.setdefault(t)
+                per_partition[partition] = list(merged)
+        out: dict[str, None] = {}
+        for partition in DATA_PARTITIONS:
+            for t in per_partition[partition]:
+                out.setdefault(t)
+        return list(out)
+
+    # -- net construction ---------------------------------------------------
+
+    def _build_net(self) -> None:
+        manifest = self.manifest
+        layer_sizes = manifest.resolve("layer_sizes", default={})
+        target_manifests = self.target_subject.data_manifests
+
+        aux_heads = []
+        self.penalty_scales: dict[str, float] = {}
+        for tensor_key, dm in target_manifests.items():
+            if tensor_key in ("encoder_inputs", "decoder_targets"):
+                self.penalty_scales.setdefault(tensor_key, dm.penalty_scale)
+                continue
+            aux_heads.append(
+                AuxHead(
+                    tensor_key,
+                    "categorical" if dm.is_categorical else "Gaussian",
+                    dm.num_features,
+                )
+            )
+            self.penalty_scales[tensor_key] = dm.penalty_scale
+
+        in_channels = max(
+            s.data_generator.num_ECoG_channels for s in self.ecog_subjects
+        )
+        dec_list = target_manifests["decoder_targets"].feature_list
+        TEMPORALLY_CONVOLVE = bool(
+            manifest.resolve(
+                "TEMPORALLY_CONVOLVE",
+                self.SN_kwargs.get("TEMPORALLY_CONVOLVE"),
+                True,
+            )
+        )
+        conv_sizes = (
+            tuple(layer_sizes.get("encoder_embedding", [100]))
+            if TEMPORALLY_CONVOLVE
+            else ()
+        )
+        self.net_config = Seq2SeqConfig(
+            vocab_size=len(dec_list),
+            num_subjects=len(self.ecog_subjects),
+            in_channels=in_channels,
+            conv_sizes=conv_sizes,
+            decimation_factor=self.target_subject.decimation_factor,
+            rnn_sizes=tuple(layer_sizes.get("encoder_rnn", [400] * 3)),
+            aux_proj_sizes=tuple(
+                layer_sizes.get("encoder_1_projection", [225])
+            ),
+            aux_heads=tuple(aux_heads),
+            dec_embedding_size=layer_sizes.get("decoder_embedding", [150])[0],
+            dec_rnn_sizes=tuple(layer_sizes.get("decoder_rnn", [800])),
+            max_dec_len=int(
+                self.SN_kwargs.get(
+                    "max_dec_len", manifest.resolve("max_dec_len", default=20)
+                )
+            ),
+            FF_dropout=float(manifest.resolve("FF_dropout", default=0.1)),
+            RNN_dropout=float(manifest.resolve("RNN_dropout", default=0.5)),
+            temperature=float(manifest.resolve("temperature", default=0.0)),
+            pad_id=int(dec_list.index(pad_token)),
+            eos_id=int(dec_list.index(EOS_token)),
+        )
+        self.N_epochs = int(
+            self.SN_kwargs.get(
+                "N_epochs", manifest.resolve("N_epochs", default=200)
+            )
+        )
+        self.EMA_decay = float(manifest.resolve("EMA_decay", default=0.99))
+        self.assessment_epoch_interval = int(
+            manifest.resolve("assessment_epoch_interval", default=10)
+        )
+        self.learning_rate = float(
+            self.SN_kwargs.get(
+                "learning_rate",
+                manifest.resolve("learning_rate", default=1e-3),
+            )
+        )
+        self.batch_size = int(
+            self.SN_kwargs.get(
+                "batch_size", manifest.resolve("batch_size", default=32)
+            )
+        )
+        rng = jax.random.PRNGKey(self.seed)
+        params = init_seq2seq(rng, self.net_config)
+        self.state = TrainState(
+            params=params,
+            ema=jax.tree.map(jnp.copy, params),
+            opt_state=None,
+            epoch=jnp.asarray(0, jnp.int32),
+        )
+        self._datasets: dict[str, PackedDataset] = {}
+        self.assessments: dict[str, dict] = {}
+
+    # -- data ---------------------------------------------------------------
+
+    def write_tf_records_maybe(self) -> None:
+        for subject in self.ecog_subjects:
+            subject.write_tf_records_maybe()
+
+    def packed_dataset(self, partition: str, refresh: bool = False) -> PackedDataset:
+        if refresh or partition not in self._datasets:
+            self._datasets[partition] = pack_partition(
+                self.ecog_subjects,
+                partition,
+                pad_channels_to=self.net_config.in_channels,
+                pad_time_multiple=self.net_config.decimation_factor,
+            )
+        return self._datasets[partition]
+
+    # -- optimizers / scope masks ------------------------------------------
+
+    def _scope_mask(self, train_vars_scope: str | None):
+        """Trainability mask over the param pytree from a scope regex
+        against slash-joined param paths ('subnet/conv/0/w',
+        'encoder/rnn/0/fwd/wx', ...).  The reference's regexes
+        ``seq2seq/subnet`` and ``seq2seq/(?!subnet)`` work verbatim with
+        the 'seq2seq/' prefix."""
+        if train_vars_scope is None:
+            return None
+        pattern = re.compile(train_vars_scope)
+
+        def path_str(path) -> str:
+            parts = []
+            for p in path:
+                if hasattr(p, "key"):
+                    parts.append(str(p.key))
+                elif hasattr(p, "idx"):
+                    parts.append(str(p.idx))
+                elif hasattr(p, "name"):
+                    parts.append(str(p.name))
+                else:
+                    parts.append(str(p))
+            return "seq2seq/" + "/".join(parts)
+
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.state.params),
+            [bool(pattern.match(path_str(path))) for path, _ in flat],
+        )
+
+    def _make_optimizer(self, train_vars_scope: str | None = None):
+        opt = optax.chain(
+            optax.clip_by_global_norm(10.0),
+            optax.adam(self.learning_rate),
+        )
+        mask = self._scope_mask(train_vars_scope)
+        if mask is not None:
+            opt = optax.chain(
+                opt,
+                optax.masked(
+                    optax.set_to_zero(),
+                    jax.tree.map(lambda t: not t, mask),
+                ),
+            )
+        return opt
+
+    # -- core fit engine ----------------------------------------------------
+
+    def fit(
+        self,
+        subject_subset: Sequence[int] | None = None,
+        num_epochs: int | None = None,
+        train_vars_scope: str | None = None,
+        reset_optimizer: bool = True,
+        assess: bool = True,
+    ) -> dict[str, dict]:
+        """Train for ``num_epochs``, assessing every
+        ``assessment_epoch_interval``.  Returns assessments history."""
+        num_epochs = num_epochs or self.N_epochs
+        self.write_tf_records_maybe()
+        train_data = self.packed_dataset("training")
+        optimizer = self._make_optimizer(train_vars_scope)
+        if reset_optimizer or self.state.opt_state is None:
+            self.state = self.state._replace(
+                opt_state=optimizer.init(self.state.params)
+            )
+        runner = make_segment_runner(
+            self.net_config, optimizer, self.penalty_scales, self.EMA_decay
+        )
+        data = {
+            k: jnp.asarray(v) for k, v in train_data.batch_dict().items()
+        }
+        rng_np = np.random.default_rng(self.seed + int(self.state.epoch))
+        history: dict[str, dict] = {}
+        done = 0
+        while done < num_epochs:
+            segment = min(self.assessment_epoch_interval, num_epochs - done)
+            subjects_sched, idx_sched = make_schedule(
+                train_data, self.batch_size, segment, rng_np, subject_subset
+            )
+            rng = jax.random.PRNGKey(
+                self.seed + 1000 + int(self.state.epoch)
+            )
+            self.state, metrics = runner(
+                self.state,
+                data,
+                jnp.asarray(subjects_sched),
+                jnp.asarray(idx_sched),
+                rng,
+                segment,
+            )
+            done += segment
+            epoch = int(self.state.epoch)
+            if assess:
+                snapshot = self.assess()
+                history[str(epoch)] = snapshot
+                tm = {k: float(v) for k, v in metrics.items()}
+                self.vprint(
+                    f"epoch {epoch}: loss {tm['loss_total']:.4f} "
+                    f"train WER {snapshot['training']['word_error_rate']:.3f} "
+                    f"val WER {snapshot['validation']['word_error_rate']:.3f}"
+                )
+        self.assessments = history
+        return history
+
+    # -- assessment ---------------------------------------------------------
+
+    def _decode_fn(self):
+        if not hasattr(self, "_jit_decode"):
+            config = self.net_config
+
+            @jax.jit
+            def decode(params, inputs, lengths, subject_idx):
+                return greedy_decode(
+                    params, config, inputs, lengths, subject_idx,
+                    temperature=0.0,
+                )
+
+            self._jit_decode = decode
+        return self._jit_decode
+
+    def assess(
+        self,
+        partitions: Sequence[str] = ("training", "validation"),
+        use_ema: bool = True,
+        params: Any = None,
+    ) -> dict[str, dict]:
+        """Greedy-decode each partition with the (EMA) weights; returns
+        per-partition WER / accuracy / confusions (the reference's
+        assessments dict, trainers.py:591-610)."""
+        if params is None:
+            params = self.state.ema if use_ema else self.state.params
+        decode = self._decode_fn()
+        dec_list = self.target_subject.data_manifests[
+            "decoder_targets"
+        ].feature_list
+        out: dict[str, dict] = {}
+        for partition in partitions:
+            ds = self.packed_dataset(partition)
+            all_refs, all_hyps = [], []
+            true_ids, pred_ids = [], []
+            for s in range(ds.num_subjects):
+                n = int(ds.num_trials[s])
+                if n == 0:
+                    continue
+                tokens = decode(
+                    params,
+                    jnp.asarray(ds.encoder_inputs[s]),
+                    jnp.asarray(ds.encoder_lengths[s]),
+                    jnp.asarray(s, jnp.int32),
+                )
+                tokens = np.asarray(tokens)[:n]
+                hyps = target_inds_to_sequences(tokens, dec_list)
+                refs = target_inds_to_sequences(
+                    ds.decoder_targets[s][:n], dec_list
+                )
+                all_refs += refs
+                all_hyps += hyps
+                L = min(tokens.shape[1], ds.decoder_targets.shape[2])
+                true_ids.append(ds.decoder_targets[s][:n, :L])
+                pred_ids.append(tokens[:, :L])
+            wers = wer_vector(all_refs, all_hyps)
+            out[partition] = {
+                "word_error_rate": float(np.mean(wers)) if len(wers) else 1.0,
+                "word_error_rates": wers,
+                "accuracy": sequence_accuracy(all_refs, all_hyps),
+                "decoder_confusions": confusion_matrix(
+                    np.concatenate(true_ids) if true_ids else np.zeros((0, 1)),
+                    np.concatenate(pred_ids) if pred_ids else np.zeros((0, 1)),
+                    len(dec_list),
+                ),
+                "references": all_refs,
+                "hypotheses": all_hyps,
+            }
+        return out
+
+    # -- reference training entry points ------------------------------------
+
+    def parallel_transfer_learn(
+        self, RESUME: bool = False, **fit_kwargs
+    ) -> dict:
+        """Joint training of all subjects in one program (reference
+        trainers.py:303-327).  RESUME restricts to the target subject,
+        training only the shared core, from the latest checkpoint."""
+        if RESUME:
+            # restrict to the target subject, reusing all variables from
+            # the latest checkpoint (reference trainers.py:308-315:
+            # train_vars_scope='seq2seq', reuse_vars_scope='seq2seq')
+            epoch = self.restore_epoch
+            if epoch is not None:
+                self.restore(epoch)
+            history = self.fit(
+                subject_subset=[len(self.ecog_subjects) - 1],
+                **fit_kwargs,
+            )
+        else:
+            history = self.fit(**fit_kwargs)
+        self._save_results(history)
+        self.save_checkpoint()
+        return history
+
+    def sequential_transfer_learn(
+        self,
+        pretraining: int = 60,
+        training: int = 200,
+        posttraining: int = 340,
+    ) -> dict:
+        """Per-subject curriculum (reference trainers.py:329-374): for
+        each donor, first fit only its subnet against the frozen shared
+        core, then everything; the target subject gets
+        training+posttraining epochs."""
+        history: dict = {}
+        for i, subject in enumerate(self.ecog_subjects):
+            is_last = i == len(self.ecog_subjects) - 1
+            if i > 0:
+                self.fit(
+                    subject_subset=[i],
+                    num_epochs=pretraining,
+                    train_vars_scope=r"seq2seq/subnet",
+                    assess=False,
+                )
+            epochs = training + (posttraining if is_last else 0)
+            history = self.fit(
+                subject_subset=list(range(i + 1)), num_epochs=epochs
+            )
+        self._save_results(history)
+        self.save_checkpoint()
+        return history
+
+    # -- checkpointing (Orbax) ----------------------------------------------
+
+    def _ckpt_path(self, epoch: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"ckpt-{epoch}")
+
+    @property
+    def restore_epoch(self) -> int | None:
+        """Latest checkpointed epoch (reference scans model.ckpt-*.index,
+        trainers.py:235-255)."""
+        if not os.path.isdir(self.checkpoint_dir):
+            return None
+        epochs = [
+            int(m.group(1))
+            for name in os.listdir(self.checkpoint_dir)
+            if (m := re.fullmatch(r"ckpt-(\d+)", name))
+        ]
+        return max(epochs) if epochs else None
+
+    def save_checkpoint(self, epoch: int | None = None) -> str:
+        import orbax.checkpoint as ocp
+
+        epoch = epoch if epoch is not None else int(self.state.epoch)
+        path = self._ckpt_path(epoch)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.abspath(path),
+                {
+                    "params": self.state.params,
+                    "ema": self.state.ema,
+                    "epoch": np.asarray(epoch, np.int32),
+                },
+                force=True,
+            )
+        return path
+
+    def restore(self, epoch: int | None = None) -> None:
+        import orbax.checkpoint as ocp
+
+        epoch = epoch if epoch is not None else self.restore_epoch
+        if epoch is None:
+            raise FileNotFoundError(
+                f"no checkpoints under {self.checkpoint_dir}"
+            )
+        template = {
+            "params": self.state.params,
+            "ema": self.state.ema,
+            "epoch": np.asarray(0, np.int32),
+        }
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.abspath(self._ckpt_path(epoch)), template
+            )
+        self.state = TrainState(
+            params=restored["params"],
+            ema=restored["ema"],
+            opt_state=None,
+            epoch=jnp.asarray(int(restored["epoch"]), jnp.int32),
+        )
+
+    def assess_saved_model(
+        self, restore_epoch: int | None = None, partitions=("validation",)
+    ) -> dict:
+        """Restore EMA weights from a checkpoint and assess (reference
+        trainers.py:376-408)."""
+        self.restore(restore_epoch)
+        return self.assess(partitions=partitions, use_ema=True)
+
+    # -- results files (reference trainers.py:556-620) -----------------------
+
+    def _results_file_name(self) -> str:
+        project = self.manifest.resolve("project", default="proj")
+        ids = "_".join(str(s) for s in self.subject_ids)
+        ff = self.net_config.FF_dropout
+        rnn = self.net_config.RNN_dropout
+        sizes = "-".join(
+            str(s)
+            for s in (
+                list(self.net_config.conv_sizes)
+                + list(self.net_config.rnn_sizes)
+                + list(self.net_config.dec_rnn_sizes)
+            )
+        )
+        return f"accuracies_{project}{ids}_{ff}_{rnn}_{sizes}"
+
+    def _save_results(self, history: dict[str, dict]) -> str | None:
+        results_dir = self.manifest.resolve("saved_results_dir")
+        if results_dir is None or not history:
+            return None
+        os.makedirs(results_dir, exist_ok=True)
+        path = os.path.join(results_dir, self._results_file_name())
+        with open(path, "w") as f:
+            for epoch, snap in history.items():
+                tr, va = snap["training"], snap["validation"]
+                f.write(
+                    f"{tr['accuracy']:.6f} {tr['word_error_rate']:.6f} "
+                    f"{va['accuracy']:.6f} {va['word_error_rate']:.6f} "
+                    f"{epoch}\n"
+                )
+        return path
+
+    # -- inspection utilities ------------------------------------------------
+
+    def subject_to_table(self):
+        """Per-subject overview table (reference trainers.py:639-665)."""
+        import pandas as pd
+
+        rows = []
+        for subject in self.ecog_subjects:
+            dm = subject.data_manifests
+            rows.append(
+                {
+                    "subject": subject.subject_id,
+                    "channels": subject.data_generator.num_ECoG_channels,
+                    "decimation": subject.decimation_factor,
+                    "training_blocks": sorted(subject.block_ids("training")),
+                    "validation_blocks": sorted(
+                        subject.block_ids("validation")
+                    ),
+                    "vocab_size": dm["decoder_targets"].num_features,
+                }
+            )
+        return pd.DataFrame(rows).set_index("subject")
+
+    def count_all_targets(self) -> dict[int, dict]:
+        return {
+            subject.subject_id: subject.count_targets()
+            for subject in self.ecog_subjects
+        }
+
+    def print_tensor_names(self) -> list[str]:
+        """Parameter-tree paths + shapes (reference's checkpoint
+        tensor-name dump, trainers.py:667-675)."""
+        flat = jax.tree_util.tree_flatten_with_path(self.state.params)[0]
+        names = []
+        for path, leaf in flat:
+            name = "seq2seq/" + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            names.append(f"{name} {tuple(leaf.shape)}")
+            self.vprint(names[-1])
+        return names
+
+    def tf_record_to_numpy_data(self, subject_index: int = -1, block=None):
+        """Raw-record inspection generator (reference trainers.py:861-922)."""
+        subject = self.ecog_subjects[subject_index]
+        blocks = (
+            [block] if block is not None else sorted(subject.all_blocks)
+        )
+        for b in blocks:
+            for example in read_examples(
+                subject.data_generator.tf_record_path(b)
+            ):
+                yield example
+
+    # -- analysis hooks ------------------------------------------------------
+
+    def get_saliencies(
+        self,
+        tensor_key: str = "decoder_targets",
+        partition: str = "validation",
+        use_ema: bool = True,
+    ) -> np.ndarray:
+        """Input-gradient saliency for one loss head: zero every other
+        penalty scale and differentiate wrt the inputs (reference
+        trainers.py:703-732 — a bespoke TF graph there, one `jax.grad`
+        here)."""
+        scales = {k: 0.0 for k in self.penalty_scales}
+        scales[tensor_key] = 1.0
+        params = self.state.ema if use_ema else self.state.params
+        ds = self.packed_dataset(partition)
+        config = self.net_config
+
+        @jax.jit
+        def saliency(params, batch):
+            def loss_of_inputs(inputs):
+                b = dict(batch, encoder_inputs=inputs)
+                return seq2seq_loss(
+                    params, config, b, jax.random.PRNGKey(0),
+                    train=False, penalty_scales=scales,
+                )[0]
+
+            return jax.grad(loss_of_inputs)(batch["encoder_inputs"])
+
+        grads = []
+        for s in range(ds.num_subjects):
+            n = int(ds.num_trials[s])
+            batch = {
+                k: jnp.asarray(v[s]) for k, v in ds.batch_dict().items()
+            }
+            batch["subject_idx"] = jnp.asarray(s, jnp.int32)
+            grads.append(np.asarray(saliency(params, batch))[:n])
+        return np.concatenate(grads, axis=0)
+
+    def get_encoder_embedding(
+        self, subject_index: int = -1, use_ema: bool = True
+    ) -> np.ndarray:
+        """First conv layer weights for one subject — the electrode-
+        contribution basis (reference trainers.py:734-751)."""
+        params = self.state.ema if use_ema else self.state.params
+        w = params["subnet"]["conv"][0]["w"]
+        return np.asarray(w[subject_index])
+
+    def get_internal_activations(
+        self, partition: str = "validation", subject_index: int = -1
+    ) -> dict[str, np.ndarray]:
+        """Forward-pass intermediates for schematic figures (reference
+        trainers.py:757-859 rebuilds a bespoke graph; here it is one
+        call into the encoder)."""
+        ds = self.packed_dataset(partition)
+        s = (
+            subject_index
+            if subject_index >= 0
+            else ds.num_subjects + subject_index
+        )
+        n = int(ds.num_trials[s])
+        enc_out, final, enc_lengths = encode(
+            self.state.ema,
+            self.net_config,
+            jnp.asarray(ds.encoder_inputs[s]),
+            jnp.asarray(ds.encoder_lengths[s]),
+            jnp.asarray(s, jnp.int32),
+            jax.random.PRNGKey(0),
+            train=False,
+        )
+        return {
+            "encoder_outputs": np.moveaxis(np.asarray(enc_out), 0, 1)[:n],
+            "final_state_h": np.asarray(final[0])[:n],
+            "final_state_c": np.asarray(final[1])[:n],
+            "encoder_lengths": np.asarray(enc_lengths)[:n],
+        }
