@@ -1,0 +1,158 @@
+"""Benchmark: MOCHA-TIMIT-scale train+decode throughput on one chip.
+
+Reference-scale configuration (BASELINE.md): 16×16 grid bipolar (469
+channels), trials ≤6.25 s @200 Hz (T=1248), conv [100] stride 12 →
+3×400 biLSTM → aux phoneme head → dec emb 150 / LSTM 800, vocab 1809;
+450 training sentences (~9 blocks × 50).
+
+Measured: sentences/sec/chip through the full jitted training segment
+(loss+grad+adam+EMA, the reference's per-epoch hot loop, SURVEY §3.3)
+plus greedy decode throughput.  ``vs_baseline`` = projected full-run
+time (800 epochs training + 80 assessment decodes, the reference
+schedule) against the 10-minute north-star budget from BASELINE.json —
+>1.0 means the whole reference experiment fits inside the target.
+
+Prints ONE JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ecog2txt_tpu.models.seq2seq import (
+        AuxHead,
+        Seq2SeqConfig,
+        greedy_decode,
+        init_seq2seq,
+    )
+    from ecog2txt_tpu.train import TrainState, make_segment_runner
+
+    B = 64
+    N_SENT = 450
+    T = 1248
+    config = Seq2SeqConfig(
+        vocab_size=1809,
+        num_subjects=1,
+        in_channels=469,
+        conv_sizes=(100,),
+        decimation_factor=12,
+        rnn_sizes=(400, 400, 400),
+        aux_proj_sizes=(225,),
+        aux_heads=(AuxHead("encoder_1_targets", "categorical", 45),),
+        dec_embedding_size=150,
+        dec_rnn_sizes=(800,),
+        max_dec_len=20,
+        compute_dtype=jnp.bfloat16,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    params = init_seq2seq(rng, config)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(10.0), optax.adam(1e-3)
+    )
+    state = TrainState(
+        params=params,
+        ema=jax.tree.map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+        epoch=jnp.asarray(0, jnp.int32),
+    )
+    runner = make_segment_runner(config, optimizer, {}, 0.99)
+
+    ks = jax.random.split(rng, 4)
+    data = {
+        "encoder_inputs": jax.random.normal(
+            ks[0], (1, N_SENT, T, config.in_channels), jnp.float32
+        ),
+        "encoder_lengths": jnp.full((1, N_SENT), T, jnp.int32),
+        "decoder_targets": jax.random.randint(
+            ks[1], (1, N_SENT, 12), 3, config.vocab_size, jnp.int32
+        ),
+        "decoder_lengths": jnp.full((1, N_SENT), 12, jnp.int32),
+        "encoder_1_targets": jax.random.randint(
+            ks[2], (1, N_SENT, T), 0, 45, jnp.int32
+        ),
+    }
+
+    EPOCHS_PER_SEGMENT = 10
+    steps_per_epoch = (N_SENT + B - 1) // B
+    K = EPOCHS_PER_SEGMENT * steps_per_epoch
+    host_rng = np.random.default_rng(0)
+    subj = jnp.zeros((K,), jnp.int32)
+    idx = jnp.asarray(
+        host_rng.integers(0, N_SENT, size=(K, B)), jnp.int32
+    )
+
+    # NOTE on timing: under the axon TPU tunnel `block_until_ready` can
+    # return before execution finishes — force completion with a scalar
+    # round trip that depends on the final state instead.
+    def force(tree) -> float:
+        leaf = jax.tree.leaves(tree)[0]
+        return float(jnp.sum(leaf))
+
+    # warmup (compile)
+    state, metrics = runner(
+        state, data, subj, idx, jax.random.PRNGKey(1), EPOCHS_PER_SEGMENT
+    )
+    force(metrics)
+
+    t0 = time.perf_counter()
+    REPS = 3
+    for r in range(REPS):
+        state, metrics = runner(
+            state, data, subj, idx, jax.random.PRNGKey(2 + r), EPOCHS_PER_SEGMENT
+        )
+    force(metrics)  # depends on every step of every segment
+    train_time = time.perf_counter() - t0
+    train_sent_per_sec = REPS * K * B / train_time
+
+    # decode throughput (assessment path), 450-sentence pass
+    @jax.jit
+    def decode(params, inputs, lengths):
+        return greedy_decode(
+            params, config, inputs, lengths, jnp.asarray(0, jnp.int32)
+        )
+
+    dec_in = data["encoder_inputs"][0]
+    dec_len = data["encoder_lengths"][0]
+    out = decode(state.ema, dec_in, dec_len)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = decode(state.ema, dec_in, dec_len)
+    float(jnp.sum(out))
+    decode_sent_per_sec = 3 * N_SENT / (time.perf_counter() - t0)
+
+    # projected full reference run: 800 epochs train + 80 assessment
+    # decodes over train+val (500 sentences each)
+    full_train_s = 800 * steps_per_epoch * B / train_sent_per_sec
+    full_decode_s = 80 * 2 * 500 / decode_sent_per_sec
+    projected = full_train_s + full_decode_s
+    vs_baseline = 600.0 / projected  # north star: <10 min (BASELINE.json)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_sentences_per_sec_per_chip",
+                "value": round(train_sent_per_sec, 2),
+                "unit": "sentences/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "decode_sentences_per_sec": round(decode_sent_per_sec, 2),
+                "projected_full_run_s": round(projected, 1),
+                "platform": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

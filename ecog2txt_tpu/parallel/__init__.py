@@ -1,0 +1,9 @@
+"""Device-mesh parallelism: sharding rules + distributed train steps."""
+
+from .mesh import (  # noqa: F401
+    make_mesh,
+    replicate,
+    batch_sharding,
+    shard_params_tp,
+    make_dp_train_step,
+)
