@@ -68,6 +68,9 @@ def resolve_data_generator(spec: Any) -> type:
     if isinstance(spec, type):
         return spec
     name = str(spec)
+    if name not in _GENERATOR_REGISTRY:
+        # make sure the built-in generators have registered themselves
+        from . import datagen  # noqa: F401
     if name in _GENERATOR_REGISTRY:
         return _GENERATOR_REGISTRY[name]
     # try the trailing class name: 'pkg.mod.SpeechDataGenerator' → last part
@@ -166,11 +169,10 @@ def load_experiment_manifest(
     (trainers.py:60-61); file layout = top-level map keyed by subject id.
     """
     text_dir = text_dir or default_text_dir
-    path = (
-        manifest_name
-        if os.path.isabs(manifest_name)
-        else os.path.join(text_dir, manifest_name)
-    )
+    if os.path.isabs(manifest_name) or os.path.exists(manifest_name):
+        path = manifest_name
+    else:
+        path = os.path.join(text_dir, manifest_name)
     with open(path) as f:
         raw = yaml.load(f, Loader=ManifestLoader)
     return {

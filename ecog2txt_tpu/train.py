@@ -367,6 +367,11 @@ class MultiSubjectTrainer:
             pad_id=int(dec_list.index(pad_token)),
             eos_id=int(dec_list.index(EOS_token)),
         )
+        self.beam_width = int(
+            self.SN_kwargs.get(
+                "beam_width", manifest.resolve("beam_width", default=1)
+            )
+        )
         self.N_epochs = int(
             self.SN_kwargs.get(
                 "N_epochs", manifest.resolve("N_epochs", default=200)
@@ -525,13 +530,26 @@ class MultiSubjectTrainer:
     def _decode_fn(self):
         if not hasattr(self, "_jit_decode"):
             config = self.net_config
+            if self.beam_width > 1:
+                from .models.beam import beam_decode
 
-            @jax.jit
-            def decode(params, inputs, lengths, subject_idx):
-                return greedy_decode(
-                    params, config, inputs, lengths, subject_idx,
-                    temperature=0.0,
-                )
+                beam_width = self.beam_width
+
+                @jax.jit
+                def decode(params, inputs, lengths, subject_idx):
+                    return beam_decode(
+                        params, config, inputs, lengths, subject_idx,
+                        beam_width=beam_width,
+                    )
+
+            else:
+
+                @jax.jit
+                def decode(params, inputs, lengths, subject_idx):
+                    return greedy_decode(
+                        params, config, inputs, lengths, subject_idx,
+                        temperature=0.0,
+                    )
 
             self._jit_decode = decode
         return self._jit_decode

@@ -1,0 +1,108 @@
+"""Serving-layer tests: online predictor + streaming session."""
+
+import numpy as np
+import pytest
+
+from ecog2txt_tpu.demo import make_demo_experiment
+from ecog2txt_tpu.serve import OnlinePredictor, StreamingSession, construct_online_predictor
+from ecog2txt_tpu.train import MultiSubjectTrainer
+
+TINY = {
+    "encoder_embedding": [16],
+    "encoder_rnn": [24],
+    "encoder_1_projection": [16],
+    "decoder_embedding": [12],
+    "decoder_rnn": [48],
+    "decoder_projection": [],
+}
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    mp = make_demo_experiment(
+        str(root / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"batch_size": 16, "max_dec_len": 10, "learning_rate": 3e-3,
+                   "N_epochs": 20},
+        VERBOSE=False,
+    )
+    tr.fit(assess=False)
+    tr.save_checkpoint()
+    return tr
+
+
+def test_predict_shapes_and_text(trainer):
+    predictor = OnlinePredictor.from_trainer(trainer)
+    ds = trainer.packed_dataset("validation")
+    trial = ds.encoder_inputs[0, 0, : ds.encoder_lengths[0, 0]]
+    out = predictor(trial)
+    assert isinstance(out["sequences"][0], str)
+    assert out["tokens"].shape[0] == 1
+    assert out["probabilities"].shape == out["tokens"].shape
+    p = out["probabilities"]
+    assert (p >= 0).all() and (p <= 1.0 + 1e-6).all()
+
+
+def test_predict_batch(trainer):
+    predictor = OnlinePredictor.from_trainer(trainer)
+    ds = trainer.packed_dataset("validation")
+    out = predictor(ds.encoder_inputs[0, :4])
+    assert len(out["sequences"]) == 4
+
+
+def test_from_checkpoint_matches_live(trainer):
+    live = OnlinePredictor.from_trainer(trainer)
+    dec_list = trainer.target_subject.data_manifests[
+        "decoder_targets"
+    ].feature_list
+    restored = OnlinePredictor.from_checkpoint(
+        trainer._ckpt_path(int(trainer.state.epoch)),
+        trainer.net_config,
+        dec_list,
+        max_samples=trainer.target_subject.data_generator.max_samples,
+    )
+    ds = trainer.packed_dataset("validation")
+    trial = ds.encoder_inputs[0, 1]
+    assert live(trial)["sequences"] == restored(trial)["sequences"]
+
+
+def test_construct_online_predictor_closure(trainer):
+    dec_list = trainer.target_subject.data_manifests[
+        "decoder_targets"
+    ].feature_list
+    predict = construct_online_predictor(
+        trainer._ckpt_path(int(trainer.state.epoch)),
+        dec_list,
+        trainer.net_config,
+    )
+    ds = trainer.packed_dataset("validation")
+    out = predict(ds.encoder_inputs[0, 0])
+    assert isinstance(out, list) and isinstance(out[0], str)
+
+
+def test_streaming_session_chunks_equal_whole(trainer):
+    predictor = OnlinePredictor.from_trainer(trainer)
+    ds = trainer.packed_dataset("validation")
+    L = int(ds.encoder_lengths[0, 2])
+    trial = ds.encoder_inputs[0, 2, :L]
+    whole = predictor(trial)["sequences"]
+
+    session = StreamingSession(predictor)
+    for start in range(0, L, 37):
+        session.push(trial[start : start + 37])
+    assert session.num_samples == L
+    out = session.endpoint()
+    assert out["sequences"] == whole
+    assert session.num_samples == 0  # reset after endpoint
+
+
+def test_streaming_caps_at_max_samples(trainer):
+    predictor = OnlinePredictor.from_trainer(trainer)
+    session = StreamingSession(predictor)
+    C = 16
+    big = np.zeros((predictor.max_samples + 500, C), np.float32)
+    session.push(big)
+    assert session.num_samples == predictor.max_samples
