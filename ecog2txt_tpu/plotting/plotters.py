@@ -1,0 +1,365 @@
+"""Per-subject figure factory.
+
+Rebuilds the reference's ``ResultsPlotter`` (reference
+plotters.py:122-1510): the electrode-contribution framework (weight
+norms / saliency / occlusion sweeps), electrode geometry plots, anatomy
+pooling, performance curves, and confusion heatmaps.  Brain-surface 3D
+rendering (img_pipe) is out of scope without the lab's electrode ``.mat``
+assets; the anatomy interface accepts any {electrode: label} mapping and
+degrades to grid coordinates.
+
+All figure functions return the matplotlib ``Figure`` and also save to
+``png_partial_path.format(name)`` when configured (reference path
+template, mocha-1_word_sequence.yaml:79).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+import numpy as np
+
+from ..assess import wer_vector
+from ..geometry import SubgridParams
+from ..subjects import ECoGSubject
+
+CONTRIB_METHODS = (
+    "weight_norms",
+    "saliency_map",
+    "occlusion_trained",
+    "occlusion_tested",
+)
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def anti_alias(sequence: np.ndarray, decimation: int) -> np.ndarray:
+    """Low-pass (moving-average FIR) along axis 0 before downsampling —
+    the reference anti-aliases saliency sequences
+    (plotters.py:534-560)."""
+    if decimation <= 1:
+        return sequence
+    kernel = np.ones(decimation) / decimation
+    out = np.apply_along_axis(
+        lambda x: np.convolve(x, kernel, mode="same"), 0, sequence
+    )
+    return out
+
+
+class ResultsPlotter:
+    """One per subject (reference plotters.py:122).
+
+    ``trainer`` is optional: geometry-only figures need just the
+    subject; contribution methods need the trained net.
+    """
+
+    def __init__(
+        self,
+        subject: ECoGSubject,
+        trainer=None,
+        anatomy_labels: dict[int, str] | None = None,
+        RGB_color=None,
+        VERBOSE: bool = True,
+    ):
+        self.subject = subject
+        self.trainer = trainer
+        self._anatomy = anatomy_labels or {}
+        self.RGB_color = RGB_color or subject.manifest.resolve(
+            "RGB_color", default=(0.2, 0.4, 0.8)
+        )
+        self.vprint = print if VERBOSE else (lambda *a, **k: None)
+
+    # -- geometry ------------------------------------------------------------
+
+    @property
+    def grid(self):
+        return self.subject.data_generator.grid
+
+    def electrode_locs_2D(self) -> np.ndarray:
+        """(num_channels, 2) (row, col) positions in the layout
+        (reference plotters.py:429-440)."""
+        pos = self.grid.channel_positions()
+        return np.asarray([pos[ch] for ch in self.grid.good_channels], float)
+
+    def anatomy_labels(self) -> list[str]:
+        """Per-channel anatomical labels; unknown electrodes map to
+        'unknown' (reference pools FreeSurfer labels into grand areas,
+        plotters.py:357-426 — the pooling map below mirrors its grand
+        list, yaml:anatomy_grand_list)."""
+        pooling = {
+            "middle frontal": "middle frontal",
+            "rostral middle frontal": "middle frontal",
+            "caudal middle frontal": "middle frontal",
+            "pars opercularis": "IFG",
+            "pars triangularis": "IFG",
+            "pars orbitalis": "IFG",
+            "precentral": "vSMC",
+            "postcentral": "vSMC",
+        }
+        out = []
+        m = self.grid.num_electrodes
+        for ch in self.grid.good_channels:
+            if self.grid.REFERENCE_BIPOLAR:
+                elec = self.grid.bipolar_to_elec_map[ch][0]
+            else:
+                elec = ch % m
+            raw = self._anatomy.get(elec, "unknown")
+            out.append(pooling.get(raw, raw))
+        return out
+
+    # -- electrode contributions (reference plotters.py:467-646) -------------
+
+    def elec_contribs(self, contrib_method: str = "weight_norms", **kwargs):
+        """Dispatch over contribution methods → (num_channels,) array."""
+        if contrib_method not in CONTRIB_METHODS:
+            raise ValueError(
+                f"unknown contrib_method {contrib_method!r}; "
+                f"known {CONTRIB_METHODS}"
+            )
+        return getattr(self, f"_contribs_{contrib_method}")(**kwargs)
+
+    def _subject_index(self) -> int:
+        return self.trainer.ecog_subjects.index(self.subject)
+
+    def _contribs_weight_norms(self) -> np.ndarray:
+        """Frobenius norm of the first conv layer per input channel
+        (reference plotters.py:508-516).  The conv is stored as a
+        (stride·C, E) GEMM kernel; fold the stride taps into the norm."""
+        w = self.trainer.get_encoder_embedding(self._subject_index())
+        stride = self.trainer.net_config.conv_strides[0]
+        C = w.shape[0] // stride
+        w = w.reshape(stride, C, w.shape[1])
+        norms = np.linalg.norm(w, axis=(0, 2))
+        return norms[: self.grid.num_channels]
+
+    def _contribs_saliency_map(
+        self, tensor_key: str = "decoder_targets", partition: str = "validation"
+    ) -> np.ndarray:
+        """Mean |input gradient| per channel, anti-aliased over the
+        decimation window (reference plotters.py:534-560)."""
+        sal = self.trainer.get_saliencies(tensor_key, partition)
+        sal = anti_alias(
+            np.abs(sal), self.trainer.net_config.decimation_factor
+        )
+        return sal.mean(axis=(0, 1))[: self.grid.num_channels]
+
+    def _occlusion_wers(
+        self,
+        partition: str,
+        mask_extent: tuple[int, int] = (2, 2),
+        stride: int = 2,
+    ) -> tuple[np.ndarray, list[SubgridParams]]:
+        """Slide an occlusion subgrid; re-assess WER per position
+        (reference plotters.py:567-646).  Returns (WER per position,
+        the masks)."""
+        import jax.numpy as jnp
+
+        layout = self.grid.layout
+        rows, cols = layout.shape
+        ds = self.trainer.packed_dataset(partition)
+        s = self._subject_index()
+        n = int(ds.num_trials[s])
+        decode = self.trainer._decode_fn()
+        dec_list = self.subject.data_manifests["decoder_targets"].feature_list
+        from ..tokenizers import target_inds_to_sequences
+
+        refs = target_inds_to_sequences(ds.decoder_targets[s][:n], dec_list)
+        wers, masks = [], []
+        for r0 in range(0, rows - mask_extent[0] + 1, stride):
+            for c0 in range(0, cols - mask_extent[1] + 1, stride):
+                sub = SubgridParams(
+                    start=(r0, c0), extent=mask_extent, OCCLUDE=True
+                )
+                keep = sub.channel_mask(self.grid).astype(np.float32)
+                keep_padded = np.zeros(
+                    self.trainer.net_config.in_channels, np.float32
+                )
+                keep_padded[: len(keep)] = keep
+                inputs = ds.encoder_inputs[s] * keep_padded[None, None, :]
+                tokens = np.asarray(
+                    decode(
+                        self.trainer.state.ema,
+                        jnp.asarray(inputs),
+                        jnp.asarray(ds.encoder_lengths[s]),
+                        jnp.asarray(s, jnp.int32),
+                    )
+                )[:n]
+                hyps = target_inds_to_sequences(tokens, dec_list)
+                wers.append(float(np.mean(wer_vector(refs, hyps))))
+                masks.append(sub)
+        return np.asarray(wers), masks
+
+    def _occlusion_contribs(self, partition: str, **kwargs) -> np.ndarray:
+        wers, masks = self._occlusion_wers(partition, **kwargs)
+        base = self.trainer.assess([partition])[partition]["word_error_rate"]
+        contribs = np.zeros(self.grid.num_channels)
+        counts = np.zeros(self.grid.num_channels)
+        for wer, sub in zip(wers, masks):
+            # channels INSIDE the occluded window get credit for the WER
+            # increase their removal caused
+            inside = SubgridParams(
+                start=sub.start, extent=sub.extent, OCCLUDE=False
+            ).channel_mask(self.grid)
+            contribs[inside] += wer - base
+            counts[inside] += 1
+        return contribs / counts.clip(min=1)
+
+    def _contribs_occlusion_trained(self, **kwargs) -> np.ndarray:
+        return self._occlusion_contribs("training", **kwargs)
+
+    def _contribs_occlusion_tested(self, **kwargs) -> np.ndarray:
+        return self._occlusion_contribs("validation", **kwargs)
+
+    # -- figures --------------------------------------------------------------
+
+    def _save(self, fig, name: str):
+        template = self.subject.manifest.resolve("png_partial_path")
+        if template:
+            path = template.format(name)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            fig.savefig(path, dpi=150, bbox_inches="tight")
+            self.vprint(f"saved {path}")
+        return fig
+
+    def plot_elec_contribs_2D(
+        self, contrib_method: str = "weight_norms", **kwargs
+    ):
+        """Contribution scatter on the 2-D grid (reference
+        plotters.py:736-882 family)."""
+        plt = _mpl()
+        contribs = self.elec_contribs(contrib_method, **kwargs)
+        locs = self.electrode_locs_2D()
+        fig, ax = plt.subplots(figsize=(6, 6))
+        sc = ax.scatter(
+            locs[:, 1], -locs[:, 0],
+            c=contribs, s=120, cmap="viridis", edgecolors="k", linewidths=0.3,
+        )
+        fig.colorbar(sc, ax=ax, label=contrib_method)
+        ax.set_title(
+            f"{self.subject.manifest.resolve('subject_name', default=self.subject.subject_id)}"
+            f" — {contrib_method}"
+        )
+        ax.set_aspect("equal")
+        return self._save(fig, f"elec_contribs_{contrib_method}")
+
+    def plot_contribs_by_anatomy(
+        self, contrib_method: str = "weight_norms", kind: str = "bar", **kwargs
+    ):
+        """Anatomical-area contribution summary (bar/box/violin —
+        reference plotters.py:964-1209)."""
+        plt = _mpl()
+        contribs = self.elec_contribs(contrib_method, **kwargs)
+        labels = self.anatomy_labels()
+        areas: dict[str, list[float]] = {}
+        for label, value in zip(labels, contribs):
+            areas.setdefault(label, []).append(float(value))
+        names = sorted(areas)
+        fig, ax = plt.subplots(figsize=(7, 4))
+        if kind == "bar":
+            means = [np.mean(areas[a]) for a in names]
+            errs = [
+                np.std(areas[a]) / np.sqrt(len(areas[a])) for a in names
+            ]
+            ax.bar(names, means, yerr=errs, color=self.RGB_color)
+        elif kind == "box":
+            ax.boxplot([areas[a] for a in names], tick_labels=names)
+        elif kind == "violin":
+            ax.violinplot([areas[a] for a in names])
+            ax.set_xticks(range(1, len(names) + 1), names)
+        else:
+            raise ValueError(f"unknown kind {kind!r}")
+        ax.set_ylabel(contrib_method)
+        plt.setp(ax.get_xticklabels(), rotation=30, ha="right")
+        return self._save(fig, f"anatomy_{contrib_method}_{kind}")
+
+    def plot_confusions(self, confusions: np.ndarray, class_list=None):
+        """Validation confusion heatmap, rebuilt outside any dashboard
+        (the reference regenerates these as PDFs because TensorBoard
+        renders them badly, trainers.py:604-620).  Skipped ≥100 classes,
+        like the reference."""
+        if confusions.shape[0] >= 100:
+            self.vprint("≥100 classes: skipping confusion heatmap")
+            return None
+        plt = _mpl()
+        row_sums = confusions.sum(axis=1, keepdims=True).clip(min=1)
+        fig, ax = plt.subplots(figsize=(7, 6))
+        im = ax.imshow(confusions / row_sums, cmap="magma", vmin=0, vmax=1)
+        fig.colorbar(im, ax=ax, label="P(pred | true)")
+        ax.set_xlabel("predicted")
+        ax.set_ylabel("true")
+        if class_list is not None and len(class_list) <= 40:
+            ax.set_xticks(range(len(class_list)), class_list, rotation=90,
+                          fontsize=6)
+            ax.set_yticks(range(len(class_list)), class_list, fontsize=6)
+        return self._save(fig, "confusions")
+
+    def plot_performance_vs_training_data(
+        self, results: "DecodingResults", metric: str = "word_error_rate"
+    ):
+        """Per-subject WER vs minutes-of-training curve (reference
+        plotters.py:680-734)."""
+        plt = _mpl()
+        from .results import DecodingResults  # noqa: F401
+
+        minutes = results.nums_seconds.mean_across_folds / 60.0
+        matrix = getattr(results, metric)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.errorbar(
+            minutes,
+            matrix.mean_across_folds,
+            yerr=matrix.stderr_across_folds,
+            color=self.RGB_color,
+            marker="o",
+        )
+        ax.set_xlabel("training data (min)")
+        ax.set_ylabel(metric.replace("_", " "))
+        ax.set_ylim(bottom=0)
+        return self._save(fig, f"perf_vs_training_{metric}")
+
+    def plot_occlusion_map(self, partition: str = "validation", **kwargs):
+        """Spatial map of WER under each occlusion position."""
+        plt = _mpl()
+        wers, masks = self._occlusion_wers(partition, **kwargs)
+        rows, cols = self.grid.layout.shape
+        grid = np.full((rows, cols), np.nan)
+        for wer, sub in zip(wers, masks):
+            r0, c0 = sub.start
+            er, ec = sub.extent
+            grid[r0 : r0 + er, c0 : c0 + ec] = np.nanmax(
+                [grid[r0 : r0 + er, c0 : c0 + ec],
+                 np.full((er, ec), wer)], axis=0
+            )
+        fig, ax = plt.subplots(figsize=(6, 5))
+        im = ax.imshow(grid, cmap="coolwarm")
+        fig.colorbar(im, ax=ax, label=f"{partition} WER when occluded")
+        return self._save(fig, "occlusion_map")
+
+
+def suffix_to_label(suffix: str) -> str:
+    """Experiment-suffix → human figure label (reference
+    plotters.py:1513-1575 documents the variant taxonomy)."""
+    table = {
+        "": "baseline",
+        "subject_transfer": "subject transfer learning",
+        "dual_transfer": "dual transfer learning",
+        "task_transfer": "task transfer learning",
+        "decimated": "decimated input",
+        "no_mfccs": "no MFCC targets",
+        "no_conv": "no temporal convolution",
+        "lowdensity": "low-density grid",
+        "length_info_only": "length information only",
+        "phoneme_hmm": "phoneme-HMM baseline",
+        "cross_attention": "cross-attention decoder",
+    }
+    for key, label in table.items():
+        if key and key in suffix:
+            return label
+    return table.get(suffix, suffix.replace("_", " ") or "baseline")

@@ -1,0 +1,240 @@
+"""Analysis/figure-layer tests (headless Agg)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ecog2txt_tpu.demo import make_demo_experiment
+from ecog2txt_tpu.plotting import (
+    DecodingResults,
+    GridSearchResults,
+    ResultsMatrix,
+    ResultsPlotter,
+    cluster_embeddings,
+    latex_legend,
+    latex_table,
+    plot_annotated_performances,
+    plot_performance,
+    plot_performances_vs_amount_of_training_data,
+    save_decoding_results,
+    save_grid_search,
+    save_tikz,
+    scatter_desequenced_data,
+    suffix_to_label,
+    tikz_errorbar_plot,
+)
+from ecog2txt_tpu.plotting.plotters import anti_alias
+from ecog2txt_tpu.train import MultiSubjectTrainer
+
+TINY = {
+    "encoder_embedding": [16],
+    "encoder_rnn": [24],
+    "encoder_1_projection": [16],
+    "decoder_embedding": [12],
+    "decoder_rnn": [48],
+    "decoder_projection": [],
+}
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    root = tmp_path_factory.mktemp("plot")
+    mp = make_demo_experiment(
+        str(root / "exp"), subject_ids=(1,), layer_sizes=TINY,
+        grid_size=(4, 4),
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"batch_size": 16, "max_dec_len": 10, "N_epochs": 10},
+        VERBOSE=False,
+    )
+    tr.fit(assess=False)
+    return tr
+
+
+@pytest.fixture(scope="module")
+def plotter(trainer):
+    return ResultsPlotter(trainer.target_subject, trainer, VERBOSE=False)
+
+
+def test_results_matrix_nan_stats():
+    m = ResultsMatrix([[0.1, 0.2], [0.3, np.nan]])
+    np.testing.assert_allclose(m.mean_across_folds, [0.2, 0.2])
+    assert m.stderr_across_folds[1] == 0.0  # single non-nan fold
+
+
+def test_decoding_results_roundtrip(tmp_path):
+    wer = np.array([[0.5, 0.3], [0.6, 0.2]])
+    path = save_decoding_results(
+        str(tmp_path / "perf_vs_training_size_1_demo"),
+        wer, 1 - wer, wer * 100,
+        training_blocks=[[1, 2], [1, 2, 3]],
+        validation_blocks=[5],
+    )
+    assert os.path.exists(path)
+    res = DecodingResults(str(tmp_path), 1, "demo")
+    np.testing.assert_allclose(res.word_error_rate, wer)
+    assert res.training_blocks == [[1, 2], [1, 2, 3]]
+    assert res.validation_blocks == [5]
+    s = res.summary()
+    assert "wer_mean" in s and len(s["wer_mean"]) == 2
+
+
+def test_weight_norm_contribs(plotter, trainer):
+    contribs = plotter.elec_contribs("weight_norms")
+    assert contribs.shape == (16,)
+    assert (contribs > 0).all()
+    # hand-check: fold stride taps and norm per input channel
+    w = trainer.get_encoder_embedding(0)
+    stride = trainer.net_config.conv_strides[0]
+    w3 = w.reshape(stride, 16, -1)
+    np.testing.assert_allclose(
+        contribs, np.linalg.norm(w3, axis=(0, 2)), rtol=1e-6
+    )
+
+
+def test_saliency_contribs(plotter):
+    contribs = plotter.elec_contribs("saliency_map")
+    assert contribs.shape == (16,)
+    assert (contribs >= 0).all() and contribs.sum() > 0
+
+
+def test_unknown_contrib_method(plotter):
+    with pytest.raises(ValueError):
+        plotter.elec_contribs("nope")
+
+
+def test_occlusion_contribs(plotter):
+    contribs = plotter.elec_contribs(
+        "occlusion_tested", mask_extent=(2, 2), stride=2
+    )
+    assert contribs.shape == (16,)
+
+
+def test_elec_contrib_figure(plotter):
+    fig = plotter.plot_elec_contribs_2D("weight_norms")
+    assert fig is not None
+
+
+def test_anatomy_figure(plotter):
+    for kind in ("bar", "box", "violin"):
+        fig = plotter.plot_contribs_by_anatomy("weight_norms", kind=kind)
+        assert fig is not None
+
+
+def test_confusion_figure(plotter, trainer):
+    out = trainer.assess(["validation"])
+    fig = plotter.plot_confusions(
+        out["validation"]["decoder_confusions"],
+        trainer.target_subject.data_manifests["decoder_targets"].feature_list,
+    )
+    assert fig is not None
+    # ≥100 classes skips
+    assert plotter.plot_confusions(np.zeros((120, 120))) is None
+
+
+def test_occlusion_map_figure(plotter):
+    fig = plotter.plot_occlusion_map(mask_extent=(2, 2), stride=2)
+    assert fig is not None
+
+
+def test_perf_vs_training_figure(plotter, tmp_path):
+    wer = np.array([[0.5, 0.3], [0.6, 0.2]])
+    path = save_decoding_results(
+        str(tmp_path / "perf_vs_training_size_1_x"),
+        wer, 1 - wer, wer * 600, [[1], [1, 2]], [5],
+    )
+    res = DecodingResults(str(tmp_path), 1, "x")
+    fig = plotter.plot_performance_vs_training_data(res)
+    assert fig is not None
+
+
+def test_cross_plotter_curves(tmp_path):
+    wer = np.array([[0.5, 0.3]])
+    save_decoding_results(
+        str(tmp_path / "perf_vs_training_size_7_y"),
+        wer, 1 - wer, wer * 600, [[1]], [5],
+    )
+    res = DecodingResults(str(tmp_path), 7, "y")
+    fig = plot_performances_vs_amount_of_training_data(
+        [res, res], labels=["a", "b"]
+    )
+    assert fig is not None
+
+
+def test_annotated_performances(rng):
+    a = np.abs(rng.normal(0.1, 0.02, 30))
+    b = a + 0.1
+    fig, results = plot_annotated_performances(
+        {"ours": a, "baseline": b},
+        comparisons=[("ours", "baseline")],
+    )
+    assert results[0]["p_value"] < 0.01
+
+
+def test_plot_performance_grouped(rng):
+    values = rng.normal(0.3, 0.05, 40)
+    groups = np.repeat(["a", "b"], 20)
+    assert plot_performance(values, groups, kind="box") is not None
+
+
+def test_cluster_embeddings(rng):
+    emb = rng.normal(size=(40, 16))
+    proj, ids, fig = cluster_embeddings(
+        emb, class_list=[f"w{i}_" for i in range(40)], num_clusters=4
+    )
+    assert proj.shape == (40, 2)
+    assert len(set(ids.tolist())) <= 4
+    assert fig is not None
+
+
+def test_scatter_desequenced(rng):
+    seqs = [rng.normal(size=(t, 8)) for t in (10, 15, 5)]
+    proj, ids, fig = scatter_desequenced_data(seqs)
+    assert proj.shape == (30, 2)
+    assert set(ids.tolist()) == {0, 1, 2}
+
+
+def test_anti_alias_smooths():
+    x = np.zeros((20, 1))
+    x[10] = 1.0
+    y = anti_alias(x, 4)
+    assert y.max() < 1.0 and y.sum() == pytest.approx(1.0, rel=1e-6)
+
+
+def test_suffix_to_label():
+    assert suffix_to_label("") == "baseline"
+    assert "transfer" in suffix_to_label("mocha_subject_transfer")
+    assert suffix_to_label("no_conv") == "no temporal convolution"
+
+
+def test_latex_emitters(tmp_path):
+    table = latex_table([["a", 0.123456]], ["name", "wer"])
+    assert r"\toprule" in table and "0.123" in table
+    legend = latex_legend(["x"], [(0.1, 0.2, 0.3)])
+    assert "definecolor" in legend
+    tikz = tikz_errorbar_plot([1, 2], [0.5, 0.4], [0.01, 0.02])
+    path = save_tikz(tikz, str(tmp_path / "figs" / "{0}.tex"), "curve")
+    assert os.path.exists(path)
+    assert "addplot" in open(path).read()
+
+
+def test_grid_search(tmp_path):
+    wers = np.array(
+        [[[0.5, 0.4], [0.3, 0.2]], [[0.6, 0.5], [0.4, 0.1]]]
+    )  # axes: lr, units, dropout
+    path = save_grid_search(
+        str(tmp_path / "grid_search_1"),
+        ["lr", "units", "dropout"],
+        [[1e-3, 1e-2], [64, 128], [0.1, 0.5]],
+        wers,
+    )
+    gs = GridSearchResults(path)
+    best = gs.best()
+    assert best["wer"] == pytest.approx(0.1)
+    assert best["lr"] == pytest.approx(1e-2)
+    proj = gs.project("lr", "units", reduce="min")
+    assert proj.shape == (2, 2)
+    np.testing.assert_allclose(proj, [[0.4, 0.5], [0.2, 0.1]])
+    assert gs.plot_projection("lr", "dropout") is not None
