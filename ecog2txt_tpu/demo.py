@@ -33,6 +33,7 @@ def make_demo_experiment(
     root: str,
     subject_ids: tuple[int, ...] = (1,),
     grid_size: tuple[int, int] = (4, 4),
+    grid_sizes: dict | None = None,  # per-subject override (heterogeneous)
     num_unique_sentences: int = 10,
     num_sentences_per_block: int = 10,
     N_epochs: int = 40,
@@ -67,7 +68,9 @@ def make_demo_experiment(
             "subject_name": f"demo{subject_id}",
             "project": "demo",
             "token_type": "word_sequence",
-            "grid_size": list(grid_size),
+            "grid_size": list(
+                (grid_sizes or {}).get(subject_id, grid_size)
+            ),
             "grid_step": 1,
             "REFERENCE_BIPOLAR": False,
             "USE_FIELD_POTENTIALS": False,

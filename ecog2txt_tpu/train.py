@@ -411,6 +411,7 @@ class MultiSubjectTrainer:
 
     def packed_dataset(self, partition: str, refresh: bool = False) -> PackedDataset:
         if refresh or partition not in self._datasets:
+            self.write_tf_records_maybe()
             self._datasets[partition] = pack_partition(
                 self.ecog_subjects,
                 partition,
