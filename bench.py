@@ -35,7 +35,7 @@ def main():
     )
     from ecog2txt_tpu.train import TrainState, make_segment_runner
 
-    B = 64
+    B = 128
     N_SENT = 450
     T = 1248
     config = Seq2SeqConfig(
@@ -51,6 +51,7 @@ def main():
         dec_rnn_sizes=(800,),
         max_dec_len=20,
         compute_dtype=jnp.bfloat16,
+        use_pallas_lstm=True,
     )
 
     rng = jax.random.PRNGKey(0)

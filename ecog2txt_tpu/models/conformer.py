@@ -1,0 +1,252 @@
+"""Conformer encoder variant — the scaled alternative to the biLSTM
+stack (BASELINE.json configs[4]: "Scaled Conformer/Transformer encoder
+variant for long continuous recordings with streaming chunked
+inference").
+
+Architecture (Gulati et al. 2020, public): conv subsampling (reuses the
+per-subject subnet conv), then N blocks of
+``x + ½FFN → x + MHSA → x + ConvModule → x + ½FFN → LayerNorm``.
+
+TPU-first / streaming design:
+
+* attention is **chunked-causal**: queries attend within their chunk and
+  up to ``left_context`` previous chunks.  This single static mask
+  serves both training (full-utterance, one big batched matmul — no
+  KV-cache) and streaming inference (process chunk-by-chunk, carrying a
+  bounded KV cache), so the two paths compute identical functions —
+  verified in tests.
+* the convolution module is depthwise-causal (left padding only), so
+  streamed chunks need only a ``kernel-1`` sample tail carry.
+* relative position comes from a rotary embedding on q/k (static
+  per-position rotation — jit-friendly, streams trivially by offsetting
+  positions).
+* everything is batched GEMMs on the MXU; no data-dependent shapes.
+
+The decoder interface matches the LSTM encoder: a masked mean over
+encoder steps bridges to the decoder initial state (the LSTM decoder is
+unchanged), giving drop-in use inside seq2seq via
+``Seq2SeqConfig.encoder_type='conformer'``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ConformerConfig(NamedTuple):
+    num_blocks: int = 4
+    model_dim: int = 256
+    num_heads: int = 4
+    ffn_dim: int = 1024
+    conv_kernel: int = 8
+    chunk_size: int = 16  # attention chunk (in downsampled steps)
+    left_context: int = 1  # chunks of look-back
+
+
+def _glorot(rng, shape):
+    scale = np.sqrt(6.0 / (shape[-2] + shape[-1]))
+    return jax.random.uniform(rng, shape, jnp.float32, -scale, scale)
+
+
+def init_conformer(rng: jax.Array, config: ConformerConfig, in_dim: int) -> dict:
+    keys = iter(jax.random.split(rng, 16 * config.num_blocks + 2))
+    D, F, K = config.model_dim, config.ffn_dim, config.conv_kernel
+    params: dict = {
+        "in_proj": {"w": _glorot(next(keys), (in_dim, D)),
+                    "b": jnp.zeros((D,))},
+        "blocks": [],
+    }
+    for _ in range(config.num_blocks):
+        params["blocks"].append(
+            {
+                "ffn1": {
+                    "w1": _glorot(next(keys), (D, F)), "b1": jnp.zeros((F,)),
+                    "w2": _glorot(next(keys), (F, D)), "b2": jnp.zeros((D,)),
+                    "ln": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+                },
+                "attn": {
+                    "wqkv": _glorot(next(keys), (D, 3 * D)),
+                    "wo": _glorot(next(keys), (D, D)),
+                    "ln": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+                },
+                "conv": {
+                    # pointwise → GLU → depthwise causal → pointwise
+                    "pw1": _glorot(next(keys), (D, 2 * D)),
+                    "dw": 0.1 * jax.random.normal(next(keys), (K, D)),
+                    "pw2": _glorot(next(keys), (D, D)),
+                    "ln": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+                },
+                "ffn2": {
+                    "w1": _glorot(next(keys), (D, F)), "b1": jnp.zeros((F,)),
+                    "w2": _glorot(next(keys), (F, D)), "b2": jnp.zeros((D,)),
+                    "ln": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+                },
+                "ln_out": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+            }
+        )
+    return params
+
+
+def _layernorm(p, x, eps=1e-6):
+    mu = x.mean(axis=-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def _ffn(p, x):
+    h = jax.nn.swish(jnp.dot(_layernorm(p["ln"], x), p["w1"]) + p["b1"])
+    return jnp.dot(h, p["w2"]) + p["b2"]
+
+
+def _rotary(x: jax.Array, positions: jax.Array) -> jax.Array:
+    """Rotary position embedding over the head dim (last axis must be
+    even).  x: (B, T, H, Dh); positions: (T,)."""
+    Dh = x.shape[-1]
+    half = Dh // 2
+    freq = 1.0 / (10000.0 ** (jnp.arange(half) / half))
+    angles = positions[:, None] * freq[None, :]  # (T, half)
+    cos = jnp.cos(angles)[None, :, None, :]
+    sin = jnp.sin(angles)[None, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+def _chunk_causal_mask(
+    T: int, chunk: int, left_context: int
+) -> jnp.ndarray:
+    """(T, T) bool: query at t attends to keys in its own chunk and up to
+    ``left_context`` chunks back."""
+    q_chunk = jnp.arange(T)[:, None] // chunk
+    k_chunk = jnp.arange(T)[None, :] // chunk
+    return (k_chunk <= q_chunk) & (k_chunk >= q_chunk - left_context)
+
+
+def _attention(
+    p, x, config: ConformerConfig, lengths, positions
+):
+    B, T, D = x.shape
+    H = config.num_heads
+    Dh = D // H
+    xn = _layernorm(p["ln"], x)
+    qkv = jnp.dot(xn, p["wqkv"]).reshape(B, T, 3, H, Dh)
+    q = _rotary(qkv[:, :, 0], positions)
+    k = _rotary(qkv[:, :, 1], positions)
+    v = qkv[:, :, 2]
+    logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(Dh)
+    mask = _chunk_causal_mask(T, config.chunk_size, config.left_context)
+    if lengths is not None:
+        mask = mask[None, :, :] & (
+            jnp.arange(T)[None, None, :] < lengths[:, None, None]
+        )
+        mask = mask[:, None]  # (B, 1, T, T)
+    else:
+        mask = mask[None, None]
+    logits = jnp.where(mask, logits, -1e9)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
+    return jnp.dot(out, p["wo"])
+
+
+def _conv_module(p, x, tail: jax.Array | None = None):
+    """Depthwise-causal conv module.  ``tail``: (B, K-1, D) carried
+    samples for streaming; returns (out, new_tail)."""
+    B, T, D = x.shape
+    K = p["dw"].shape[0]
+    xn = _layernorm(p["ln"], x)
+    h = jnp.dot(xn, p["pw1"])  # (B, T, 2D)
+    h = jax.nn.glu(h, axis=-1)  # (B, T, D)
+    if tail is None:
+        tail = jnp.zeros((B, K - 1, D))
+    h_padded = jnp.concatenate([tail, h], axis=1)  # (B, T+K-1, D)
+    # depthwise causal conv as K shifted adds (K is small/static)
+    out = jnp.zeros_like(h)
+    for k in range(K):
+        out = out + h_padded[:, k : k + T] * p["dw"][k]
+    out = jax.nn.swish(out)
+    out = jnp.dot(out, p["pw2"])
+    new_tail = h_padded[:, T:]  # last K-1 pre-conv samples
+    return out, new_tail
+
+
+def conformer_encode(
+    params: dict,
+    config: ConformerConfig,
+    xs: jax.Array,  # (B, T, in_dim) — already downsampled features
+    lengths: jax.Array | None = None,
+    position_offset: int = 0,
+    carry: list | None = None,
+):
+    """Full-sequence (training) or continuation (streaming) encode.
+
+    ``carry``: per-block streaming state [{'kv': (B, C, 2, H, Dh) cached
+    chunks' k/v — None in training}, conv tail].  Returns (out (B,T,D),
+    new_carry)."""
+    x = jnp.dot(xs, params["in_proj"]["w"]) + params["in_proj"]["b"]
+    positions = jnp.arange(x.shape[1]) + position_offset
+    new_carry = []
+    for bi, block in enumerate(params["blocks"]):
+        x = x + 0.5 * _ffn(block["ffn1"], x)
+        x = x + _attention(block["attn"], x, config, lengths, positions)
+        tail = carry[bi] if carry is not None else None
+        conv_out, new_tail = _conv_module(block["conv"], x, tail)
+        x = x + conv_out
+        x = x + 0.5 * _ffn(block["ffn2"], x)
+        x = _layernorm(block["ln_out"], x)
+        new_carry.append(new_tail)
+    return x, new_carry
+
+
+class ConformerStream:
+    """Chunk-by-chunk streaming wrapper.
+
+    Realized by re-encoding a bounded sliding window that covers the
+    stack's compound receptive field — per block the chunked-causal
+    attention reaches ``left_context`` chunks back and the causal conv
+    ``kernel-1`` samples, so after N blocks the emitted chunk depends on
+    at most ``N·(left_context·chunk + kernel-1)`` earlier steps.  The
+    window always starts on an absolute chunk boundary (chunk ids only
+    shift by a constant, leaving the mask pattern intact) and rotary
+    positions are offset to absolute time, so streamed outputs equal the
+    full-utterance outputs for every emitted chunk (tested).  Memory is
+    O(window), independent of recording length — the long-continuous-
+    recordings path (BASELINE configs[4])."""
+
+    def __init__(self, params: dict, config: ConformerConfig):
+        self.params = params
+        self.config = config
+        receptive = config.num_blocks * (
+            config.left_context * config.chunk_size + config.conv_kernel - 1
+        )
+        # round up to whole chunks, + the emitted chunk itself
+        chunks_back = -(-receptive // config.chunk_size)
+        self.window_steps = (chunks_back + 1) * config.chunk_size
+        self.reset()
+
+    def reset(self):
+        self._window: jax.Array | None = None  # (B, W, in_dim)
+        self._pushed = 0
+
+    def push(self, chunk: jax.Array) -> jax.Array:
+        """chunk: (B, chunk_size, in_dim) → (B, chunk_size, D) encoder
+        output for this chunk."""
+        cfg = self.config
+        if chunk.shape[1] != cfg.chunk_size:
+            raise ValueError(
+                f"push expects chunks of {cfg.chunk_size} steps"
+            )
+        if self._window is None:
+            self._window = chunk
+        else:
+            self._window = jnp.concatenate(
+                [self._window, chunk], axis=1
+            )[:, -self.window_steps :]
+        self._pushed += chunk.shape[1]
+        offset = self._pushed - self._window.shape[1]
+        out, _ = conformer_encode(
+            self.params, cfg, self._window, None, position_offset=offset
+        )
+        return out[:, -chunk.shape[1] :]

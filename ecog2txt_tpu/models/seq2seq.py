@@ -49,6 +49,7 @@ from ..ops.lstm import (
     lstm_step,
     reverse_padded,
 )
+from .conformer import ConformerConfig, conformer_encode, init_conformer
 
 
 class AuxHead(NamedTuple):
@@ -76,6 +77,9 @@ class Seq2SeqConfig:
     RNN_dropout: float = 0.5
     temperature: float = 0.0  # 0 → greedy argmax
     BIDIRECTIONAL: bool = True
+    use_pallas_lstm: bool = False  # fused VMEM-resident recurrence (TPU)
+    encoder_type: str = "lstm"  # 'lstm' | 'conformer'
+    conformer: ConformerConfig | None = None  # used when encoder_type=conformer
     compute_dtype: Any = jnp.float32
     pad_id: int = 0
     eos_id: int = 1
@@ -101,6 +105,8 @@ class Seq2SeqConfig:
 
     @property
     def enc_out_dim(self) -> int:
+        if self.encoder_type == "conformer":
+            return (self.conformer or ConformerConfig()).model_dim
         return self.rnn_sizes[-1] * (2 if self.BIDIRECTIONAL else 1)
 
 
@@ -146,21 +152,29 @@ def init_seq2seq(rng: jax.Array, config: Seq2SeqConfig) -> dict:
         in_dim = size
     params["subnet"] = {"conv": subnet_layers}
 
-    # shared encoder rnn stack
-    enc_layers = []
-    for size in config.rnn_sizes:
-        if config.BIDIRECTIONAL:
-            enc_layers.append(
-                {
-                    "fwd": init_lstm_params(next(keys), in_dim, size),
-                    "bwd": init_lstm_params(next(keys), in_dim, size),
-                }
-            )
-            in_dim = 2 * size
-        else:
-            enc_layers.append({"fwd": init_lstm_params(next(keys), in_dim, size)})
-            in_dim = size
-    params["encoder"] = {"rnn": enc_layers}
+    # shared encoder: biLSTM stack or conformer blocks
+    if config.encoder_type == "conformer":
+        ccfg = config.conformer or ConformerConfig()
+        params["encoder"] = {
+            "conformer": init_conformer(next(keys), ccfg, in_dim)
+        }
+        in_dim = ccfg.model_dim
+    else:
+        enc_layers = []
+        for size in config.rnn_sizes:
+            if config.BIDIRECTIONAL:
+                enc_layers.append(
+                    {
+                        "fwd": init_lstm_params(next(keys), in_dim, size),
+                        "bwd": init_lstm_params(next(keys), in_dim, size),
+                    }
+                )
+                in_dim = 2 * size
+            else:
+                enc_layers.append({"fwd": init_lstm_params(next(keys), in_dim, size)})
+                in_dim = size
+        params["encoder"] = {"rnn": enc_layers}
+        in_dim = config.enc_out_dim
 
     # aux heads: MLP (aux_proj_sizes) → linear to target dim
     aux = {}
@@ -273,6 +287,24 @@ def encode(
     d = config.decimation_factor
     enc_lengths = jnp.minimum((lengths + d - 1) // d, xs.shape[0])
 
+    if config.encoder_type == "conformer":
+        # conformer path: batch-major attention over downsampled steps;
+        # the decoder initial state comes from a masked mean over the
+        # valid steps (bridged/tanh-projected in _decoder_init_state)
+        ccfg = config.conformer or ConformerConfig()
+        xs_bm = jnp.moveaxis(xs, 0, 1)  # (B, T', F)
+        out_bm, _ = conformer_encode(
+            params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths
+        )
+        T_out = out_bm.shape[1]
+        step_mask = (
+            jnp.arange(T_out)[None, :] < enc_lengths[:, None]
+        )[..., None]
+        denom = jnp.maximum(enc_lengths[:, None], 1).astype(out_bm.dtype)
+        pooled = jnp.sum(out_bm * step_mask, axis=1) / denom
+        out = jnp.moveaxis(out_bm * step_mask, 0, 1)  # (T', B, D) masked
+        return out, (pooled, pooled), enc_lengths
+
     out = xs
     final_h = final_c = None
     for i, layer in enumerate(params["encoder"]["rnn"]):
@@ -291,6 +323,7 @@ def encode(
             out, (final_h, final_c) = bidirectional_lstm(
                 layer["fwd"], layer["bwd"], out, enc_lengths,
                 masks, config.compute_dtype,
+                use_pallas=config.use_pallas_lstm,
             )
         else:
             mask = None
@@ -300,7 +333,8 @@ def encode(
                 keep = 1.0 - config.RNN_dropout
                 mask = jax.random.bernoulli(m_rng, keep, (B, H)) / keep
             out, (final_h, final_c) = lstm_scan(
-                layer["fwd"], out, enc_lengths, None, mask, config.compute_dtype
+                layer["fwd"], out, enc_lengths, None, mask, config.compute_dtype,
+                use_pallas=config.use_pallas_lstm,
             )
         if i < len(params["encoder"]["rnn"]) - 1:
             out = _ff_dropout(d_rng, out, config.FF_dropout, train)
@@ -359,7 +393,8 @@ def decoder_teacher_forcing(
             keep = 1.0 - config.RNN_dropout
             mask = jax.random.bernoulli(m_rng, keep, (B, H)) / keep
         out, _ = lstm_scan(
-            layer, out, None, states[li], mask, config.compute_dtype
+            layer, out, None, states[li], mask, config.compute_dtype,
+            use_pallas=config.use_pallas_lstm,
         )
         if li < len(decoder["rnn"]) - 1:
             out = _ff_dropout(d_rng, out, config.FF_dropout, train)

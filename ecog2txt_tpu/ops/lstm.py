@@ -55,6 +55,22 @@ def init_lstm_params(
     return {"wx": wx, "wh": wh, "b": b}
 
 
+def _gates_to_hc(gates, c):
+    i, g, f, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _recurrent_gates(params, h, h_dropout_mask, compute_dtype):
+    h_in = h if h_dropout_mask is None else h * h_dropout_mask
+    return jnp.dot(
+        h_in.astype(compute_dtype),
+        params["wh"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _cell(
     params: dict,
     h: jax.Array,
@@ -63,24 +79,16 @@ def _cell(
     h_dropout_mask: jax.Array | None,
     compute_dtype,
 ) -> tuple[jax.Array, jax.Array]:
-    h_in = h if h_dropout_mask is None else h * h_dropout_mask
     gates = (
         jnp.dot(
             x.astype(compute_dtype),
             params["wx"].astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
-        + jnp.dot(
-            h_in.astype(compute_dtype),
-            params["wh"].astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        + _recurrent_gates(params, h, h_dropout_mask, compute_dtype)
         + params["b"]
     )
-    i, g, f, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f + 1.0) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    return h_new, c_new
+    return _gates_to_hc(gates, c)
 
 
 def lstm_step(
@@ -103,6 +111,8 @@ def lstm_scan(
     initial_state: tuple[jax.Array, jax.Array] | None = None,
     h_dropout_mask: jax.Array | None = None,  # (B, H) variational
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Unidirectional LSTM over time.
 
@@ -119,10 +129,41 @@ def lstm_scan(
     else:
         h0, c0 = initial_state
 
+    # Hoist the input projection out of the recurrence: ONE (T·B, F) @
+    # (F, 4H) GEMM saturates the MXU; the scan body is left with only
+    # the unavoidable serial (B, H) @ (H, 4H) recurrent matmul.
+    xw = (
+        jnp.dot(
+            xs.astype(compute_dtype),
+            params["wx"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + params["b"]
+    )  # (T, B, 4H)
+
+    if use_pallas:
+        # fused Pallas recurrence (ops/pallas_lstm.py): whole sequence in
+        # one kernel, weights + state resident in VMEM
+        from .pallas_lstm import fused_lstm_recurrence
+
+        mask = (
+            h_dropout_mask
+            if h_dropout_mask is not None
+            else jnp.ones((B, H), jnp.float32)
+        )
+        lens = (
+            lengths if lengths is not None else jnp.full((B,), T, jnp.int32)
+        )
+        outputs, h_f, c_f = fused_lstm_recurrence(
+            xw, params["wh"], lens, h0, c0, mask, pallas_interpret
+        )
+        return outputs, (h_f, c_f)
+
     def body(carry, inputs):
         h, c = carry
-        x, t = inputs
-        h_new, c_new = _cell(params, h, c, x, h_dropout_mask, compute_dtype)
+        xw_t, t = inputs
+        gates = xw_t + _recurrent_gates(params, h, h_dropout_mask, compute_dtype)
+        h_new, c_new = _gates_to_hc(gates, c)
         if lengths is not None:
             valid = (t < lengths)[:, None]
             h_new = jnp.where(valid, h_new, h)
@@ -133,7 +174,7 @@ def lstm_scan(
         return (h_new, c_new), out
 
     ts = jnp.arange(T)
-    (h_f, c_f), outputs = jax.lax.scan(body, (h0, c0), (xs, ts))
+    (h_f, c_f), outputs = jax.lax.scan(body, (h0, c0), (xw, ts))
     return outputs, (h_f, c_f)
 
 
@@ -159,6 +200,7 @@ def bidirectional_lstm(
     lengths: jax.Array,
     h_dropout_masks: tuple[jax.Array, jax.Array] | None = None,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Bidirectional layer: forward scan + backward scan over the
     valid-prefix-reversed input; outputs concatenated on features.
@@ -169,11 +211,13 @@ def bidirectional_lstm(
     """
     mask_f, mask_b = h_dropout_masks if h_dropout_masks else (None, None)
     out_f, (h_f, c_f) = lstm_scan(
-        params_fwd, xs, lengths, None, mask_f, compute_dtype
+        params_fwd, xs, lengths, None, mask_f, compute_dtype,
+        use_pallas=use_pallas,
     )
     xs_rev = reverse_padded(xs, lengths)
     out_b_rev, (h_b, c_b) = lstm_scan(
-        params_bwd, xs_rev, lengths, None, mask_b, compute_dtype
+        params_bwd, xs_rev, lengths, None, mask_b, compute_dtype,
+        use_pallas=use_pallas,
     )
     out_b = reverse_padded(out_b_rev, lengths)
     outputs = jnp.concatenate([out_f, out_b], axis=-1)

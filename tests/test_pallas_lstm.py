@@ -1,0 +1,115 @@
+"""Fused Pallas LSTM parity tests (interpreter mode on CPU).
+
+Forward outputs, final states, and ALL gradients must match the
+lax.scan reference (ops/lstm.py) to float32 tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecog2txt_tpu.ops.lstm import init_lstm_params, lstm_scan
+
+T, B, F, H = 12, 4, 6, 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_lstm_params(jax.random.PRNGKey(0), F, H)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(T, B, F)), jnp.float32)
+    lengths = jnp.asarray([T, 7, 3, 10], jnp.int32)
+    return params, xs, lengths
+
+
+def _run(params, xs, lengths, use_pallas, initial_state=None, mask=None):
+    return lstm_scan(
+        params, xs, lengths, initial_state, mask,
+        use_pallas=use_pallas, pallas_interpret=True,
+    )
+
+
+def test_forward_parity(setup):
+    params, xs, lengths = setup
+    out_ref, (h_ref, c_ref) = _run(params, xs, lengths, False)
+    out_pl, (h_pl, c_pl) = _run(params, xs, lengths, True)
+    np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_pl, h_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c_pl, c_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_forward_parity_no_lengths(setup):
+    params, xs, _ = setup
+    out_ref, (h_ref, _) = _run(params, xs, None, False)
+    out_pl, (h_pl, _) = _run(params, xs, None, True)
+    np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_pl, h_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_forward_parity_with_initial_state_and_mask(setup):
+    params, xs, lengths = setup
+    rng = np.random.default_rng(1)
+    h0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(B, H)) * 2.0, jnp.float32)
+    out_ref, fs_ref = _run(params, xs, lengths, False, (h0, c0), mask)
+    out_pl, fs_pl = _run(params, xs, lengths, True, (h0, c0), mask)
+    np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fs_pl[0], fs_ref[0], rtol=1e-5, atol=1e-6)
+
+
+def test_gradient_parity(setup):
+    """Gradients wrt xs, wx, wh, b, h0, c0 all match the scan path."""
+    params, xs, lengths = setup
+    rng = np.random.default_rng(2)
+    h0 = jnp.asarray(rng.normal(size=(B, H)) * 0.3, jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(B, H)) * 0.3, jnp.float32)
+    # loss touches the output sequence AND both final states
+    w_out = jnp.asarray(rng.normal(size=(H,)), jnp.float32)
+
+    def loss(params, xs, h0, c0, use_pallas):
+        out, (hf, cf) = _run(params, xs, lengths, use_pallas, (h0, c0))
+        return (
+            jnp.sum(out * w_out) + 2.0 * jnp.sum(hf) + 0.5 * jnp.sum(cf**2)
+        )
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(params, xs, h0, c0, False)
+    g_pl = jax.grad(loss, argnums=(0, 1, 2, 3))(params, xs, h0, c0, True)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_gradient_parity_with_dropout_mask(setup):
+    params, xs, lengths = setup
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.integers(0, 2, size=(B, H)) * 2.0, jnp.float32)
+
+    def loss(params, xs, use_pallas):
+        out, (hf, _) = _run(params, xs, lengths, use_pallas, None, mask)
+        return jnp.sum(out**2) + jnp.sum(hf)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, xs, False)
+    g_pl = jax.grad(loss, argnums=(0, 1))(params, xs, True)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_invalid_step_upstream_grad_dropped(setup):
+    """Gradient flowing into outputs past the valid prefix must vanish
+    (forward emits constant 0 there)."""
+    params, xs, lengths = setup
+
+    def loss(xs, use_pallas):
+        out, _ = _run(params, xs, lengths, use_pallas)
+        # deliberately touch ONLY the padding region of sequence 2 (len 3)
+        return jnp.sum(out[5:, 2])
+
+    g_ref = jax.grad(loss)(xs, False)
+    g_pl = jax.grad(loss)(xs, True)
+    np.testing.assert_allclose(np.asarray(g_pl), 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_ref), 0.0, atol=1e-7)
