@@ -1,0 +1,214 @@
+"""CTC phoneme head: alignment-free loss, greedy decode, and
+lexicon-constrained word rescoring.
+
+BASELINE.json configs[3]: "Phoneme-level targets with CTC-style
+alignment loss + word-level rescoring against vocab.mocha-timit.1806".
+The reference's encoder heads are frame-aligned (SURVEY §2.8); CTC drops
+the alignment requirement — the head emits per-encoder-step logits over
+phonemes+blank and marginalizes over alignments (``optax.ctc_loss``,
+forward-backward under jit).
+
+Word-level rescoring is a CTC **prefix beam search over a lexicon
+trie** (Hannun et al. 2014, public): beams are word-lattice prefixes
+whose phoneme expansion must follow the trie built from the word vocab,
+so every emitted hypothesis is a sequence of in-vocabulary words.  It
+consumes the (small) per-utterance posterior grid on the host — the
+heavy part (posteriors) is jitted; the search is O(T·beam·branching).
+
+Blank id is the LAST class (num_phonemes), so phoneme ids keep their
+vocab positions.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def ctc_loss(
+    logits: jax.Array,  # (T, B, K+1) time-major encoder-head logits
+    logit_lengths: jax.Array,  # (B,)
+    labels: jax.Array,  # (B, L) int32 phoneme ids (no blanks)
+    label_lengths: jax.Array,  # (B,)
+) -> jax.Array:
+    """Mean per-label-token CTC negative log-likelihood."""
+    logits_bm = jnp.moveaxis(logits, 0, 1)  # (B, T, K+1)
+    B, T = logits_bm.shape[:2]
+    L = labels.shape[1]
+    logit_paddings = (
+        jnp.arange(T)[None, :] >= logit_lengths[:, None]
+    ).astype(jnp.float32)
+    label_paddings = (
+        jnp.arange(L)[None, :] >= label_lengths[:, None]
+    ).astype(jnp.float32)
+    blank_id = logits.shape[-1] - 1
+    per_seq = optax.ctc_loss(
+        logits_bm, logit_paddings, labels, label_paddings, blank_id=blank_id
+    )
+    return jnp.sum(per_seq) / jnp.maximum(jnp.sum(label_lengths), 1)
+
+
+def collapse_alignment(aligned: np.ndarray) -> np.ndarray:
+    """Frame-aligned labels → label sequence (merge repeats).  Used to
+    derive CTC label sequences from the per-sample phoneme targets the
+    featurization layer stores."""
+    aligned = np.asarray(aligned)
+    if len(aligned) == 0:
+        return aligned
+    keep = np.ones(len(aligned), bool)
+    keep[1:] = aligned[1:] != aligned[:-1]
+    return aligned[keep]
+
+
+def ctc_greedy_decode(
+    logits: jax.Array, lengths: jax.Array
+) -> list[list[int]]:
+    """Best-path decode: argmax per step, collapse repeats, drop blanks.
+    Host-side post-processing of a jit-friendly argmax."""
+    blank = logits.shape[-1] - 1
+    path = np.asarray(jnp.argmax(logits, axis=-1))  # (T, B)
+    lengths = np.asarray(lengths)
+    out = []
+    for b in range(path.shape[1]):
+        seq = collapse_alignment(path[: lengths[b], b])
+        out.append([int(p) for p in seq if p != blank])
+    return out
+
+
+# --------------------------------------------------------------------------
+# lexicon trie + prefix beam search
+# --------------------------------------------------------------------------
+
+
+class LexiconTrie:
+    """Phoneme-sequence trie over a word vocabulary.
+
+    ``lexicon``: {word: [phoneme ids]}.  Node = dict phoneme_id → node;
+    words that END at a node are stored under the ``words`` key."""
+
+    def __init__(self, lexicon: dict[str, Sequence[int]]):
+        self.root: dict = {"words": []}
+        for word, phonemes in lexicon.items():
+            node = self.root
+            for p in phonemes:
+                node = node.setdefault(int(p), {"words": []})
+            node["words"].append(word)
+
+    def children(self, node: dict) -> list[int]:
+        return [k for k in node if k != "words"]
+
+
+def _logsumexp2(a: float, b: float) -> float:
+    if a == -math.inf:
+        return b
+    if b == -math.inf:
+        return a
+    m = max(a, b)
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+def ctc_word_beam_search(
+    log_probs: np.ndarray,  # (T, K+1) posteriors for ONE utterance
+    trie: LexiconTrie,
+    beam_width: int = 16,
+    word_insertion_bonus: float = 0.0,
+) -> list[str]:
+    """Lexicon-constrained CTC prefix beam search → best word sequence.
+
+    Beam state: (words emitted so far, current trie node mid-word).
+    Standard blank/non-blank probability split per prefix; completing a
+    word (reaching a trie node with entries) spawns a word boundary.
+    """
+    blank = log_probs.shape[1] - 1
+    NEG = -math.inf
+    # beams: key (words tuple, id(node path) via tuple of phonemes) →
+    # [node, p_blank, p_nonblank(last phoneme id)]
+    Beam = tuple  # (words, partial phonemes tuple)
+    beams: dict[Beam, list] = {
+        ((), ()): [trie.root, 0.0, NEG, -1]
+    }  # node, log p ending in blank/boundary, log p ending non-blank, last phone
+
+    for t in range(log_probs.shape[0]):
+        lp = log_probs[t]
+        new: dict[Beam, list] = {}
+
+        def add(key, node, pb, pnb, last):
+            if key in new:
+                entry = new[key]
+                entry[1] = _logsumexp2(entry[1], pb)
+                entry[2] = _logsumexp2(entry[2], pnb)
+            else:
+                new[key] = [node, pb, pnb, last]
+
+        for (words, partial), (node, pb, pnb, last) in beams.items():
+            total = _logsumexp2(pb, pnb)
+            # 1) blank: prefix unchanged
+            add((words, partial), node, total + lp[blank], NEG, last)
+            # 2) repeat last non-blank phoneme: stays in same prefix
+            if last >= 0:
+                add((words, partial), node, NEG if pb == NEG else NEG,
+                    pnb + lp[last], last)
+            # 3) extend with a phoneme allowed by the trie
+            for p in trie.children(node):
+                child = node[p]
+                # repeated phone needs an intervening blank to extend
+                src = total if p != last else pb
+                if src == NEG:
+                    continue
+                npnb = src + lp[p]
+                new_partial = partial + (p,)
+                # continue mid-word
+                add((words, new_partial), child, NEG, npnb, p)
+                # or close out any word completed at this node
+                for word in child["words"]:
+                    add(
+                        (words + (word,), ()),
+                        trie.root,
+                        NEG,
+                        npnb + word_insertion_bonus,
+                        p,
+                    )
+        # prune
+        scored = sorted(
+            new.items(),
+            key=lambda kv: -_logsumexp2(kv[1][1], kv[1][2]),
+        )
+        beams = dict(scored[:beam_width])
+
+    # best completed-word hypothesis (ignore dangling partials)
+    best, best_score = [], NEG
+    for (words, partial), (node, pb, pnb, last) in beams.items():
+        score = _logsumexp2(pb, pnb)
+        if not partial and score > best_score:
+            best, best_score = list(words), score
+    if not best and beams:
+        (words, _), _ = max(
+            beams.items(), key=lambda kv: _logsumexp2(kv[1][1], kv[1][2])
+        )
+        best = list(words)
+    return best
+
+
+def build_lexicon(
+    words: Sequence[str],
+    word_to_phonemes,
+    phoneme_list: Sequence[str],
+) -> dict[str, list[int]]:
+    """Word vocab (``word_``-suffixed entries, e.g.
+    vocab.mocha-timit.1806) → {word: phoneme-id sequence}."""
+    index = {p: i for i, p in enumerate(phoneme_list)}
+    lexicon = {}
+    for token in words:
+        word = token.rstrip("_")
+        if not word or token.startswith("<"):
+            continue
+        phonemes = [index[p] for p in word_to_phonemes(word) if p in index]
+        if phonemes:
+            lexicon[word] = phonemes
+    return lexicon

@@ -462,7 +462,15 @@ def seq2seq_loss(
         pred = _dense(head_params["out"], h, config.compute_dtype)
         raw = batch[head.name]
         scale = penalty_scales.get(head.name, 1.0)
-        if head.distribution == "categorical":
+        if head.distribution == "CTC":
+            # alignment-free phoneme loss (models/ctc.py; BASELINE
+            # configs[3]); pred covers phonemes + trailing blank
+            from .ctc import ctc_loss as _ctc_loss
+
+            loss = _ctc_loss(
+                pred, enc_lengths, raw, batch[f"{head.name}_lengths"]
+            )
+        elif head.distribution == "categorical":
             ts = jnp.moveaxis(raw, 0, 1)  # (T, B)
             aligned = _decimate_targets(
                 ts, batch["encoder_lengths"], config.decimation_factor, T_out

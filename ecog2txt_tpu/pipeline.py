@@ -103,7 +103,14 @@ def pack_partition(
                 if value is None:
                     continue
                 aux_keys[key] = manifest.distribution
-                trial[key] = value[: len(enc)]
+                if manifest.distribution == "CTC":
+                    # alignment-free target: collapse frame-aligned
+                    # labels to the label sequence (models/ctc.py)
+                    from .models.ctc import collapse_alignment
+
+                    trial[key] = collapse_alignment(value)
+                else:
+                    trial[key] = value[: len(enc)]
             trial["decoder_targets"] = example["decoder_targets"]
             trials.append(trial)
         per_subject.append({"trials": trials, "manifests": manifests})
@@ -128,7 +135,19 @@ def pack_partition(
     refs: list[list[list[str]]] = []
 
     for key, dist in aux_keys.items():
-        if dist == "categorical":
+        if dist == "CTC":
+            L_aux = max(
+                (
+                    len(t[key])
+                    for ps in per_subject
+                    for t in ps["trials"]
+                    if key in t
+                ),
+                default=1,
+            )
+            aux[key] = np.zeros((S, N_max, L_aux), np.int32)
+            aux[f"{key}_lengths"] = np.zeros((S, N_max), np.int32)
+        elif dist == "categorical":
             aux[key] = np.zeros((S, N_max, T_max), np.int32)
         else:
             F = max(
@@ -160,7 +179,10 @@ def pack_partition(
                 if key not in trial:
                     continue
                 v = trial[key]
-                if v.ndim == 1:
+                if aux_keys.get(key) == "CTC":
+                    aux[key][s, n, : len(v)] = v
+                    aux[f"{key}_lengths"][s, n] = len(v)
+                elif v.ndim == 1:
                     # categorical labels at the raw rate; repeat-pad the
                     # tail so decimated slices stay in-distribution
                     L = min(len(v), T_max)

@@ -67,7 +67,9 @@ class SequenceDataManifest:
 
     @property
     def is_categorical(self) -> bool:
-        return self.distribution == "categorical"
+        # CTC targets parse identically (token strings → class ids);
+        # they differ only in loss/packing (alignment-free)
+        return self.distribution in ("categorical", "CTC")
 
     @property
     def num_features(self) -> int:
@@ -264,6 +266,12 @@ class ECoGSubject:
                 input_mask=mask,
                 APPEND_EOS=overrides.get("APPEND_EOS", False),
                 penalty_scale=float(penalty),
+                # e.g. `phoneme_sequence_distribution: CTC` switches the
+                # aux head to the alignment-free loss
+                distribution=self.manifest.resolve(
+                    f"{sequence_type}_distribution",
+                    overrides.get("distribution"),
+                ),
             )
         return out
 

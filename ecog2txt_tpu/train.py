@@ -318,13 +318,19 @@ class MultiSubjectTrainer:
             if tensor_key in ("encoder_inputs", "decoder_targets"):
                 self.penalty_scales.setdefault(tensor_key, dm.penalty_scale)
                 continue
-            aux_heads.append(
-                AuxHead(
-                    tensor_key,
-                    "categorical" if dm.is_categorical else "Gaussian",
-                    dm.num_features,
+            if dm.distribution == "CTC":
+                # +1 output class: the CTC blank (models/ctc.py)
+                aux_heads.append(
+                    AuxHead(tensor_key, "CTC", dm.num_features + 1)
                 )
-            )
+            else:
+                aux_heads.append(
+                    AuxHead(
+                        tensor_key,
+                        "categorical" if dm.is_categorical else "Gaussian",
+                        dm.num_features,
+                    )
+                )
             self.penalty_scales[tensor_key] = dm.penalty_scale
 
         in_channels = max(
