@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.lstm import lstm_step
-from .seq2seq import Seq2SeqConfig, _decoder_init_state, _dense, encode
+from .seq2seq import (
+    Seq2SeqConfig,
+    _attend,
+    _decoder_init_state,
+    _dense,
+    encode,
+)
 
 NEG_INF = -1e9
 
@@ -41,7 +47,7 @@ def beam_decode(
     """
     K = int(beam_width)
     dummy = jax.random.PRNGKey(0)
-    _, (h0, c0), _ = encode(
+    enc_out, (h0, c0), enc_lengths = encode(
         params, config, inputs, lengths, subject_idx, dummy, train=False
     )
     decoder = params["decoder"]
@@ -75,6 +81,14 @@ def beam_decode(
         for layer, st in zip(decoder["rnn"], states):
             st_new, out = lstm_step(layer, st, out, None, config.compute_dtype)
             new_states.append(st_new)
+        if config.use_attention:
+            # (B·K, H) → (K, B, H) so _attend broadcasts over beams
+            out_kbh = jnp.moveaxis(out.reshape(B, K, -1), 0, 1)
+            out_kbh = _attend(
+                decoder["attn"], out_kbh, enc_out, enc_lengths,
+                config.compute_dtype,
+            )
+            out = jnp.moveaxis(out_kbh, 0, 1).reshape(B * K, -1)
         logits = _dense(decoder["out"], out, config.compute_dtype)
         step_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
         step_logp = jnp.where(finished[..., None], pad_only, step_logp)

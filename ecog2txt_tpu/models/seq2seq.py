@@ -80,6 +80,13 @@ class Seq2SeqConfig:
     use_pallas_lstm: bool = False  # fused VMEM-resident recurrence (TPU)
     encoder_type: str = "lstm"  # 'lstm' | 'conformer'
     conformer: ConformerConfig | None = None  # used when encoder_type=conformer
+    # Luong-style cross-attention from decoder steps onto encoder
+    # outputs (the reference's 'cross_attention' experiment variant,
+    # plotters.py suffix taxonomy; BASELINE configs[0-1] 'attention
+    # LSTM dec').  No input feeding: the LSTM runs first, attention +
+    # combine layer follow — so teacher forcing stays one scan + one
+    # batched einsum.
+    use_attention: bool = False
     compute_dtype: Any = jnp.float32
     pad_id: int = 0
     eos_id: int = 1
@@ -213,6 +220,13 @@ def init_seq2seq(rng: jax.Array, config: Seq2SeqConfig) -> dict:
         decoder["bridge_c"] = _dense_init(
             next(keys), config.enc_out_dim, config.dec_rnn_sizes[0]
         )
+    if config.use_attention:
+        decoder["attn"] = {
+            "wa": _dense_init(next(keys), in_dim, config.enc_out_dim),
+            "wc": _dense_init(
+                next(keys), in_dim + config.enc_out_dim, in_dim
+            ),
+        }
     decoder["out"] = _dense_init(next(keys), in_dim, config.vocab_size)
     params["decoder"] = decoder
     return params
@@ -359,6 +373,27 @@ def _decoder_init_state(
     return states
 
 
+def _attend(
+    attn_params,
+    h_dec: jax.Array,  # (..., B, H_dec) decoder states (L leading ok)
+    enc_out: jax.Array,  # (T', B, E)
+    enc_lengths: jax.Array,  # (B,)
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Luong general attention + combine: softmax((h Wa) · enc) over
+    valid encoder steps → tanh(Wc [h; context])."""
+    query = _dense(attn_params["wa"], h_dec, compute_dtype)  # (..., B, E)
+    scores = jnp.einsum("...be,tbe->...bt", query, enc_out)
+    valid = (
+        jnp.arange(enc_out.shape[0])[None, :] < enc_lengths[:, None]
+    )  # (B, T')
+    scores = jnp.where(valid, scores, -1e9)
+    weights = jax.nn.softmax(scores, axis=-1)
+    context = jnp.einsum("...bt,tbe->...be", weights, enc_out)
+    combined = jnp.concatenate([h_dec, context], axis=-1)
+    return jnp.tanh(_dense(attn_params["wc"], combined, compute_dtype))
+
+
 # --------------------------------------------------------------------------
 # decoder — teacher forcing
 # --------------------------------------------------------------------------
@@ -371,6 +406,8 @@ def decoder_teacher_forcing(
     targets: jax.Array,  # (B, L) int32, EOS-terminated, pad-padded
     rng: jax.Array,
     train: bool = False,
+    enc_out: jax.Array | None = None,  # (T', B, E) for attention
+    enc_lengths: jax.Array | None = None,
 ) -> jax.Array:
     """Teacher-forced logits (L, B, V).  Decoder inputs are the targets
     shifted right with an initial ``<pad>`` (the reference's
@@ -398,6 +435,10 @@ def decoder_teacher_forcing(
         )
         if li < len(decoder["rnn"]) - 1:
             out = _ff_dropout(d_rng, out, config.FF_dropout, train)
+    if config.use_attention:
+        out = _attend(
+            decoder["attn"], out, enc_out, enc_lengths, config.compute_dtype
+        )
     logits = _dense(decoder["out"], out, config.compute_dtype)  # (L, B, V)
     return logits
 
@@ -495,7 +536,8 @@ def seq2seq_loss(
     # decoder cross-entropy
     targets = batch["decoder_targets"]  # (B, L)
     logits = decoder_teacher_forcing(
-        params, config, enc_final, targets, rng_dec, train
+        params, config, enc_final, targets, rng_dec, train,
+        enc_out=enc_out, enc_lengths=enc_lengths,
     )  # (L, B, V)
     L = targets.shape[1]
     dec_mask = (
@@ -541,7 +583,7 @@ def greedy_decode(
         temperature = config.temperature
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     dummy = jax.random.PRNGKey(0)
-    _, enc_final, _ = encode(
+    enc_out, enc_final, enc_lengths = encode(
         params, config, inputs, lengths, subject_idx, dummy, train=False
     )
     decoder = params["decoder"]
@@ -556,6 +598,11 @@ def greedy_decode(
         for layer, st in zip(decoder["rnn"], states):
             st_new, out = lstm_step(layer, st, out, None, config.compute_dtype)
             new_states.append(st_new)
+        if config.use_attention:
+            out = _attend(
+                decoder["attn"], out, enc_out, enc_lengths,
+                config.compute_dtype,
+            )
         logits = _dense(decoder["out"], out, config.compute_dtype)  # (B, V)
         if temperature and temperature > 0:
             nxt = jax.random.categorical(step_rng, logits / temperature, axis=-1)

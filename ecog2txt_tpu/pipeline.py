@@ -211,6 +211,35 @@ def pack_partition(
     )
 
 
+def restrict_trials(
+    dataset: PackedDataset, subject_index: int, indices: Sequence[int]
+) -> PackedDataset:
+    """New dataset keeping only ``indices`` of one subject's trials
+    (compacted to the front; other subjects untouched).  Used by the
+    perf-vs-training-size sweeps (experiments.py)."""
+    idx = np.asarray(sorted(indices), np.int64)
+    s = subject_index
+
+    def take(a: np.ndarray) -> np.ndarray:
+        out = a.copy()
+        row = np.zeros_like(a[s])
+        row[: len(idx)] = a[s][idx]
+        out[s] = row
+        return out
+
+    refs = [list(r) for r in dataset.references]
+    refs[s] = [refs[s][i] for i in idx]
+    return PackedDataset(
+        encoder_inputs=take(dataset.encoder_inputs),
+        encoder_lengths=take(dataset.encoder_lengths),
+        decoder_targets=take(dataset.decoder_targets),
+        decoder_lengths=take(dataset.decoder_lengths),
+        aux_targets={k: take(v) for k, v in dataset.aux_targets.items()},
+        trial_mask=take(dataset.trial_mask),
+        references=refs,
+    )
+
+
 def make_schedule(
     dataset: PackedDataset,
     batch_size: int,

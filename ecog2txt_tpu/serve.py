@@ -59,12 +59,13 @@ class OnlinePredictor:
             # forcing on the hypothesis (the reference fetches
             # decoder_probs alongside decoder_outputs)
             dummy = jax.random.PRNGKey(0)
-            _, enc_final, _ = encode(
+            enc_out, enc_final, enc_lengths = encode(
                 params, config, inputs, lengths, self._subject_idx,
                 dummy, train=False,
             )
             logits = decoder_teacher_forcing(
-                params, config, enc_final, tokens, dummy, train=False
+                params, config, enc_final, tokens, dummy, train=False,
+                enc_out=enc_out, enc_lengths=enc_lengths,
             )  # (L, B, V)
             probs = jax.nn.softmax(logits, axis=-1)
             tok_probs = jnp.take_along_axis(

@@ -162,6 +162,9 @@ class MultiSubjectTrainer:
         **kwargs: Any,
     ):
         self.subject_ids = [int(s) for s in subject_ids]
+        self._manifest_path = experiment_manifest_name
+        self._text_dir = text_dir
+        self._trial_subset: dict[int, Any] = {}
         self.manifests = load_experiment_manifest(
             experiment_manifest_name, text_dir
         )
@@ -370,6 +373,19 @@ class MultiSubjectTrainer:
             FF_dropout=float(manifest.resolve("FF_dropout", default=0.1)),
             RNN_dropout=float(manifest.resolve("RNN_dropout", default=0.5)),
             temperature=float(manifest.resolve("temperature", default=0.0)),
+            use_attention=bool(
+                manifest.resolve(
+                    "cross_attention",
+                    self.SN_kwargs.get("use_attention"),
+                    False,
+                )
+            ),
+            encoder_type=str(
+                manifest.resolve(
+                    "encoder_type", self.SN_kwargs.get("encoder_type"), "lstm"
+                )
+            ),
+            use_pallas_lstm=bool(self.SN_kwargs.get("use_pallas_lstm", False)),
             pad_id=int(dec_list.index(pad_token)),
             eos_id=int(dec_list.index(EOS_token)),
         )
@@ -418,13 +434,42 @@ class MultiSubjectTrainer:
     def packed_dataset(self, partition: str, refresh: bool = False) -> PackedDataset:
         if refresh or partition not in self._datasets:
             self.write_tf_records_maybe()
-            self._datasets[partition] = pack_partition(
+            ds = pack_partition(
                 self.ecog_subjects,
                 partition,
                 pad_channels_to=self.net_config.in_channels,
                 pad_time_multiple=self.net_config.decimation_factor,
             )
+            if partition == "training":
+                from .pipeline import restrict_trials
+
+                for s, indices in self._trial_subset.items():
+                    ds = restrict_trials(ds, s, indices)
+            self._datasets[partition] = ds
         return self._datasets[partition]
+
+    def restricted_to_trials(
+        self, indices, subject_index: int = -1
+    ) -> "MultiSubjectTrainer":
+        """Fresh trainer (re-initialized params) whose TRAINING set is
+        restricted to the given trial indices of one subject — the
+        retrain unit of the perf-vs-training-size sweep
+        (experiments.py)."""
+        clone = MultiSubjectTrainer(
+            self._manifest_path,
+            self.subject_ids,
+            text_dir=self._text_dir,
+            SN_kwargs=self.SN_kwargs,
+            VERBOSE=False,
+            seed=self.seed,
+        )
+        s = (
+            subject_index
+            if subject_index >= 0
+            else len(self.ecog_subjects) + subject_index
+        )
+        clone._trial_subset = {s: list(indices)}
+        return clone
 
     # -- optimizers / scope masks ------------------------------------------
 
