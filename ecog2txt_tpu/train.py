@@ -80,16 +80,37 @@ def make_segment_runner(
     optimizer: optax.GradientTransformation,
     penalty_scales: dict[str, float],
     ema_decay: float,
+    mesh=None,
 ) -> Callable:
     """Build the scanned multi-step runner.  ``data`` is the stacked
     (S, N, ...) batch dict; schedule arrays pick (subject, trials) per
-    step."""
+    step.  With ``mesh``, every gathered batch is constrained to the
+    ``data`` mesh axis on its leading dim — params stay replicated and
+    XLA inserts the gradient all-reduce over ICI (SURVEY §2.9: the
+    reference's NCCL towers become sharding annotations)."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+        n_data = mesh.shape["data"]
 
     def train_step(state: TrainState, data, subject, idx, rng):
         batch = {
             key: value[subject][idx] for key, value in data.items()
         }
         batch["subject_idx"] = subject
+        if mesh is not None:
+            batch = {
+                key: (
+                    jax.lax.with_sharding_constraint(value, batch_sharding)
+                    if hasattr(value, "ndim")
+                    and value.ndim >= 1
+                    and value.shape
+                    and value.shape[0] % n_data == 0
+                    else value
+                )
+                for key, value in batch.items()
+            }
 
         def loss_fn(params):
             return seq2seq_loss(
@@ -414,6 +435,14 @@ class MultiSubjectTrainer:
                 "batch_size", manifest.resolve("batch_size", default=32)
             )
         )
+        # data-parallel mesh over all visible devices (SN_kwargs:
+        # data_parallel=True); params replicated, batches sharded
+        self.mesh = None
+        if self.SN_kwargs.get("data_parallel"):
+            from .parallel import make_mesh
+
+            self.mesh = make_mesh(n_model=1)
+
         rng = jax.random.PRNGKey(self.seed)
         params = init_seq2seq(rng, self.net_config)
         self.state = TrainState(
@@ -539,11 +568,17 @@ class MultiSubjectTrainer:
                 opt_state=optimizer.init(self.state.params)
             )
         runner = make_segment_runner(
-            self.net_config, optimizer, self.penalty_scales, self.EMA_decay
+            self.net_config, optimizer, self.penalty_scales, self.EMA_decay,
+            mesh=self.mesh,
         )
         data = {
             k: jnp.asarray(v) for k, v in train_data.batch_dict().items()
         }
+        if self.mesh is not None:
+            from .parallel import replicate
+
+            data = replicate(data, self.mesh)
+            self.state = replicate(self.state, self.mesh)
         rng_np = np.random.default_rng(self.seed + int(self.state.epoch))
         history: dict[str, dict] = {}
         done = 0
