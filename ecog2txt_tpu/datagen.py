@@ -227,7 +227,12 @@ class ECoGDataGenerator(ABC):
         vocab_file = self.manifest.resolve("text_sequence_vocab_file")
         if vocab_file is None:
             raise ValueError("word_piece_sequence requires a vocab file")
-        return SubwordEncoder.from_vocab_file(os.path.join(text_dir, vocab_file))
+        path = (
+            vocab_file
+            if os.path.isabs(vocab_file)
+            else os.path.join(text_dir, vocab_file)
+        )
+        return SubwordEncoder.from_vocab_file(path)
 
     def get_class_list(self, sequence_type: str = "text_sequence") -> list[str]:
         """Vocab for a sequence type: vocab file in text_dir if configured

@@ -121,9 +121,19 @@ def make_demo_experiment(
     gen = SyntheticDataGenerator(
         Manifest(manifests[subject_ids[0]], subject_ids[0]), subject_ids[0]
     )
-    write_vocab_file(
-        os.path.join(root, "vocab.demo.words"), gen.full_class_list()
-    )
+    if manifests[subject_ids[0]]["token_type"] == "word_piece_sequence":
+        from .tokenizers import SubwordEncoder
+
+        encoder = SubwordEncoder.build_from_corpus(
+            gen.sentences, target_vocab_size=128
+        )
+        write_vocab_file(
+            os.path.join(root, "vocab.demo.words"), encoder.subwords
+        )
+    else:
+        write_vocab_file(
+            os.path.join(root, "vocab.demo.words"), gen.full_class_list()
+        )
     write_vocab_file(
         os.path.join(root, "vocab.demo.phonemes"), gen.full_phoneme_list()
     )

@@ -94,16 +94,11 @@ class ResultsPlotter:
         'unknown' (reference pools FreeSurfer labels into grand areas,
         plotters.py:357-426 — the pooling map below mirrors its grand
         list, yaml:anatomy_grand_list)."""
-        pooling = {
-            "middle frontal": "middle frontal",
-            "rostral middle frontal": "middle frontal",
-            "caudal middle frontal": "middle frontal",
-            "pars opercularis": "IFG",
-            "pars triangularis": "IFG",
-            "pars orbitalis": "IFG",
-            "precentral": "vSMC",
-            "postcentral": "vSMC",
-        }
+        from .anatomy import anatomy_labels_from_manifest, pool_label
+
+        anatomy = self._anatomy or anatomy_labels_from_manifest(
+            self.subject.manifest
+        )
         out = []
         m = self.grid.num_electrodes
         for ch in self.grid.good_channels:
@@ -111,8 +106,7 @@ class ResultsPlotter:
                 elec = self.grid.bipolar_to_elec_map[ch][0]
             else:
                 elec = ch % m
-            raw = self._anatomy.get(elec, "unknown")
-            out.append(pooling.get(raw, raw))
+            out.append(pool_label(anatomy.get(elec, "unknown")))
         return out
 
     # -- electrode contributions (reference plotters.py:467-646) -------------
@@ -341,6 +335,120 @@ class ResultsPlotter:
         im = ax.imshow(grid, cmap="coolwarm")
         fig.colorbar(im, ax=ax, label=f"{partition} WER when occluded")
         return self._save(fig, "occlusion_map")
+
+
+    # -- further reference figures (plotters.py:269-332, 884-962,
+    # -- 1259-1405) --------------------------------------------------------
+
+    def plot_activity_animation(
+        self,
+        ecog: np.ndarray,  # (T, C) one trial
+        stride: int = 4,
+        interval_ms: int = 50,
+    ):
+        """Grid-activity animation over a trial (reference
+        plotters.py:884-962).  Returns a matplotlib FuncAnimation."""
+        plt = _mpl()
+        from matplotlib import animation
+
+        rows, cols = self.grid.layout.shape
+        positions = self.electrode_locs_2D().astype(int)
+        frames = []
+        for t in range(0, len(ecog), stride):
+            grid = np.full((rows, cols), np.nan)
+            for (r, c), value in zip(positions, ecog[t]):
+                grid[r, c] = value
+            frames.append(grid)
+        fig, ax = plt.subplots(figsize=(5, 5))
+        vmax = np.nanmax(np.abs(ecog)) or 1.0
+        im = ax.imshow(frames[0], cmap="magma", vmin=0, vmax=vmax)
+        fig.colorbar(im, ax=ax, label="high-gamma amplitude")
+
+        def update(i):
+            im.set_data(frames[i])
+            ax.set_title(f"t = {i * stride} samples")
+            return (im,)
+
+        anim = animation.FuncAnimation(
+            fig, update, frames=len(frames), interval=interval_ms, blit=True
+        )
+        return anim
+
+    def plot_network_schematic(self, partition: str = "validation"):
+        """Schematic figure from internal activations — convolved inputs
+        and encoder hidden states for one trial (reference
+        plotters.py:1259-1405 builds these from the activation probe)."""
+        plt = _mpl()
+        acts = self.trainer.get_internal_activations(
+            partition, self._subject_index()
+        )
+        ds = self.trainer.packed_dataset(partition)
+        s = self._subject_index()
+        trial = 0
+        T_in = int(ds.encoder_lengths[s, trial])
+        fig, axes = plt.subplots(3, 1, figsize=(8, 8), sharex=False)
+        axes[0].imshow(
+            ds.encoder_inputs[s, trial, :T_in].T,
+            aspect="auto", cmap="magma", origin="lower",
+        )
+        axes[0].set_ylabel("input channels")
+        n_enc = int(acts["encoder_lengths"][trial])
+        axes[1].imshow(
+            acts["encoder_outputs"][trial, :n_enc].T,
+            aspect="auto", cmap="coolwarm", origin="lower",
+        )
+        axes[1].set_ylabel("encoder units")
+        axes[2].plot(acts["final_state_h"][trial])
+        axes[2].set_ylabel("final state")
+        axes[2].set_xlabel("unit")
+        return self._save(fig, "network_schematic")
+
+    def plot_sentence_repeats(
+        self, counted: dict[str, int], nominal: int | None = None
+    ):
+        """Counted vs nominal per-sentence repeats (reference
+        plotters.py:269-332)."""
+        plt = _mpl()
+        names = list(counted)
+        values = [counted[n] for n in names]
+        fig, ax = plt.subplots(figsize=(8, 4))
+        ax.bar(range(len(names)), values, color=self.RGB_color)
+        if nominal is not None:
+            ax.axhline(nominal, color="k", ls="--", label="nominal")
+            ax.legend(frameon=False)
+        ax.set_xlabel("sentence")
+        ax.set_ylabel("repeats")
+        ax.set_xticks([])
+        return self._save(fig, "sentence_repeats")
+
+    def electrode_locs_3D(self) -> np.ndarray | None:
+        """3-D electrode coordinates from the manifest's electrode file
+        (reference plotters.py:443-464); None when unavailable."""
+        from .anatomy import electrode_locs_3D
+
+        return electrode_locs_3D(self.subject.manifest)
+
+    def plot_elec_contribs_3D(
+        self, contrib_method: str = "weight_norms", **kwargs
+    ):
+        """3-D scatter on electrode coordinates (reference
+        plotters.py:736-882; the img_pipe brain surface itself needs lab
+        assets and is omitted)."""
+        locs = self.electrode_locs_3D()
+        if locs is None:
+            self.vprint("no electrode file; falling back to 2D")
+            return self.plot_elec_contribs_2D(contrib_method, **kwargs)
+        plt = _mpl()
+        contribs = self.elec_contribs(contrib_method, **kwargs)
+        n = min(len(locs), len(contribs))
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+        p = ax.scatter(
+            locs[:n, 0], locs[:n, 1], locs[:n, 2],
+            c=contribs[:n], cmap="viridis", s=40,
+        )
+        fig.colorbar(p, ax=ax, label=contrib_method)
+        return self._save(fig, f"elec_contribs_3D_{contrib_method}")
 
 
 def suffix_to_label(suffix: str) -> str:

@@ -721,6 +721,15 @@ class MultiSubjectTrainer:
         self.save_checkpoint()
         return history
 
+    def torch_learn(self, N_epochs: int | None = None, **fit_kwargs) -> dict:
+        """Compatibility shim for the reference's TF2/PyTorch path
+        (reference trainers.py:278-301: ``SequenceTrainer.train_and_
+        assess``).  This framework has a single compute path (JAX/XLA);
+        the call maps onto the same fit/assess engine."""
+        history = self.fit(num_epochs=N_epochs, **fit_kwargs)
+        self._save_results(history)
+        return history
+
     def sequential_transfer_learn(
         self,
         pretraining: int = 60,

@@ -1,0 +1,87 @@
+"""Token-type variant coverage: trial and word-piece end-to-end, plus
+the in-memory `get` path (reference data_generators.py:247-315)."""
+
+import numpy as np
+import pytest
+
+from ecog2txt_tpu.config import load_experiment_manifest
+from ecog2txt_tpu.datagen import SyntheticDataGenerator
+from ecog2txt_tpu.demo import make_demo_experiment
+from ecog2txt_tpu.train import MultiSubjectTrainer
+
+TINY = {
+    "encoder_embedding": [16],
+    "encoder_rnn": [24],
+    "encoder_1_projection": [16],
+    "decoder_embedding": [12],
+    "decoder_rnn": [48],
+    "decoder_projection": [],
+}
+
+
+def test_trial_token_type_e2e(tmp_path):
+    """token_type='trial': the whole sentence is ONE class → the decoder
+    solves a classification task."""
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY,
+        token_type="trial",
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1], SN_kwargs={"batch_size": 16, "max_dec_len": 3,
+                            "N_epochs": 12, "learning_rate": 3e-3},
+        VERBOSE=False,
+    )
+    assert not tr.TARGETS_ARE_SEQUENCES is None
+    ds = tr.packed_dataset("training")
+    # every trial has exactly one target token (no EOS for 'trial' type)
+    assert (ds.decoder_lengths[ds.trial_mask] <= 2).all()
+    history = tr.fit()
+    wers = [h["training"]["word_error_rate"] for h in history.values()]
+    assert np.isfinite(wers).all()
+
+
+def test_word_piece_token_type_e2e(tmp_path):
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY,
+        token_type="word_piece_sequence",
+    )
+    ms = load_experiment_manifest(mp)
+    gen = SyntheticDataGenerator(ms[1], 1)
+    tokens = next(gen._ecog_token_generator(1))["text_sequence"]
+    # subword tokens reassemble into real words from the inventory
+    enc = gen._subword_encoder()
+    text = enc.decode(tokens)
+    assert all(w.isalpha() for w in text.split())
+    tr = MultiSubjectTrainer(
+        mp, [1], SN_kwargs={"batch_size": 16, "max_dec_len": 24,
+                            "N_epochs": 6},
+        VERBOSE=False,
+    )
+    history = tr.fit()
+    assert history  # trains and assesses
+
+
+def test_in_memory_get_path(tmp_path):
+    mp = make_demo_experiment(str(tmp_path / "exp"), subject_ids=(1,))
+    ms = load_experiment_manifest(mp)
+    gen = SyntheticDataGenerator(ms[1], 1)
+    out = gen.get([1, 2], ("ecog_sequence", "text_sequence"))
+    assert out["ecog_sequence"].shape == (
+        20, gen.max_samples, gen.num_ECoG_channels
+    )
+    assert len(out["text_sequence"]) == 20
+    assert out["text_sequence"][0][0].endswith("_")
+    # zero-padding beyond each trial's true length
+    assert np.abs(out["ecog_sequence"][0, -1]).sum() == 0
+
+
+def test_torch_learn_alias(tmp_path):
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1], SN_kwargs={"batch_size": 16, "max_dec_len": 10},
+        VERBOSE=False,
+    )
+    history = tr.torch_learn(N_epochs=4)
+    assert history
