@@ -429,9 +429,11 @@ def decoder_teacher_forcing(
             H = layer["wh"].shape[0]
             keep = 1.0 - config.RNN_dropout
             mask = jax.random.bernoulli(m_rng, keep, (B, H)) / keep
+        # decoder sequences are short (max_dec_len ≈ 20) and wide
+        # (H=800 → small VMEM batch tiles), so the plain scan wins here;
+        # the fused Pallas path is for the long encoder recurrences
         out, _ = lstm_scan(
             layer, out, None, states[li], mask, config.compute_dtype,
-            use_pallas=config.use_pallas_lstm,
         )
         if li < len(decoder["rnn"]) - 1:
             out = _ff_dropout(d_rng, out, config.FF_dropout, train)

@@ -43,12 +43,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Timesteps per grid iteration.  The backward kernel streams 6 sequence
-# operands + 1 output per step (vs 1 + 2 forward), so it takes a
-# smaller chunk to stay inside VMEM.
-CHUNK = 3
-CHUNK_BWD = 1
-BATCH_TILE = 128
+# VMEM budget for one kernel instance.  The hardware limit is 16 MB;
+# leave headroom for Mosaic's own stack so near-limit compiles don't
+# flake (observed: identical configs landing ±200 KB around the limit
+# across compiler runs).
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _choose_tiles(B: int, H: int, G: int, bwd: bool) -> tuple[int, int]:
+    """Pick (batch tile BB, time chunk C) fitting the VMEM budget.
+
+    Footprint model (float32, ×2 for the pipeline's double buffering of
+    every non-constant block): the weights block, the per-chunk
+    streamed sequence blocks, the per-batch-tile fixed blocks, and the
+    carry scratch.  The backward kernel streams 4 extra (C, BB, H)
+    operands plus a (C, BB, G) output.
+    """
+    for BB in (128, 64, 32, 16, 8):
+        BB_eff = min(BB, max(B, 1))
+        for C in (4, 3, 2, 1):
+            wh = H * G * 4
+            if bwd:
+                seq = 2 * (2 * C * BB_eff * G * 4 + 4 * C * BB_eff * H * 4)
+                fixed = 2 * 5 * BB_eff * H * 4
+            else:
+                seq = 2 * (C * BB_eff * G * 4 + 2 * C * BB_eff * H * 4)
+                fixed = 2 * 6 * BB_eff * H * 4
+            scratch = 2 * BB_eff * H * 4
+            if wh + seq + fixed + scratch <= VMEM_BUDGET:
+                return BB_eff, C
+    return 8, 1
 
 
 def _pad_axis(a, multiple, axis):
@@ -66,8 +90,9 @@ def _pad_axis(a, multiple, axis):
 # --------------------------------------------------------------------------
 
 
-def _fwd_kernel(
-    xw_ref,  # (CHUNK, BB, 4H) input-projection block
+def _make_fwd_kernel(chunk: int):
+  def _fwd_kernel(
+    xw_ref,  # (chunk, BB, 4H) input-projection block
     wh_ref,  # (H, 4H)
     h0_ref,  # (BB, H)
     c0_ref,  # (BB, H)
@@ -79,7 +104,7 @@ def _fwd_kernel(
     cT_ref,  # out (BB, H)
     h_scr,  # scratch (BB, H)
     c_scr,  # scratch (BB, H)
-):
+  ):
     k = pl.program_id(1)  # time chunk (innermost grid axis)
 
     @pl.when(k == 0)
@@ -90,7 +115,7 @@ def _fwd_kernel(
     wh = wh_ref[:]
     mask = mask_ref[:]
     lens = len_ref[:]  # (BB, 1)
-    base = k * CHUNK
+    base = k * chunk
 
     def body(i, carry):
         h, c = carry
@@ -107,7 +132,7 @@ def _fwd_kernel(
         cseq_ref[i] = c_new
         return (h_new, c_new)
 
-    h, c = jax.lax.fori_loop(0, CHUNK, body, (h_scr[:], c_scr[:]))
+    h, c = jax.lax.fori_loop(0, chunk, body, (h_scr[:], c_scr[:]))
     h_scr[:] = h
     c_scr[:] = c
 
@@ -116,11 +141,13 @@ def _fwd_kernel(
         hT_ref[:] = h
         cT_ref[:] = c
 
+  return _fwd_kernel
+
 
 def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret):
     T, B, G = xw.shape
     H = wh.shape[0]
-    BB = min(BATCH_TILE, B)
+    BB, CHUNK = _choose_tiles(B, H, G, bwd=False)
     xw_p = _pad_axis(_pad_axis(xw, CHUNK, 0), BB, 1)
     Tp, Bp = xw_p.shape[:2]
     lengths2d = _pad_axis(lengths.reshape(B, 1).astype(jnp.int32), BB, 0)
@@ -138,7 +165,7 @@ def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret):
     bfix = lambda b, k: (b, 0)  # noqa: E731
     wfix = lambda b, k: (0, 0)  # noqa: E731
     h_seq, c_seq, hT, cT = pl.pallas_call(
-        _fwd_kernel,
+        _make_fwd_kernel(CHUNK),
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((CHUNK, BB, G), seq3, memory_space=pltpu.VMEM),
@@ -169,8 +196,9 @@ def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret):
 # --------------------------------------------------------------------------
 
 
-def _bwd_kernel(
-    xw_ref,  # (CHUNK_BWD, BB, 4H) at this (reversed) chunk
+def _make_bwd_kernel(chunk: int):
+  def _bwd_kernel(
+    xw_ref,  # (chunk, BB, 4H) at this (reversed) chunk
     wh_ref,  # (H, 4H)
     hprev_ref,  # (CHUNK_BWD, BB, H) h_{t-1}
     cprev_ref,  # (CHUNK_BWD, BB, H) c_{t-1}
@@ -185,7 +213,7 @@ def _bwd_kernel(
     dc0_ref,  # out (BB, H)
     dh_scr,  # scratch (BB, H)
     dc_scr,  # scratch (BB, H)
-):
+  ):
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -198,11 +226,11 @@ def _bwd_kernel(
     mask = mask_ref[:]
     lens = len_ref[:]
     # grid step k covers the k-th time chunk FROM THE END
-    base = (nk - 1 - k) * CHUNK_BWD
+    base = (nk - 1 - k) * chunk
 
     def body(j, carry):
         dh_c, dc_c = carry
-        i = CHUNK_BWD - 1 - j
+        i = chunk - 1 - j
         valid = lens > (base + i)
         h_in = hprev_ref[i] * mask
         gates = xw_ref[i] + jnp.dot(
@@ -231,7 +259,7 @@ def _bwd_kernel(
         dc_c = jnp.where(valid, dct * sf, dc_c)
         return (dh_c, dc_c)
 
-    dh, dc = jax.lax.fori_loop(0, CHUNK_BWD, body, (dh_scr[:], dc_scr[:]))
+    dh, dc = jax.lax.fori_loop(0, chunk, body, (dh_scr[:], dc_scr[:]))
     dh_scr[:] = dh
     dc_scr[:] = dc
 
@@ -240,13 +268,15 @@ def _bwd_kernel(
         dh0_ref[:] = dh
         dc0_ref[:] = dc
 
+  return _bwd_kernel
+
 
 def _bwd_call(
     xw, wh, hprev, cprev, cseq, lengths, mask, dhseq, dhT, dcT, interpret
 ):
     T, B, G = xw.shape
     H = wh.shape[0]
-    BB = min(BATCH_TILE, B)
+    BB, CHUNK_BWD = _choose_tiles(B, H, G, bwd=True)
 
     def prep(a):
         return _pad_axis(_pad_axis(a, CHUNK_BWD, 0), BB, 1)
@@ -269,7 +299,7 @@ def _bwd_call(
         jax.ShapeDtypeStruct((Bp, H), jnp.float32),  # dc0
     )
     dgates, dh0, dc0 = pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(CHUNK_BWD),
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((CHUNK_BWD, BB, G), rev3, memory_space=pltpu.VMEM),

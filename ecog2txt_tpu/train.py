@@ -951,6 +951,40 @@ class MultiSubjectTrainer:
             grads.append(np.asarray(saliency(params, batch))[:n])
         return np.concatenate(grads, axis=0)
 
+    def get_weights_as_numpy_array(
+        self, name: str, use_ema: bool = True
+    ) -> np.ndarray:
+        """Fetch one parameter by slash path (e.g.
+        'decoder/embedding', 'encoder/rnn/0/fwd/wh') — the reference's
+        checkpoint-weight fetcher (trainers.py:699,750)."""
+        tree = self.state.ema if use_ema else self.state.params
+        node: Any = tree
+        for part in name.split("/"):
+            if isinstance(node, (list, tuple)):
+                node = node[int(part)]
+            else:
+                node = node[part]
+        return np.asarray(node)
+
+    def cluster_embedded_words(
+        self, method: str = "pca", num_clusters: int = 8, plot: bool = True
+    ):
+        """Cluster the decoder word-embedding rows (reference
+        trainers.py:677-679 → plotters cluster_embeddings)."""
+        from .plotting.embeddings import cluster_embeddings
+
+        embeddings = self.get_weights_as_numpy_array("decoder/embedding")
+        class_list = self.target_subject.data_manifests[
+            "decoder_targets"
+        ].feature_list
+        return cluster_embeddings(
+            embeddings,
+            class_list=class_list,
+            method=method,
+            num_clusters=num_clusters,
+            plot=plot,
+        )
+
     def get_encoder_embedding(
         self, subject_index: int = -1, use_ema: bool = True
     ) -> np.ndarray:
