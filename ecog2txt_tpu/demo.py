@@ -18,15 +18,29 @@ from .config import Manifest
 from .datagen import SyntheticDataGenerator
 from .tokenizers import write_vocab_file
 
-DEMO_BLOCKS = {
-    # block id → descriptor (schema per reference README.md:37-39)
-    1: {"type": "demo", "default_dataset": "training", "audio": True, "bipolar": False},
-    2: {"type": "demo", "default_dataset": "training", "audio": True, "bipolar": False},
-    3: {"type": "demo", "default_dataset": "training", "audio": True, "bipolar": False},
-    4: {"type": "demo", "default_dataset": "training", "audio": True, "bipolar": False},
-    5: {"type": "demo", "default_dataset": "validation", "audio": True, "bipolar": False},
-    6: {"type": "demo", "default_dataset": "testing", "audio": True, "bipolar": False},
-}
+def demo_blocks(
+    num_training: int = 4, num_validation: int = 1, num_testing: int = 1
+) -> dict[int, dict]:
+    """Block-breakdown map (schema per reference README.md:37-39)."""
+    out: dict[int, dict] = {}
+    block = 1
+    for partition, count in (
+        ("training", num_training),
+        ("validation", num_validation),
+        ("testing", num_testing),
+    ):
+        for _ in range(count):
+            out[block] = {
+                "type": "demo",
+                "default_dataset": partition,
+                "audio": True,
+                "bipolar": False,
+            }
+            block += 1
+    return out
+
+
+DEMO_BLOCKS = demo_blocks()
 
 
 def make_demo_experiment(
@@ -36,6 +50,7 @@ def make_demo_experiment(
     grid_sizes: dict | None = None,  # per-subject override (heterogeneous)
     num_unique_sentences: int = 10,
     num_sentences_per_block: int = 10,
+    num_training_blocks: int = 4,
     N_epochs: int = 40,
     layer_sizes: dict | None = None,
     **manifest_overrides,
@@ -45,9 +60,10 @@ def make_demo_experiment(
     root = os.path.abspath(root)
     os.makedirs(root, exist_ok=True)
     json_dir = root
+    blocks = demo_blocks(num_training=num_training_blocks)
 
     with open(os.path.join(json_dir, "block_breakdowns.json"), "w") as f:
-        json.dump({str(s): {str(b): d for b, d in DEMO_BLOCKS.items()}
+        json.dump({str(s): {str(b): d for b, d in blocks.items()}
                    for s in subject_ids}, f, indent=1)
 
     layer_sizes = layer_sizes or {
@@ -108,7 +124,7 @@ def make_demo_experiment(
             "beam_width": 1,
             "assessment_epoch_interval": 10,
             "TEMPORALLY_CONVOLVE": True,
-            "blocks": sorted(DEMO_BLOCKS),
+            "blocks": sorted(blocks),
         }
         subject_manifest.update(manifest_overrides)
         manifests[subject_id] = subject_manifest
