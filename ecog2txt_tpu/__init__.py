@@ -32,7 +32,6 @@ partitions, and phonetic feature tables.
 
 import os
 
-import numpy as np
 import pandas as pd
 
 __version__ = "0.1.0"

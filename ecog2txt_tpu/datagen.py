@@ -32,7 +32,6 @@ from typing import Any, Iterable, Iterator
 
 import numpy as np
 
-from . import EOS_token
 from .audio import mfcc_chain, num_mfcc_features
 from .config import Manifest, register_data_generator, set_fallback_generator
 from .geometry import ElectrodeGrid

@@ -22,7 +22,6 @@ vocab positions.
 from __future__ import annotations
 
 import math
-from collections import defaultdict
 from typing import Sequence
 
 import jax

@@ -10,7 +10,6 @@ Native container is npz (hickle-free, like plotting.results).
 from __future__ import annotations
 
 import os
-from itertools import product
 from typing import Sequence
 
 import numpy as np

@@ -16,8 +16,6 @@ template, mocha-1_word_sequence.yaml:79).
 from __future__ import annotations
 
 import os
-from typing import Callable, Sequence
-
 import numpy as np
 
 from ..assess import wer_vector

@@ -22,7 +22,7 @@ Rebuilds the reference's ``subjects.py``:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Iterable, Sequence
 
 import numpy as np

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from . import DATA_PARTITIONS, EOS_token, OOV_token, TOKEN_TYPES, pad_token
+from . import DATA_PARTITIONS, EOS_token, TOKEN_TYPES, pad_token
 from .assess import confusion_matrix, sequence_accuracy, wer_vector
 from .config import Manifest, load_experiment_manifest
 from .models.seq2seq import (
