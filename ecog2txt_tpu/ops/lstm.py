@@ -141,7 +141,10 @@ def lstm_scan(
 
     if use_pallas:
         # fused Pallas recurrence (ops/pallas_lstm.py): whole sequence in
-        # one kernel, weights + state resident in VMEM
+        # one kernel, weights + state resident in VMEM.  Under bf16
+        # compute, the streamed tensors (xw in, h/c residuals out,
+        # dgates in the backward) are bf16 too — the kernels are
+        # HBM-bandwidth-bound, so this halves their step time.
         from .pallas_lstm import fused_lstm_recurrence
 
         mask = (
@@ -152,6 +155,8 @@ def lstm_scan(
         lens = (
             lengths if lengths is not None else jnp.full((B,), T, jnp.int32)
         )
+        if compute_dtype == jnp.bfloat16:
+            xw = xw.astype(jnp.bfloat16)
         outputs, h_f, c_f = fused_lstm_recurrence(
             xw, params["wh"], lens, h0, c0, mask, pallas_interpret
         )

@@ -50,24 +50,29 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _choose_tiles(B: int, H: int, G: int, bwd: bool) -> tuple[int, int]:
+def _choose_tiles(
+    B: int, H: int, G: int, bwd: bool, stream_bytes: int = 4
+) -> tuple[int, int]:
     """Pick (batch tile BB, time chunk C) fitting the VMEM budget.
 
-    Footprint model (float32, ×2 for the pipeline's double buffering of
-    every non-constant block): the weights block, the per-chunk
-    streamed sequence blocks, the per-batch-tile fixed blocks, and the
-    carry scratch.  The backward kernel streams 4 extra (C, BB, H)
-    operands plus a (C, BB, G) output.
+    Footprint model (×2 for the pipeline's double buffering of every
+    non-constant block): the weights block, the per-chunk streamed
+    sequence blocks (``stream_bytes`` wide — 2 when streaming bf16), the
+    per-batch-tile fixed blocks, and the carry scratch.  The backward
+    kernel streams 4 extra (C, BB, H) operands plus a (C, BB, G) output.
     """
     for BB in (128, 64, 32, 16, 8):
         BB_eff = min(BB, max(B, 1))
-        for C in (4, 3, 2, 1):
+        for C in (8, 6, 4, 3, 2, 1):
             wh = H * G * 4
+            sb = stream_bytes
             if bwd:
-                seq = 2 * (2 * C * BB_eff * G * 4 + 4 * C * BB_eff * H * 4)
+                seq = 2 * (
+                    2 * C * BB_eff * G * sb + 4 * C * BB_eff * H * sb
+                )
                 fixed = 2 * 5 * BB_eff * H * 4
             else:
-                seq = 2 * (C * BB_eff * G * 4 + 2 * C * BB_eff * H * 4)
+                seq = 2 * (C * BB_eff * G * sb + 2 * C * BB_eff * H * sb)
                 fixed = 2 * 6 * BB_eff * H * 4
             scratch = 2 * BB_eff * H * 4
             if wh + seq + fixed + scratch <= VMEM_BUDGET:
@@ -119,7 +124,7 @@ def _make_fwd_kernel(chunk: int):
 
     def body(i, carry):
         h, c = carry
-        gates = xw_ref[i] + jnp.dot(
+        gates = xw_ref[i].astype(jnp.float32) + jnp.dot(
             h * mask, wh, preferred_element_type=jnp.float32
         )
         gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
@@ -128,8 +133,8 @@ def _make_fwd_kernel(chunk: int):
         valid = lens > (base + i)  # (BB, 1)
         h_new = jnp.where(valid, h_new, h)
         c_new = jnp.where(valid, c_new, c)
-        hseq_ref[i] = jnp.where(valid, h_new, 0.0)
-        cseq_ref[i] = c_new
+        hseq_ref[i] = jnp.where(valid, h_new, 0.0).astype(hseq_ref.dtype)
+        cseq_ref[i] = c_new.astype(cseq_ref.dtype)
         return (h_new, c_new)
 
     h, c = jax.lax.fori_loop(0, chunk, body, (h_scr[:], c_scr[:]))
@@ -147,7 +152,8 @@ def _make_fwd_kernel(chunk: int):
 def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret):
     T, B, G = xw.shape
     H = wh.shape[0]
-    BB, CHUNK = _choose_tiles(B, H, G, bwd=False)
+    stream = xw.dtype  # bf16 streams halve HBM traffic + VMEM blocks
+    BB, CHUNK = _choose_tiles(B, H, G, bwd=False, stream_bytes=stream.itemsize)
     xw_p = _pad_axis(_pad_axis(xw, CHUNK, 0), BB, 1)
     Tp, Bp = xw_p.shape[:2]
     lengths2d = _pad_axis(lengths.reshape(B, 1).astype(jnp.int32), BB, 0)
@@ -156,8 +162,8 @@ def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret):
     mask_p = _pad_axis(mask, BB, 0)
     nb, nt = Bp // BB, Tp // CHUNK
     out_shape = (
-        jax.ShapeDtypeStruct((Tp, Bp, H), jnp.float32),  # h_seq
-        jax.ShapeDtypeStruct((Tp, Bp, H), jnp.float32),  # c_seq
+        jax.ShapeDtypeStruct((Tp, Bp, H), stream),  # h_seq
+        jax.ShapeDtypeStruct((Tp, Bp, H), stream),  # c_seq
         jax.ShapeDtypeStruct((Bp, H), jnp.float32),  # hT
         jax.ShapeDtypeStruct((Bp, H), jnp.float32),  # cT
     )
@@ -232,8 +238,8 @@ def _make_bwd_kernel(chunk: int):
         dh_c, dc_c = carry
         i = chunk - 1 - j
         valid = lens > (base + i)
-        h_in = hprev_ref[i] * mask
-        gates = xw_ref[i] + jnp.dot(
+        h_in = hprev_ref[i].astype(jnp.float32) * mask
+        gates = xw_ref[i].astype(jnp.float32) + jnp.dot(
             h_in, wh, preferred_element_type=jnp.float32
         )
         gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
@@ -241,17 +247,19 @@ def _make_bwd_kernel(chunk: int):
         sf = jax.nn.sigmoid(gf + 1.0)
         so = jax.nn.sigmoid(go)
         tg = jnp.tanh(gg)
-        tc = jnp.tanh(cseq_ref[i])
+        tc = jnp.tanh(cseq_ref[i].astype(jnp.float32))
 
-        dh = dh_c + jnp.where(valid, dhseq_ref[i], 0.0)
+        dh = dh_c + jnp.where(
+            valid, dhseq_ref[i].astype(jnp.float32), 0.0
+        )
         do = dh * tc * so * (1.0 - so)
         dct = dh * so * (1.0 - tc * tc) + dc_c
         di = dct * tg * si * (1.0 - si)
         dg = dct * si * (1.0 - tg * tg)
-        df = dct * cprev_ref[i] * sf * (1.0 - sf)
+        df = dct * cprev_ref[i].astype(jnp.float32) * sf * (1.0 - sf)
         dgates = jnp.concatenate([di, dg, df, do], axis=-1)
         dgates = jnp.where(valid, dgates, 0.0)
-        dgates_ref[i] = dgates
+        dgates_ref[i] = dgates.astype(dgates_ref.dtype)
         dh_prev = (
             jnp.dot(dgates, wh.T, preferred_element_type=jnp.float32) * mask
         )
@@ -276,7 +284,10 @@ def _bwd_call(
 ):
     T, B, G = xw.shape
     H = wh.shape[0]
-    BB, CHUNK_BWD = _choose_tiles(B, H, G, bwd=True)
+    stream = xw.dtype
+    BB, CHUNK_BWD = _choose_tiles(
+        B, H, G, bwd=True, stream_bytes=stream.itemsize
+    )
 
     def prep(a):
         return _pad_axis(_pad_axis(a, CHUNK_BWD, 0), BB, 1)
@@ -294,7 +305,7 @@ def _bwd_call(
     bfix = lambda b, k: (b, 0)  # noqa: E731
     wfix = lambda b, k: (0, 0)  # noqa: E731
     out_shape = (
-        jax.ShapeDtypeStruct((Tp, Bp, G), jnp.float32),  # dgates (=dxw)
+        jax.ShapeDtypeStruct((Tp, Bp, G), stream),  # dgates (=dxw)
         jax.ShapeDtypeStruct((Bp, H), jnp.float32),  # dh0
         jax.ShapeDtypeStruct((Bp, H), jnp.float32),  # dc0
     )

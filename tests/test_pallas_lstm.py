@@ -113,3 +113,36 @@ def test_invalid_step_upstream_grad_dropped(setup):
     g_pl = jax.grad(loss)(xs, True)
     np.testing.assert_allclose(np.asarray(g_pl), 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(g_ref), 0.0, atol=1e-7)
+
+
+def test_bf16_streams_close_to_fp32(setup):
+    """bf16 streaming (the TPU fast path under bf16 compute) stays close
+    to the fp32 reference — loose tolerance, it IS lower precision."""
+    import jax.numpy as jnp
+
+    params, xs, lengths = setup
+    out_ref, (h_ref, _) = lstm_scan(params, xs, lengths)
+    out_bf, (h_bf, _) = lstm_scan(
+        params, xs, lengths,
+        compute_dtype=jnp.bfloat16, use_pallas=True, pallas_interpret=True,
+    )
+    assert out_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_bf, np.float32), out_ref, atol=0.05
+    )
+    np.testing.assert_allclose(np.asarray(h_bf), h_ref, atol=0.05)
+
+    def loss(p, use_pallas):
+        out, (hf, _) = lstm_scan(
+            p, xs, lengths,
+            compute_dtype=jnp.bfloat16 if use_pallas else jnp.float32,
+            use_pallas=use_pallas, pallas_interpret=True,
+        )
+        return jnp.sum(out.astype(jnp.float32)) + jnp.sum(hf)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_bf = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_bf)):
+        a, b = np.asarray(a), np.asarray(b, np.float32)
+        denom = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 0.1
