@@ -269,9 +269,13 @@ def make_schedule(
             if n == 0:
                 continue
             perm = rng.permutation(n)
-            padded = np.concatenate(
-                [perm, perm[: (-len(perm)) % batch_size]]
-            ) if len(perm) % batch_size else perm
+            pad = (-len(perm)) % batch_size
+            if pad:
+                # wrap around (tiling handles batch_size > n too)
+                filler = np.resize(perm, pad)
+                padded = np.concatenate([perm, filler])
+            else:
+                padded = perm
             for i in range(0, len(padded), batch_size):
                 epoch_steps.append((s, padded[i : i + batch_size]))
         order = rng.permutation(len(epoch_steps))
@@ -279,6 +283,11 @@ def make_schedule(
             s, idx = epoch_steps[j]
             steps_subject.append(s)
             steps_idx.append(idx)
+    if not steps_idx:
+        raise ValueError(
+            "empty training schedule: no subject has trials in this "
+            "partition/subset"
+        )
     return (
         np.asarray(steps_subject, np.int32),
         np.stack(steps_idx).astype(np.int32),

@@ -11,12 +11,17 @@ REF_EFC = "/root/reference/ecog2txt/auxiliary/EFC"
 
 @pytest.fixture(autouse=True)
 def _register_dummy_generator():
+    # import first: datagen sets its own fallback at import time, and
+    # resolve_data_generator lazily imports it on a registry miss
+    import ecog2txt_tpu.datagen  # noqa: F401
+
     @config.register_data_generator("DummyGen", "pkg.mod.DummyGen")
     class DummyGen:  # noqa: N801
         pass
 
     config.set_fallback_generator("DummyGen")
     yield
+    config.set_fallback_generator("SyntheticDataGenerator")
 
 
 def test_reference_manifest_loads():
@@ -69,3 +74,22 @@ def test_block_breakdowns_int_keys():
 
 def test_registry_short_name_resolution():
     assert config.resolve_data_generator("other.pkg.DummyGen").__name__ == "DummyGen"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "mocha-1_word_sequence.yaml",
+        "demo2_word_sequence.yaml",
+        "mochastar_word_sequence.yaml",
+    ],
+)
+def test_all_reference_manifests_load(name):
+    if not os.path.exists(os.path.join(REF_EFC, name)):
+        pytest.skip("reference not mounted")
+    manifests = config.load_experiment_manifest(name, text_dir=REF_EFC)
+    assert manifests
+    for subject_id, m in manifests.items():
+        assert isinstance(subject_id, int)
+        assert "data_mapping" in m
+        assert m["layer_sizes"]["decoder_rnn"]

@@ -90,3 +90,21 @@ def test_schedule_epochs_scale_steps(subjects):
     s1, _ = make_schedule(ds, 8, 1, rng)
     s3, _ = make_schedule(ds, 8, 3, np.random.default_rng(0))
     assert len(s3) == 3 * len(s1)
+
+
+def test_schedule_batch_larger_than_trials(subjects):
+    ds = pack_partition(subjects, "validation")  # 10 trials/subject
+    rng = np.random.default_rng(0)
+    subj, idx = make_schedule(ds, batch_size=32, num_epochs=1, rng=rng)
+    assert idx.shape[1] == 32
+    # wrapped indices stay within the real trial range
+    assert idx.max() < 10
+
+
+def test_schedule_empty_raises(subjects):
+    import pytest as _pytest
+
+    ds = pack_partition(subjects, "validation")
+    ds.trial_mask[:] = False
+    with _pytest.raises(ValueError):
+        make_schedule(ds, 8, 1, np.random.default_rng(0))
