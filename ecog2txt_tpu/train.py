@@ -531,10 +531,30 @@ class MultiSubjectTrainer:
             [bool(pattern.match(path_str(path))) for path, _ in flat],
         )
 
-    def _make_optimizer(self, train_vars_scope: str | None = None):
+    def _make_optimizer(
+        self,
+        train_vars_scope: str | None = None,
+        total_steps: int | None = None,
+    ):
+        """Adam + global-norm clip; optional warmup(+cosine) schedule
+        (SN_kwargs ``warmup_steps`` / ``lr_schedule='warmup_cosine'`` —
+        the conformer variant wants warmup)."""
+        warmup = int(self.SN_kwargs.get("warmup_steps", 0))
+        if warmup and total_steps:
+            if self.SN_kwargs.get("lr_schedule") == "warmup_cosine":
+                lr = optax.warmup_cosine_decay_schedule(
+                    0.0, self.learning_rate, warmup,
+                    max(total_steps, warmup + 1),
+                )
+            else:
+                lr = optax.linear_schedule(
+                    0.0, self.learning_rate, warmup
+                )
+        else:
+            lr = self.learning_rate
         opt = optax.chain(
             optax.clip_by_global_norm(10.0),
-            optax.adam(self.learning_rate),
+            optax.adam(lr),
         )
         mask = self._scope_mask(train_vars_scope)
         if mask is not None:
@@ -562,7 +582,16 @@ class MultiSubjectTrainer:
         num_epochs = num_epochs or self.N_epochs
         self.write_tf_records_maybe()
         train_data = self.packed_dataset("training")
-        optimizer = self._make_optimizer(train_vars_scope)
+        steps_per_epoch = int(
+            sum(
+                -(-int(n) // self.batch_size)
+                for n in train_data.num_trials
+                if n > 0
+            )
+        )
+        optimizer = self._make_optimizer(
+            train_vars_scope, total_steps=num_epochs * max(steps_per_epoch, 1)
+        )
         if reset_optimizer or self.state.opt_state is None:
             self.state = self.state._replace(
                 opt_state=optimizer.init(self.state.params)

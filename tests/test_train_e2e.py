@@ -142,3 +142,20 @@ def test_vocab_pickle_created_when_induced(tmp_path):
     # special tokens prepended in order
     fl = tr.target_subject.data_manifests["decoder_targets"].feature_list
     assert fl[:3] == ["<pad>", "<EOS>", "<OOV>"]
+
+
+def test_warmup_schedule_trains(tmp_path):
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"batch_size": 16, "max_dec_len": 10,
+                   "warmup_steps": 10, "lr_schedule": "warmup_cosine"},
+        VERBOSE=False,
+    )
+    history = tr.fit(num_epochs=4)
+    assert history
