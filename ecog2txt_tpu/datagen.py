@@ -361,7 +361,15 @@ _LETTER_TO_PHONE = {
 
 
 def word_to_phonemes(word: str) -> list[str]:
-    return [_LETTER_TO_PHONE[ch] for ch in word.lower() if ch in _LETTER_TO_PHONE]
+    """Letter → pseudo-phoneme map, collapsing consecutive duplicates
+    (double letters are one phoneme — also keeps the lexicon consistent
+    with CTC's repeat-collapse of frame-aligned labels)."""
+    out: list[str] = []
+    for ch in word.lower():
+        p = _LETTER_TO_PHONE.get(ch)
+        if p is not None and (not out or out[-1] != p):
+            out.append(p)
+    return out
 
 
 def _stable_seed(*parts: Any) -> int:
