@@ -404,28 +404,38 @@ class SyntheticDataGenerator(ECoGDataGenerator):
         self,
         manifest: Manifest,
         subject_id: int | str,
-        num_sentences_per_block: int = 10,
-        num_unique_sentences: int = 10,
-        words_per_sentence: tuple[int, int] = (3, 6),
-        noise_scale: float = 0.05,
-        samples_per_word: int = 48,
-        seed: int = 1234,
+        num_sentences_per_block: int | None = None,
+        num_unique_sentences: int | None = None,
+        words_per_sentence: tuple[int, int] | None = None,
+        noise_scale: float | None = None,
+        samples_per_word: int | None = None,
+        seed: int | None = None,
         **kwargs: Any,
     ):
         super().__init__(manifest, subject_id, **kwargs)
+        # explicit kwarg > manifest > default (ctor args default to None
+        # so a manifest value is never shadowed by the ctor default)
         self.num_sentences_per_block = int(
-            manifest.resolve("num_sentences_per_block", num_sentences_per_block)
+            manifest.resolve(
+                "num_sentences_per_block", num_sentences_per_block, 10
+            )
         )
         self.num_unique_sentences = int(
             manifest.resolve(
-                "num_unique_training_sentences", num_unique_sentences
+                "num_unique_training_sentences", num_unique_sentences, 10
             )
         )
-        self.words_per_sentence = words_per_sentence
-        self.noise_scale = float(noise_scale)
-        self.samples_per_word = int(samples_per_word)
-        self.seed = int(seed)
-        self._blocks = list(manifest.resolve("blocks", list(range(1, 9))))
+        self.words_per_sentence = tuple(
+            manifest.resolve("words_per_sentence", words_per_sentence, (3, 6))
+        )
+        self.noise_scale = float(
+            manifest.resolve("synth_noise_scale", noise_scale, 0.05)
+        )
+        self.samples_per_word = int(
+            manifest.resolve("samples_per_word", samples_per_word, 48)
+        )
+        self.seed = int(manifest.resolve("synth_seed", seed, 1234))
+        self._blocks = list(manifest.resolve("blocks", default=list(range(1, 9))))
 
     # -- deterministic sentence inventory ----------------------------------
 

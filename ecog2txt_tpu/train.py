@@ -452,6 +452,7 @@ class MultiSubjectTrainer:
             epoch=jnp.asarray(0, jnp.int32),
         )
         self._datasets: dict[str, PackedDataset] = {}
+        self._device_data: dict[str, dict] = {}  # partition → jnp arrays
         self.assessments: dict[str, dict] = {}
 
     # -- data ---------------------------------------------------------------
@@ -475,7 +476,19 @@ class MultiSubjectTrainer:
                 for s, indices in self._trial_subset.items():
                     ds = restrict_trials(ds, s, indices)
             self._datasets[partition] = ds
+            self._device_data.pop(partition, None)
         return self._datasets[partition]
+
+    def device_data(self, partition: str) -> dict:
+        """Device-resident copy of a partition's stacked arrays, uploaded
+        ONCE and cached — host→device transfer would otherwise dominate
+        every fit segment and assessment at corpus scale."""
+        if partition not in self._device_data:
+            ds = self.packed_dataset(partition)
+            self._device_data[partition] = {
+                k: jnp.asarray(v) for k, v in ds.batch_dict().items()
+            }
+        return self._device_data[partition]
 
     def restricted_to_trials(
         self, indices, subject_index: int = -1
@@ -576,9 +589,20 @@ class MultiSubjectTrainer:
         train_vars_scope: str | None = None,
         reset_optimizer: bool = True,
         assess: bool = True,
+        checkpoint_every_assessment: bool | None = None,
     ) -> dict[str, dict]:
         """Train for ``num_epochs``, assessing every
-        ``assessment_epoch_interval``.  Returns assessments history."""
+        ``assessment_epoch_interval``.  Returns assessments history.
+
+        ``checkpoint_every_assessment`` (default: SN_kwargs key of the
+        same name) writes an Orbax checkpoint at each assessment — crash
+        recovery resumes from the newest via ``restore_epoch`` +
+        ``parallel_transfer_learn(RESUME=True)`` (the reference's manual
+        recovery loop, trainers.py:235-255, made automatic)."""
+        if checkpoint_every_assessment is None:
+            checkpoint_every_assessment = bool(
+                self.SN_kwargs.get("checkpoint_every_assessment", False)
+            )
         num_epochs = num_epochs or self.N_epochs
         self.write_tf_records_maybe()
         train_data = self.packed_dataset("training")
@@ -589,20 +613,32 @@ class MultiSubjectTrainer:
                 if n > 0
             )
         )
-        optimizer = self._make_optimizer(
-            train_vars_scope, total_steps=num_epochs * max(steps_per_epoch, 1)
+        total_steps = num_epochs * max(steps_per_epoch, 1)
+        # cache the (optimizer, jitted runner) pair: re-tracing the
+        # scanned segment costs seconds per fit() call otherwise
+        cache_key = (
+            train_vars_scope,
+            int(self.SN_kwargs.get("warmup_steps", 0)) and total_steps,
         )
+        if not hasattr(self, "_runner_cache"):
+            self._runner_cache = {}
+        if cache_key not in self._runner_cache:
+            optimizer = self._make_optimizer(
+                train_vars_scope, total_steps=total_steps
+            )
+            self._runner_cache[cache_key] = (
+                optimizer,
+                make_segment_runner(
+                    self.net_config, optimizer, self.penalty_scales,
+                    self.EMA_decay, mesh=self.mesh,
+                ),
+            )
+        optimizer, runner = self._runner_cache[cache_key]
         if reset_optimizer or self.state.opt_state is None:
             self.state = self.state._replace(
                 opt_state=optimizer.init(self.state.params)
             )
-        runner = make_segment_runner(
-            self.net_config, optimizer, self.penalty_scales, self.EMA_decay,
-            mesh=self.mesh,
-        )
-        data = {
-            k: jnp.asarray(v) for k, v in train_data.batch_dict().items()
-        }
+        data = self.device_data("training")
         if self.mesh is not None:
             from .parallel import replicate
 
@@ -638,6 +674,8 @@ class MultiSubjectTrainer:
                     f"train WER {snapshot['training']['word_error_rate']:.3f} "
                     f"val WER {snapshot['validation']['word_error_rate']:.3f}"
                 )
+            if checkpoint_every_assessment:
+                self.save_checkpoint(epoch)
         self.assessments = history
         return history
 
@@ -688,6 +726,7 @@ class MultiSubjectTrainer:
         out: dict[str, dict] = {}
         for partition in partitions:
             ds = self.packed_dataset(partition)
+            dev = self.device_data(partition)
             all_refs, all_hyps = [], []
             true_ids, pred_ids = [], []
             for s in range(ds.num_subjects):
@@ -696,8 +735,8 @@ class MultiSubjectTrainer:
                     continue
                 tokens = decode(
                     params,
-                    jnp.asarray(ds.encoder_inputs[s]),
-                    jnp.asarray(ds.encoder_lengths[s]),
+                    dev["encoder_inputs"][s],
+                    dev["encoder_lengths"][s],
                     jnp.asarray(s, jnp.int32),
                 )
                 tokens = np.asarray(tokens)[:n]

@@ -159,3 +159,24 @@ def test_warmup_schedule_trains(tmp_path):
     )
     history = tr.fit(num_epochs=4)
     assert history
+
+
+def test_checkpoint_every_assessment_and_resume(tmp_path):
+    """Crash-recovery path: periodic checkpoints during fit, then a
+    fresh trainer resumes from the newest one."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY,
+        assessment_epoch_interval=5,
+    )
+    kwargs = {"batch_size": 16, "max_dec_len": 10,
+              "checkpoint_every_assessment": True}
+    tr = MultiSubjectTrainer(mp, [1], SN_kwargs=kwargs, VERBOSE=False)
+    tr.fit(num_epochs=10, assess=False)
+    assert tr.restore_epoch == 10
+    # "crash": fresh trainer, resume picks up epoch 10 and continues
+    tr2 = MultiSubjectTrainer(mp, [1], SN_kwargs=kwargs, VERBOSE=False)
+    tr2.parallel_transfer_learn(RESUME=True, num_epochs=5, assess=False)
+    assert int(tr2.state.epoch) == 15

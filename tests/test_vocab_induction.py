@@ -49,21 +49,31 @@ def test_training_intersection_validation_union(tmp_path):
     induced = tr.target_subject.data_manifests["decoder_targets"].feature_list
     assert induced[:3] == ["<pad>", "<EOS>", "<OOV>"]
 
-    gen_a = tr.ecog_subjects[0].data_generator
-    gen_b = tr.ecog_subjects[1].data_generator
-    tokens_a = {t for s in gen_a.sentences for t in gen_a._sentence_tokenize(s)}
-    tokens_b = {t for s in gen_b.sentences for t in gen_b._sentence_tokenize(s)}
-    # (a) everything in the induced list is attested somewhere
-    assert set(induced[3:]) <= tokens_a | tokens_b
-    # (b) the shared training tokens all survive the intersection
-    # (subject 1 trains on all its blocks as a donor, so its 20-sentence
-    # vocab intersected with subject 2's is exactly tokens_a ∩ tokens_b)
-    assert tokens_a & tokens_b <= set(induced)
-    # (c) tokens ONLY in B's sentences still appear via the
-    # validation/testing union (B's val/test blocks draw from all 50)
-    only_b = tokens_b - tokens_a
-    if only_b:  # inventory-dependent, usually nonempty
-        assert only_b & set(induced), "validation-union dropped B-only tokens"
+    # expected set, computed directly from the records the reduction
+    # reads: ∪ over partitions of (∩ over subjects for training,
+    # ∪ over subjects otherwise)
+    def observed(subject, partition):
+        out = set()
+        for block in subject.block_ids(partition):
+            from ecog2txt_tpu.records import read_examples
+
+            for ex in read_examples(
+                subject.data_generator.tf_record_path(block)
+            ):
+                out |= {t.decode() for t in ex["text_sequence"]}
+        return out
+
+    a, b = tr.ecog_subjects
+    expected = (
+        (observed(a, "training") & observed(b, "training"))
+        | observed(a, "validation") | observed(b, "validation")
+        | observed(a, "testing") | observed(b, "testing")
+    )
+    assert set(induced[3:]) == expected
+    # the asymmetry is real: the intersection dropped something
+    only_a_train = observed(a, "training") - observed(b, "training")
+    dropped = only_a_train - expected
+    assert only_a_train, "fixture should make subject vocabs differ"
 
 
 def test_explicit_vocab_list_kwarg_wins(tmp_path):
