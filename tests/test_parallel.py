@@ -100,14 +100,15 @@ def test_trainer_data_parallel_end_to_end(tmp_path):
         SN_kwargs={
             "batch_size": 16,  # 2 per device
             "max_dec_len": 10, "learning_rate": 3e-3,
-            "N_epochs": 20, "data_parallel": True,
+            "N_epochs": 40, "data_parallel": True,
         },
         VERBOSE=False,
     )
     assert tr.mesh is not None and tr.mesh.shape["data"] == 8
     history = tr.fit()
     wers = [h["training"]["word_error_rate"] for h in history.values()]
-    assert wers[-1] < wers[0]
+    # EMA-assessed WER lags early; by 40 epochs it must clearly fall
+    assert wers[-1] < wers[0] - 0.05, f"no learning under dp: {wers}"
 
 
 def test_graft_entry_dryrun():
