@@ -106,3 +106,15 @@ def test_streaming_caps_at_max_samples(trainer):
     big = np.zeros((predictor.max_samples + 500, C), np.float32)
     session.push(big)
     assert session.num_samples == predictor.max_samples
+
+
+def test_predictor_matches_assessment_decode(trainer):
+    """The online predictor (padded to max_samples, B=1) must produce
+    the same hypotheses as the batched assessment decode path."""
+    out = trainer.assess(["validation"])["validation"]
+    predictor = OnlinePredictor.from_trainer(trainer)
+    ds = trainer.packed_dataset("validation")
+    for i in range(3):
+        L = int(ds.encoder_lengths[0, i])
+        got = predictor(ds.encoder_inputs[0, i, :L])["sequences"][0]
+        assert got == out["hypotheses"][i]
