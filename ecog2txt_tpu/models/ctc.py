@@ -149,10 +149,10 @@ def ctc_word_beam_search(
             total = _logsumexp2(pb, pnb)
             # 1) blank: prefix unchanged
             add((words, partial), node, total + lp[blank], NEG, last)
-            # 2) repeat last non-blank phoneme: stays in same prefix
-            if last >= 0:
-                add((words, partial), node, NEG if pb == NEG else NEG,
-                    pnb + lp[last], last)
+            # 2) repeat last non-blank phoneme: stays in the same prefix
+            # (contributes to the non-blank mass only)
+            if last >= 0 and pnb != NEG:
+                add((words, partial), node, NEG, pnb + lp[last], last)
             # 3) extend with a phoneme allowed by the trie
             for p in trie.children(node):
                 child = node[p]
