@@ -407,6 +407,11 @@ class MultiSubjectTrainer:
                 )
             ),
             use_pallas_lstm=bool(self.SN_kwargs.get("use_pallas_lstm", False)),
+            # 'bfloat16' for MXU-native matmuls (fp32 accumulation
+            # everywhere; params stay fp32) — the TPU setting
+            compute_dtype=getattr(
+                jnp, str(self.SN_kwargs.get("compute_dtype", "float32"))
+            ),
             pad_id=int(dec_list.index(pad_token)),
             eos_id=int(dec_list.index(EOS_token)),
         )

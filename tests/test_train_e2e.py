@@ -180,3 +180,22 @@ def test_checkpoint_every_assessment_and_resume(tmp_path):
     tr2 = MultiSubjectTrainer(mp, [1], SN_kwargs=kwargs, VERBOSE=False)
     tr2.parallel_transfer_learn(RESUME=True, num_epochs=5, assess=False)
     assert int(tr2.state.epoch) == 15
+
+
+def test_compute_dtype_wiring(tmp_path):
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"max_dec_len": 10, "compute_dtype": "bfloat16"},
+        VERBOSE=False,
+    )
+    assert tr.net_config.compute_dtype == jnp.bfloat16
+    history = tr.fit(num_epochs=4)
+    assert history  # trains under bf16 compute
