@@ -1,0 +1,61 @@
+"""BASELINE configs[1]: auxiliary MFCC (Gaussian) speech targets + beam
+decoding, end-to-end through manifest → records → trainer."""
+
+import numpy as np
+import pytest
+
+from ecog2txt_tpu.demo import make_demo_experiment
+from ecog2txt_tpu.train import MultiSubjectTrainer
+
+TINY = {
+    "encoder_embedding": [16],
+    "encoder_rnn": [24],
+    "encoder_1_projection": [16],
+    "decoder_embedding": [12],
+    "decoder_rnn": [48],
+    "decoder_projection": [],
+}
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mfcc")
+    mp = make_demo_experiment(
+        str(root / "exp"), subject_ids=(1,), layer_sizes=TINY,
+        data_mapping={
+            "encoder_inputs": "ecog_sequence",
+            "encoder_1_targets": "audio_sequence",  # MFCC regression head
+            "decoder_targets": "text_sequence",
+        },
+        audio_sequence_penalty_scale=0.1,
+    )
+    return MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"batch_size": 16, "max_dec_len": 10, "learning_rate": 3e-3,
+                   "beam_width": 2},
+        VERBOSE=False,
+    )
+
+
+def test_gaussian_aux_head_configured(trainer):
+    head = [h for h in trainer.net_config.aux_heads
+            if h.name == "encoder_1_targets"][0]
+    assert head.distribution == "Gaussian"
+    assert head.out_dim == trainer.target_subject.data_generator.num_MFCC_features
+
+
+def test_mfcc_targets_packed(trainer):
+    ds = trainer.packed_dataset("training")
+    mfcc = ds.aux_targets["encoder_1_targets"]
+    assert mfcc.ndim == 4  # (S, N, T, F)
+    assert mfcc.shape[-1] == 13
+    assert np.abs(mfcc).sum() > 0  # real synthesized-audio features
+
+
+def test_trains_with_mfcc_aux_and_beam(trainer):
+    history = trainer.fit(num_epochs=20)
+    snaps = list(history.values())
+    assert all(np.isfinite(s["training"]["word_error_rate"]) for s in snaps)
+    # the Gaussian head participates; the model still learns
+    wers = [s["training"]["word_error_rate"] for s in snaps]
+    assert wers[-1] <= wers[0] + 0.05
