@@ -670,10 +670,26 @@ class MultiSubjectTrainer:
             )
             done += segment
             epoch = int(self.state.epoch)
+            tm = {k: float(v) for k, v in metrics.items()}
+            # failure detection (SURVEY §5: absent in the reference):
+            # a diverged segment is rolled back to the newest checkpoint
+            # before surfacing, so training state is never left NaN
+            if not np.isfinite(tm.get("loss_total", 0.0)):
+                recovered = ""
+                if self.restore_epoch is not None:
+                    self.restore()
+                    recovered = (
+                        f"; restored checkpoint at epoch "
+                        f"{int(self.state.epoch)}"
+                    )
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} "
+                    f"(loss={tm['loss_total']}){recovered}. Try a lower "
+                    "learning rate or warmup_steps."
+                )
             if assess:
                 snapshot = self.assess()
                 history[str(epoch)] = snapshot
-                tm = {k: float(v) for k, v in metrics.items()}
                 self.vprint(
                     f"epoch {epoch}: loss {tm['loss_total']:.4f} "
                     f"train WER {snapshot['training']['word_error_rate']:.3f} "

@@ -199,3 +199,32 @@ def test_compute_dtype_wiring(tmp_path):
     assert tr.net_config.compute_dtype == jnp.bfloat16
     history = tr.fit(num_epochs=4)
     assert history  # trains under bf16 compute
+
+
+def test_divergence_detection_and_rollback(tmp_path):
+    """Failure detection: a diverged (NaN) segment raises after rolling
+    back to the newest checkpoint."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY,
+        assessment_epoch_interval=5,
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"batch_size": 16, "max_dec_len": 10,
+                   "checkpoint_every_assessment": True},
+        VERBOSE=False,
+    )
+    tr.fit(num_epochs=5, assess=False)  # good checkpoint at epoch 5
+    tr.learning_rate = 1e18  # force divergence
+    tr._runner_cache = {}
+    with pytest.raises(FloatingPointError, match="restored checkpoint"):
+        tr.fit(num_epochs=5, assess=False)
+    assert int(tr.state.epoch) == 5  # rolled back, not left NaN
+    import jax
+    assert all(
+        np.isfinite(np.asarray(l)).all()
+        for l in jax.tree.leaves(tr.state.params)
+    )
