@@ -240,6 +240,47 @@ def restrict_trials(
     )
 
 
+def shard_dataset(
+    dataset: PackedDataset, shard_trials: int
+) -> list[PackedDataset]:
+    """Slice a packed dataset along the trial axis into equal-size
+    shards (the last one zero-padded with masked rows).  The host-
+    sharded streaming path for corpora exceeding device memory: shards
+    upload one at a time, every shard has identical shapes so the
+    jitted train segment compiles once."""
+    N = dataset.encoder_inputs.shape[1]
+    shard_trials = int(shard_trials)
+    shards = []
+    for start in range(0, N, shard_trials):
+        end = min(start + shard_trials, N)
+        pad = shard_trials - (end - start)
+
+        def cut(a: np.ndarray) -> np.ndarray:
+            piece = a[:, start:end]
+            if pad:
+                widths = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
+                piece = np.pad(piece, widths)
+            return piece
+
+        refs = [
+            r[start:end] + [[]] * pad for r in dataset.references
+        ]
+        shards.append(
+            PackedDataset(
+                encoder_inputs=cut(dataset.encoder_inputs),
+                encoder_lengths=cut(dataset.encoder_lengths),
+                decoder_targets=cut(dataset.decoder_targets),
+                decoder_lengths=cut(dataset.decoder_lengths),
+                aux_targets={
+                    k: cut(v) for k, v in dataset.aux_targets.items()
+                },
+                trial_mask=cut(dataset.trial_mask),
+                references=refs,
+            )
+        )
+    return shards
+
+
 def make_schedule(
     dataset: PackedDataset,
     batch_size: int,

@@ -643,31 +643,69 @@ class MultiSubjectTrainer:
             self.state = self.state._replace(
                 opt_state=optimizer.init(self.state.params)
             )
-        data = self.device_data("training")
-        if self.mesh is not None:
-            from .parallel import replicate
+        # host-sharded streaming when the corpus exceeds the device
+        # budget (SN_kwargs max_device_trials): shards upload one at a
+        # time; within a segment each shard trains `segment` epochs in
+        # turn (block-sequential sampling — documented tradeoff)
+        max_dev = self.SN_kwargs.get("max_device_trials")
+        streaming = bool(max_dev) and train_data.encoder_inputs.shape[
+            1
+        ] > int(max_dev)
+        if streaming:
+            from .pipeline import shard_dataset
 
-            data = replicate(data, self.mesh)
-            self.state = replicate(self.state, self.mesh)
+            shards = shard_dataset(train_data, int(max_dev))
+        else:
+            data = self.device_data("training")
+            if self.mesh is not None:
+                from .parallel import replicate
+
+                data = replicate(data, self.mesh)
+                self.state = replicate(self.state, self.mesh)
         rng_np = np.random.default_rng(self.seed + int(self.state.epoch))
         history: dict[str, dict] = {}
         done = 0
         while done < num_epochs:
             segment = min(self.assessment_epoch_interval, num_epochs - done)
-            subjects_sched, idx_sched = make_schedule(
-                train_data, self.batch_size, segment, rng_np, subject_subset
-            )
             rng = jax.random.PRNGKey(
                 self.seed + 1000 + int(self.state.epoch)
             )
-            self.state, metrics = runner(
-                self.state,
-                data,
-                jnp.asarray(subjects_sched),
-                jnp.asarray(idx_sched),
-                rng,
-                segment,
-            )
+            if streaming:
+                for si, shard in enumerate(shards):
+                    if not int(shard.num_trials.sum()):
+                        continue
+                    subjects_sched, idx_sched = make_schedule(
+                        shard, self.batch_size, segment, rng_np,
+                        subject_subset,
+                    )
+                    shard_dev = {
+                        k: jnp.asarray(v)
+                        for k, v in shard.batch_dict().items()
+                    }
+                    self.state, metrics = runner(
+                        self.state,
+                        shard_dev,
+                        jnp.asarray(subjects_sched),
+                        jnp.asarray(idx_sched),
+                        jax.random.fold_in(rng, si),
+                        0,  # epochs counted once, below
+                    )
+                self.state = self.state._replace(
+                    epoch=self.state.epoch + segment
+                )
+            else:
+                subjects_sched, idx_sched = make_schedule(
+                    train_data, self.batch_size, segment, rng_np,
+                    subject_subset,
+                )
+                self.state, metrics = runner(
+                    self.state,
+                    data,
+                    jnp.asarray(subjects_sched),
+                    jnp.asarray(idx_sched),
+                    rng,
+                    segment,
+                )
             done += segment
             epoch = int(self.state.epoch)
             tm = {k: float(v) for k, v in metrics.items()}

@@ -108,3 +108,21 @@ def test_schedule_empty_raises(subjects):
     ds.trial_mask[:] = False
     with _pytest.raises(ValueError):
         make_schedule(ds, 8, 1, np.random.default_rng(0))
+
+
+def test_shard_dataset(subjects):
+    from ecog2txt_tpu.pipeline import shard_dataset
+
+    ds = pack_partition(subjects, "training")  # 40 trials/subject
+    shards = shard_dataset(ds, 16)
+    assert len(shards) == 3
+    assert all(s.encoder_inputs.shape[1] == 16 for s in shards)
+    # trials conserved (last shard padded with masked rows)
+    assert sum(int(s.num_trials.sum()) for s in shards) == int(
+        ds.num_trials.sum()
+    )
+    np.testing.assert_array_equal(
+        shards[1].encoder_inputs[0, 0], ds.encoder_inputs[0, 16]
+    )
+    assert shards[2].trial_mask[0, 8:].sum() == 0
+    assert shards[1].references[0][0] == ds.references[0][16]

@@ -228,3 +228,24 @@ def test_divergence_detection_and_rollback(tmp_path):
         np.isfinite(np.asarray(l)).all()
         for l in jax.tree.leaves(tr.state.params)
     )
+
+
+def test_streaming_sharded_training(tmp_path):
+    """max_device_trials < corpus: host-sharded streaming path trains
+    and matches epoch accounting."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"batch_size": 8, "max_dec_len": 10, "learning_rate": 3e-3,
+                   "max_device_trials": 16},  # 40 trials -> 3 shards
+        VERBOSE=False,
+    )
+    history = tr.fit(num_epochs=20)
+    assert int(tr.state.epoch) == 20
+    wers = [h["training"]["word_error_rate"] for h in history.values()]
+    assert wers[-1] < wers[0]  # learns through the sharded path
