@@ -482,6 +482,23 @@ class SyntheticDataGenerator(ECoGDataGenerator):
             segments.append(np.sin(2 * np.pi * freq * seg_t))
         return rate, np.concatenate(segments) if segments else np.zeros(0)
 
+    def _aligned_phonemes(self, words: list[str]) -> list[str]:
+        """Frame-aligned per-sample phoneme labels (one label per ECoG
+        sample): each word's phonemes split its ``samples_per_word``
+        samples evenly.  This mirrors the reference's encoder targets,
+        which are per-sample label sequences reversed+decimated to the
+        encoder rate (reference trainers.py:789-799); CTC targets are
+        derived by collapsing runs (pipeline.pack_partition)."""
+        out: list[str] = []
+        for word in words:
+            phones = word_to_phonemes(word) or ["<OOV>"]
+            bounds = np.linspace(
+                0, self.samples_per_word, len(phones) + 1
+            ).astype(int)
+            for p, a, b in zip(phones, bounds[:-1], bounds[1:]):
+                out.extend([p] * (b - a))
+        return out
+
     def _ecog_token_generator(self, block: int) -> Iterator[dict[str, Any]]:
         noise_rng = np.random.default_rng(
             _stable_seed(self.seed, "noise", int(self.subject_id), block)
@@ -493,7 +510,7 @@ class SyntheticDataGenerator(ECoGDataGenerator):
                 scale=1.0, size=ecog.shape
             ).astype(np.float32)
             rate, signal = self._get_wav_data(sentence)
-            phonemes = [p for w in words for p in word_to_phonemes(w)]
+            phonemes = self._aligned_phonemes(words)
             yield {
                 "ecog_sequence": ecog.astype(np.float32),
                 "text_sequence": self._sentence_tokenize(sentence),
@@ -508,12 +525,15 @@ class SyntheticDataGenerator(ECoGDataGenerator):
 
     def full_class_list(self) -> list[str]:
         """All tokens reachable from the sentence inventory, with special
-        tokens prepended."""
+        tokens prepended (EOS only for sequence token types — reference
+        trainers.py:191-199)."""
         unique: dict[str, None] = {}
         for sentence in self.sentences:
             for token in self._sentence_tokenize(sentence):
                 unique.setdefault(token)
-        return with_special_tokens(list(unique))
+        return with_special_tokens(
+            list(unique), self.token_type.endswith("sequence")
+        )
 
     def full_phoneme_list(self) -> list[str]:
         unique: dict[str, None] = {}

@@ -183,8 +183,10 @@ def pack_partition(
                     aux[key][s, n, : len(v)] = v
                     aux[f"{key}_lengths"][s, n] = len(v)
                 elif v.ndim == 1:
-                    # categorical labels at the raw rate; repeat-pad the
-                    # tail so decimated slices stay in-distribution
+                    # frame-aligned categorical labels at the raw rate;
+                    # the zero tail never enters the loss (seq2seq_loss
+                    # reverses the valid prefix by encoder_lengths and
+                    # masks by step)
                     L = min(len(v), T_max)
                     aux[key][s, n, :L] = v[:L]
                 else:

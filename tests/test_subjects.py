@@ -42,6 +42,22 @@ def test_synthetic_generator_deterministic(demo):
     assert t1[0]["audio_sequence"].shape[1] == 13
 
 
+def test_phoneme_labels_are_frame_aligned(demo):
+    """Encoder aux targets are per-SAMPLE label sequences (reference
+    trainers.py:789-799): one phoneme label per ECoG sample, so the
+    reverse+decimate alignment in seq2seq_loss lines up."""
+    gen = SyntheticDataGenerator(demo[1], 1)
+    for trial in gen._ecog_token_generator(1):
+        assert len(trial["phoneme_sequence"]) == len(trial["ecog_sequence"])
+        # labels form word-sized runs, not one label per phoneme
+        runs = sum(
+            1
+            for i in range(1, len(trial["phoneme_sequence"]))
+            if trial["phoneme_sequence"][i] != trial["phoneme_sequence"][i - 1]
+        )
+        assert runs + 1 < len(trial["phoneme_sequence"])
+
+
 def test_synthetic_sentences_discriminable(demo):
     """Different sentences → different ECoG; same sentence → same ECoG
     up to noise (what makes WER→0 learnable)."""
