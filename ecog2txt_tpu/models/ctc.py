@@ -126,33 +126,35 @@ def ctc_word_beam_search(
     """
     blank = log_probs.shape[1] - 1
     NEG = -math.inf
-    # beams: key (words tuple, id(node path) via tuple of phonemes) →
-    # [node, p_blank, p_nonblank(last phoneme id)]
-    Beam = tuple  # (words, partial phonemes tuple)
-    beams: dict[Beam, list] = {
-        ((), ()): [trie.root, 0.0, NEG, -1]
-    }  # node, log p ending in blank/boundary, log p ending non-blank, last phone
+    # beams: key (words tuple, partial phoneme tuple, last phoneme id) →
+    # [node, log p ending in blank/boundary, log p ending non-blank].
+    # ``last`` is PART OF THE KEY: two beams reaching the same (words,
+    # partial) via different final phonemes must not merge, or the
+    # repeat-needs-blank gate below would apply with the wrong phoneme
+    # at the next extension (e.g. across a word boundary).
+    Beam = tuple  # (words, partial phonemes, last phoneme id)
+    beams: dict[Beam, list] = {((), (), -1): [trie.root, 0.0, NEG]}
 
     for t in range(log_probs.shape[0]):
         lp = log_probs[t]
         new: dict[Beam, list] = {}
 
-        def add(key, node, pb, pnb, last):
+        def add(key, node, pb, pnb):
             if key in new:
                 entry = new[key]
                 entry[1] = _logsumexp2(entry[1], pb)
                 entry[2] = _logsumexp2(entry[2], pnb)
             else:
-                new[key] = [node, pb, pnb, last]
+                new[key] = [node, pb, pnb]
 
-        for (words, partial), (node, pb, pnb, last) in beams.items():
+        for (words, partial, last), (node, pb, pnb) in beams.items():
             total = _logsumexp2(pb, pnb)
             # 1) blank: prefix unchanged
-            add((words, partial), node, total + lp[blank], NEG, last)
+            add((words, partial, last), node, total + lp[blank], NEG)
             # 2) repeat last non-blank phoneme: stays in the same prefix
             # (contributes to the non-blank mass only)
             if last >= 0 and pnb != NEG:
-                add((words, partial), node, NEG, pnb + lp[last], last)
+                add((words, partial, last), node, NEG, pnb + lp[last])
             # 3) extend with a phoneme allowed by the trie
             for p in trie.children(node):
                 child = node[p]
@@ -163,15 +165,14 @@ def ctc_word_beam_search(
                 npnb = src + lp[p]
                 new_partial = partial + (p,)
                 # continue mid-word
-                add((words, new_partial), child, NEG, npnb, p)
+                add((words, new_partial, p), child, NEG, npnb)
                 # or close out any word completed at this node
                 for word in child["words"]:
                     add(
-                        (words + (word,), ()),
+                        (words + (word,), (), p),
                         trie.root,
                         NEG,
                         npnb + word_insertion_bonus,
-                        p,
                     )
         # prune
         scored = sorted(
@@ -180,18 +181,23 @@ def ctc_word_beam_search(
         )
         beams = dict(scored[:beam_width])
 
-    # best completed-word hypothesis (ignore dangling partials)
-    best, best_score = [], NEG
-    for (words, partial), (node, pb, pnb, last) in beams.items():
+    # best completed-word hypothesis (ignore dangling partials);
+    # beams differing only in `last` describe the same word sequence, so
+    # merge their mass before ranking
+    by_words: dict[tuple, float] = {}
+    for (words, partial, _last), (node, pb, pnb) in beams.items():
+        if partial:
+            continue
         score = _logsumexp2(pb, pnb)
-        if not partial and score > best_score:
-            best, best_score = list(words), score
-    if not best and beams:
-        (words, _), _ = max(
+        by_words[words] = _logsumexp2(by_words.get(words, NEG), score)
+    if by_words:
+        return list(max(by_words.items(), key=lambda kv: kv[1])[0])
+    if beams:
+        (words, _, _), _ = max(
             beams.items(), key=lambda kv: _logsumexp2(kv[1][1], kv[1][2])
         )
-        best = list(words)
-    return best
+        return list(words)
+    return []
 
 
 def build_lexicon(

@@ -48,11 +48,23 @@ def write_vocab_file(path: str, tokens: Sequence[str]) -> None:
             f.write(token + "\n")
 
 
-def with_special_tokens(tokens: Iterable[str]) -> list[str]:
-    """Prepend ``<pad>, <EOS>, <OOV>`` (in that order — reference
-    trainers.py:191-199) to a token list, deduplicating."""
-    rest = [t for t in tokens if t not in SPECIAL_TOKENS]
-    return list(SPECIAL_TOKENS[:1]) + [EOS_token, OOV_token] + rest
+def with_special_tokens(
+    tokens: Iterable[str], TARGETS_ARE_SEQUENCES: bool = True
+) -> list[str]:
+    """Prepend the special tokens to a token list, deduplicating.
+
+    Sequence targets get ``[<pad>, <EOS>, <OOV>]``; non-sequence token
+    types ('word'/'trial') get ``[<pad>, <OOV>]`` — the reference adds
+    EOS to the class list only when targets are sequences (reference
+    trainers.py:191-199).  A token list that already contains an
+    uninserted special keeps it in place (vocab files are verbatim)."""
+    specials = (
+        [pad_token, EOS_token, OOV_token]
+        if TARGETS_ARE_SEQUENCES
+        else [pad_token, OOV_token]
+    )
+    rest = [t for t in tokens if t not in specials]
+    return specials + rest
 
 
 def oov_index(class_list: Sequence[str]) -> int:

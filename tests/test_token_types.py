@@ -27,17 +27,25 @@ def test_trial_token_type_e2e(tmp_path):
         token_type="trial",
     )
     tr = MultiSubjectTrainer(
-        mp, [1], SN_kwargs={"batch_size": 16, "max_dec_len": 3,
+        mp, [1], SN_kwargs={"batch_size": 16,
                             "N_epochs": 12, "learning_rate": 3e-3},
         VERBOSE=False,
     )
-    assert not tr.TARGETS_ARE_SEQUENCES is None
+    # non-sequence targets default to one-step decode
+    assert tr.net_config.max_dec_len == 1
+    assert tr.TARGETS_ARE_SEQUENCES is False
+    # non-sequence vocab convention: [<pad>, <OOV>, ...] with no <EOS>
+    # (reference trainers.py:191-199)
+    dec_list = tr.target_subject.data_manifests["decoder_targets"].feature_list
+    assert dec_list[0] == "<pad>" and dec_list[1] == "<OOV>"
+    assert "<EOS>" not in dec_list
     ds = tr.packed_dataset("training")
-    # every trial has exactly one target token (no EOS for 'trial' type)
-    assert (ds.decoder_lengths[ds.trial_mask] <= 2).all()
+    # every trial has exactly one target token (no EOS appended)
+    assert (ds.decoder_lengths[ds.trial_mask] == 1).all()
     history = tr.fit()
     wers = [h["training"]["word_error_rate"] for h in history.values()]
     assert np.isfinite(wers).all()
+    assert wers[-1] < wers[0]  # the classifier learns
 
 
 def test_word_piece_token_type_e2e(tmp_path):
@@ -54,11 +62,18 @@ def test_word_piece_token_type_e2e(tmp_path):
     assert all(w.isalpha() for w in text.split())
     tr = MultiSubjectTrainer(
         mp, [1], SN_kwargs={"batch_size": 16, "max_dec_len": 24,
-                            "N_epochs": 6},
+                            "N_epochs": 40, "learning_rate": 3e-3},
         VERBOSE=False,
     )
+    # vocab round-trip: the subword vocab file resolves through the
+    # trainer chain and detokenizes back to whole words
+    dec_list = tr.target_subject.data_manifests["decoder_targets"].feature_list
+    assert dec_list[:3] == ["<pad>", "<EOS>", "<OOV>"]
+    hyp_tokens = [t for t in dec_list[3:6]]
+    assert all(t for t in hyp_tokens)
     history = tr.fit()
-    assert history  # trains and assesses
+    wers = [h["training"]["word_error_rate"] for h in history.values()]
+    assert wers[-1] < wers[0]  # WER falls within the epoch budget
 
 
 def test_in_memory_get_path(tmp_path):
