@@ -32,15 +32,23 @@ from .train import MultiSubjectTrainer
 
 
 def _restricted_trainer(base: MultiSubjectTrainer, **sn_overrides):
-    """Fresh trainer sharing the base's manifests/records."""
+    """Fresh trainer sharing the base's manifests/records.  ALL ctor
+    kwargs are threaded through (DG/ES/RP overrides and explicit vocab
+    lists), so every sweep cell retrains the SAME experiment with only
+    ``sn_overrides`` changed."""
     kwargs = dict(base.SN_kwargs)
     kwargs.update(sn_overrides)
     return MultiSubjectTrainer(
         base._manifest_path,
         base.subject_ids,
+        text_dir=base._text_dir,
         SN_kwargs=kwargs,
+        DG_kwargs=base.DG_kwargs,
+        ES_kwargs=base.ES_kwargs,
+        RP_kwargs=base.RP_kwargs,
         VERBOSE=False,
         seed=base.seed,
+        **base.kwargs,
     )
 
 

@@ -41,9 +41,14 @@ def beam_decode(
     beam_width: int = 4,
     alpha: float = 0.6,
     return_all: bool = False,
+    temperature: float = 0.0,
 ):
     """Returns the best hypothesis (B, max_dec_len) int32 — or, with
     ``return_all``, (tokens (B, K, L), scores (B, K)) sorted best-first.
+
+    ``temperature`` > 0 rescales logits before scoring (the manifest's
+    ``temperature`` knob composed with ``beam_width`` — reference
+    yaml:31,82); 0 keeps raw log-probabilities.
     """
     K = int(beam_width)
     dummy = jax.random.PRNGKey(0)
@@ -90,6 +95,8 @@ def beam_decode(
             )
             out = jnp.moveaxis(out_kbh, 0, 1).reshape(B * K, -1)
         logits = _dense(decoder["out"], out, config.compute_dtype)
+        if temperature and temperature > 0:
+            logits = logits / temperature
         step_logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
         step_logp = jnp.where(finished[..., None], pad_only, step_logp)
 

@@ -152,6 +152,7 @@ class ResultsPlotter:
         """Slide an occlusion subgrid; re-assess WER per position
         (reference plotters.py:567-646).  Returns (WER per position,
         the masks)."""
+        import jax
         import jax.numpy as jnp
 
         layout = self.grid.layout
@@ -182,6 +183,7 @@ class ResultsPlotter:
                         jnp.asarray(inputs),
                         jnp.asarray(ds.encoder_lengths[s]),
                         jnp.asarray(s, jnp.int32),
+                        jax.random.PRNGKey(self.trainer.seed),
                     )
                 )[:n]
                 hyps = target_inds_to_sequences(tokens, dec_list)

@@ -137,7 +137,13 @@ class ECoGSubject:
         pretrain_all_blocks: bool = False,
         target_specs: dict | None = None,
         DG_kwargs: dict | None = None,
+        **overrides: object,
     ):
+        # extra ES_kwargs override manifest keys for this subject (the
+        # reference's auto_attribute kwarg>manifest semantics applied to
+        # ECoGSubject ctor args, reference README.md:42, trainers.py:80)
+        if overrides:
+            manifest = manifest.updated(overrides)
         self.manifest = manifest
         self.subject_id = int(subject_id)
         self.pretrain_all_blocks = pretrain_all_blocks

@@ -190,6 +190,8 @@ class MultiSubjectTrainer:
             experiment_manifest_name, text_dir
         )
         self.SN_kwargs = dict(SN_kwargs or {})
+        self.DG_kwargs = dict(DG_kwargs or {})
+        self.ES_kwargs = dict(ES_kwargs or {})
         self.RP_kwargs = dict(RP_kwargs or {})
         self.kwargs = kwargs
         self.VERBOSE = VERBOSE
@@ -209,8 +211,8 @@ class MultiSubjectTrainer:
                 self.manifests[sid],
                 sid,
                 pretrain_all_blocks=(sid != self.subject_ids[-1]),
-                DG_kwargs=DG_kwargs,
-                **(ES_kwargs or {}),
+                DG_kwargs=self.DG_kwargs,
+                **self.ES_kwargs,
             )
             for sid in self.subject_ids
         ]
@@ -289,7 +291,9 @@ class MultiSubjectTrainer:
                 )
                 with open(pkl, "wb") as f:
                     pickle.dump(class_list, f)
-            class_list = with_special_tokens(class_list)
+            class_list = with_special_tokens(
+                class_list, self.TARGETS_ARE_SEQUENCES
+            )
             for subject in self.ecog_subjects:
                 subject.set_feature_list(tensor_key, class_list)
 
@@ -388,7 +392,13 @@ class MultiSubjectTrainer:
             dec_rnn_sizes=tuple(layer_sizes.get("decoder_rnn", [800])),
             max_dec_len=int(
                 self.SN_kwargs.get(
-                    "max_dec_len", manifest.resolve("max_dec_len", default=20)
+                    "max_dec_len",
+                    manifest.resolve(
+                        "max_dec_len",
+                        # non-sequence token types ('word'/'trial') are
+                        # one-token classification: decode one step
+                        default=20 if self.TARGETS_ARE_SEQUENCES else 1,
+                    ),
                 )
             ),
             FF_dropout=float(manifest.resolve("FF_dropout", default=0.1)),
@@ -406,14 +416,20 @@ class MultiSubjectTrainer:
                     "encoder_type", self.SN_kwargs.get("encoder_type"), "lstm"
                 )
             ),
-            use_pallas_lstm=bool(self.SN_kwargs.get("use_pallas_lstm", False)),
+            # False | True (chunked-grid kernels) | 'dma' (single-launch)
+            use_pallas_lstm=self.SN_kwargs.get("use_pallas_lstm", False),
             # 'bfloat16' for MXU-native matmuls (fp32 accumulation
             # everywhere; params stay fp32) — the TPU setting
             compute_dtype=getattr(
                 jnp, str(self.SN_kwargs.get("compute_dtype", "float32"))
             ),
             pad_id=int(dec_list.index(pad_token)),
-            eos_id=int(dec_list.index(EOS_token)),
+            # non-sequence vocabs omit <EOS>; -1 never matches a token
+            eos_id=(
+                int(dec_list.index(EOS_token))
+                if EOS_token in dec_list
+                else -1
+            ),
         )
         self.beam_width = int(
             self.SN_kwargs.get(
@@ -507,8 +523,12 @@ class MultiSubjectTrainer:
             self.subject_ids,
             text_dir=self._text_dir,
             SN_kwargs=self.SN_kwargs,
+            DG_kwargs=self.DG_kwargs,
+            ES_kwargs=self.ES_kwargs,
+            RP_kwargs=self.RP_kwargs,
             VERBOSE=False,
             seed=self.seed,
+            **self.kwargs,  # explicit *_vocab_list kwargs survive
         )
         s = (
             subject_index
@@ -620,10 +640,19 @@ class MultiSubjectTrainer:
         )
         total_steps = num_epochs * max(steps_per_epoch, 1)
         # cache the (optimizer, jitted runner) pair: re-tracing the
-        # scanned segment costs seconds per fit() call otherwise
+        # scanned segment costs seconds per fit() call otherwise.  The
+        # key covers every hyperparameter baked into the runner, so
+        # mutating learning_rate / EMA_decay / penalty_scales / mesh
+        # between fit() calls takes effect instead of silently reusing
+        # a stale optimizer.
         cache_key = (
             train_vars_scope,
             int(self.SN_kwargs.get("warmup_steps", 0)) and total_steps,
+            self.SN_kwargs.get("lr_schedule"),
+            self.learning_rate,
+            self.EMA_decay,
+            tuple(sorted(self.penalty_scales.items())),
+            None if self.mesh is None else tuple(self.mesh.shape.items()),
         )
         if not hasattr(self, "_runner_cache"):
             self._runner_cache = {}
@@ -655,6 +684,13 @@ class MultiSubjectTrainer:
             from .pipeline import shard_dataset
 
             shards = shard_dataset(train_data, int(max_dev))
+            if self.mesh is not None:
+                from .parallel import replicate
+
+                # same placement contract as the resident path: params
+                # replicated, per-step batches constrained to the data
+                # axis inside the runner
+                self.state = replicate(self.state, self.mesh)
         else:
             data = self.device_data("training")
             if self.mesh is not None:
@@ -682,6 +718,10 @@ class MultiSubjectTrainer:
                         k: jnp.asarray(v)
                         for k, v in shard.batch_dict().items()
                     }
+                    if self.mesh is not None:
+                        from .parallel import replicate
+
+                        shard_dev = replicate(shard_dev, self.mesh)
                     self.state, metrics = runner(
                         self.state,
                         shard_dev,
@@ -740,31 +780,44 @@ class MultiSubjectTrainer:
 
     # -- assessment ---------------------------------------------------------
 
+    @property
+    def temperature(self) -> float:
+        """Assessment-decode temperature: SN_kwargs override > manifest
+        (e.g. mocha-1_word_sequence.yaml:82 temperature 0.384) > 0
+        (greedy).  Consumed by ``_decode_fn`` — the knob the reference
+        passes to its core via ST_kwargs (trainers.py:110-115)."""
+        return float(
+            self.SN_kwargs.get("temperature", self.net_config.temperature)
+        )
+
     def _decode_fn(self):
-        if not hasattr(self, "_jit_decode"):
+        key = (self.beam_width, self.temperature)
+        if getattr(self, "_jit_decode_key", None) != key:
             config = self.net_config
+            temperature = self.temperature
             if self.beam_width > 1:
                 from .models.beam import beam_decode
 
                 beam_width = self.beam_width
 
                 @jax.jit
-                def decode(params, inputs, lengths, subject_idx):
+                def decode(params, inputs, lengths, subject_idx, rng):
                     return beam_decode(
                         params, config, inputs, lengths, subject_idx,
-                        beam_width=beam_width,
+                        beam_width=beam_width, temperature=temperature,
                     )
 
             else:
 
                 @jax.jit
-                def decode(params, inputs, lengths, subject_idx):
+                def decode(params, inputs, lengths, subject_idx, rng):
                     return greedy_decode(
                         params, config, inputs, lengths, subject_idx,
-                        temperature=0.0,
+                        rng=rng, temperature=temperature,
                     )
 
             self._jit_decode = decode
+            self._jit_decode_key = key
         return self._jit_decode
 
     def assess(
@@ -792,11 +845,18 @@ class MultiSubjectTrainer:
                 n = int(ds.num_trials[s])
                 if n == 0:
                     continue
+                # deterministic per-(partition, subject) rng so sampled
+                # assessment (temperature > 0) is reproducible
+                rng = jax.random.fold_in(
+                    jax.random.PRNGKey(self.seed),
+                    s * 7 + list(DATA_PARTITIONS).index(partition),
+                )
                 tokens = decode(
                     params,
                     dev["encoder_inputs"][s],
                     dev["encoder_lengths"][s],
                     jnp.asarray(s, jnp.int32),
+                    rng,
                 )
                 tokens = np.asarray(tokens)[:n]
                 hyps = target_inds_to_sequences(tokens, dec_list)
@@ -921,34 +981,111 @@ class MultiSubjectTrainer:
         return path
 
     def restore(self, epoch: int | None = None) -> None:
+        """Restore (params, EMA, epoch) from the Orbax checkpoint at
+        ``epoch`` (default: newest).  If the checkpointed architecture
+        differs from the constructed one, the net is REBUILT from the
+        checkpoint's tensor shapes first — the reference's
+        ``update_net_from_saved_model`` → ``recover_model_sizes`` path
+        (trainers.py:383-408, 444-554), so "assess any saved model"
+        works even when the trainer was constructed with different
+        ``layer_sizes``."""
         import orbax.checkpoint as ocp
+
+        from .utils.introspect import _shape_tree
 
         epoch = epoch if epoch is not None else self.restore_epoch
         if epoch is None:
             raise FileNotFoundError(
                 f"no checkpoints under {self.checkpoint_dir}"
             )
-        template = {
-            "params": self.state.params,
-            "ema": self.state.ema,
-            "epoch": np.asarray(0, np.int32),
-        }
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(
-                os.path.abspath(self._ckpt_path(epoch)), template
+            raw = ckptr.restore(os.path.abspath(self._ckpt_path(epoch)))
+        if _shape_tree(raw["params"]) != _shape_tree(self.state.params):
+            self.vprint(
+                "checkpoint architecture differs from the constructed "
+                "net; rebuilding hyperparameters from tensor shapes"
             )
+            self.update_net_from_saved_model(raw["params"])
         self.state = TrainState(
-            params=restored["params"],
-            ema=restored["ema"],
+            params=jax.tree.map(jnp.asarray, raw["params"]),
+            ema=jax.tree.map(jnp.asarray, raw["ema"]),
             opt_state=None,
-            epoch=jnp.asarray(int(restored["epoch"]), jnp.int32),
+            epoch=jnp.asarray(int(np.asarray(raw["epoch"])), jnp.int32),
         )
+
+    def update_net_from_saved_model(self, source) -> None:
+        """Rebuild ``net_config`` from checkpoint tensor shapes
+        (reference trainers.py:383-408).  ``source`` is a params pytree
+        or an Orbax checkpoint directory; every architecture field that
+        ``recover_model_sizes`` can infer (conv sizes/strides, LSTM
+        sizes, aux/projection dims, vocab, attention, directionality)
+        replaces the constructed value, and the compiled runners/decode
+        fns are invalidated."""
+        import dataclasses
+
+        from .utils.introspect import recover_model_sizes
+
+        cfg = self.net_config
+        sizes = recover_model_sizes(source, in_channels=cfg.in_channels)
+        layer_sizes = sizes["layer_sizes"]
+        aux_dims = sizes.get("aux_heads", {})
+        aux_heads = tuple(
+            head._replace(out_dim=aux_dims.get(head.name, head.out_dim))
+            for head in cfg.aux_heads
+            if head.name in aux_dims
+        ) or cfg.aux_heads
+        new_cfg = dataclasses.replace(
+            cfg,
+            vocab_size=int(sizes.get("vocab_size", cfg.vocab_size)),
+            num_subjects=int(sizes.get("num_subjects", cfg.num_subjects)),
+            conv_sizes=tuple(layer_sizes["encoder_embedding"]),
+            decimation_factor=int(
+                sizes.get("decimation_factor", cfg.decimation_factor)
+            ),
+            rnn_sizes=tuple(layer_sizes["encoder_rnn"]),
+            aux_proj_sizes=tuple(layer_sizes["encoder_1_projection"])
+            or cfg.aux_proj_sizes,
+            aux_heads=aux_heads,
+            dec_embedding_size=int(
+                layer_sizes["decoder_embedding"][0]
+                if layer_sizes.get("decoder_embedding")
+                else cfg.dec_embedding_size
+            ),
+            dec_rnn_sizes=tuple(layer_sizes["decoder_rnn"]),
+            use_attention=bool(
+                sizes.get("use_attention", cfg.use_attention)
+            ),
+            BIDIRECTIONAL=bool(
+                sizes.get("BIDIRECTIONAL", cfg.BIDIRECTIONAL)
+            ),
+        )
+        if new_cfg.vocab_size != cfg.vocab_size:
+            self.vprint(
+                f"warning: checkpoint vocab size {new_cfg.vocab_size} != "
+                f"constructed {cfg.vocab_size}; decode indices follow the "
+                "checkpoint"
+            )
+        self.net_config = new_cfg
+        # template state with the recovered architecture; the caller
+        # (restore) overwrites values from the checkpoint
+        params = init_seq2seq(jax.random.PRNGKey(self.seed), new_cfg)
+        self.state = TrainState(
+            params=params,
+            ema=jax.tree.map(jnp.copy, params),
+            opt_state=None,
+            epoch=jnp.asarray(0, jnp.int32),
+        )
+        self._runner_cache = {}
+        self._jit_decode_key = None
+        self._device_data = {}
+        self._datasets = {}
 
     def assess_saved_model(
         self, restore_epoch: int | None = None, partitions=("validation",)
     ) -> dict:
-        """Restore EMA weights from a checkpoint and assess (reference
-        trainers.py:376-408)."""
+        """Restore EMA weights from a checkpoint — rebuilding the net
+        from checkpoint shapes if the architectures differ — and assess
+        (reference trainers.py:376-408)."""
         self.restore(restore_epoch)
         return self.assess(partitions=partitions, use_ema=True)
 

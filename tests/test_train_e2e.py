@@ -218,8 +218,9 @@ def test_divergence_detection_and_rollback(tmp_path):
         VERBOSE=False,
     )
     tr.fit(num_epochs=5, assess=False)  # good checkpoint at epoch 5
-    tr.learning_rate = 1e18  # force divergence
-    tr._runner_cache = {}
+    # force divergence; the runner cache is keyed on learning_rate so
+    # mutating it takes effect without clearing private state
+    tr.learning_rate = 1e18
     with pytest.raises(FloatingPointError, match="restored checkpoint"):
         tr.fit(num_epochs=5, assess=False)
     assert int(tr.state.epoch) == 5  # rolled back, not left NaN
@@ -228,6 +229,138 @@ def test_divergence_detection_and_rollback(tmp_path):
         np.isfinite(np.asarray(l)).all()
         for l in jax.tree.leaves(tr.state.params)
     )
+
+
+def test_assess_saved_model_rebuilds_architecture(tmp_path):
+    """Assessing a checkpoint whose layer_sizes differ from the
+    constructed trainer rebuilds the net from checkpoint shapes and
+    reproduces the original WER (reference update_net_from_saved_model,
+    trainers.py:383-408; VERDICT #2)."""
+    mp_a = make_demo_experiment(
+        str(tmp_path / "a"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr_a = MultiSubjectTrainer(
+        mp_a, [1],
+        SN_kwargs={"batch_size": 16, "max_dec_len": 10,
+                   "learning_rate": 3e-3, "temperature": 0.0},
+        VERBOSE=False,
+    )
+    tr_a.fit(num_epochs=15, assess=False)
+    tr_a.save_checkpoint()
+    wer_a = tr_a.assess(["validation"])["validation"]["word_error_rate"]
+
+    other = {
+        "encoder_embedding": [20],
+        "encoder_rnn": [28],
+        "encoder_1_projection": [20],
+        "decoder_embedding": [14],
+        "decoder_rnn": [56],
+        "decoder_projection": [],
+    }
+    mp_b = make_demo_experiment(
+        str(tmp_path / "b"), subject_ids=(1,), layer_sizes=other
+    )
+    tr_b = MultiSubjectTrainer(
+        mp_b, [1],
+        SN_kwargs={"max_dec_len": 10, "temperature": 0.0,
+                   "checkpoint_dir": tr_a.checkpoint_dir},
+        VERBOSE=False,
+    )
+    assert tr_b.net_config.rnn_sizes != tr_a.net_config.rnn_sizes
+    out = tr_b.assess_saved_model()
+    # architecture recovered from A's checkpoint...
+    assert tr_b.net_config.rnn_sizes == tr_a.net_config.rnn_sizes
+    assert tr_b.net_config.conv_sizes == tr_a.net_config.conv_sizes
+    assert tr_b.net_config.dec_rnn_sizes == tr_a.net_config.dec_rnn_sizes
+    # ...and A's assessment reproduced exactly
+    assert out["validation"]["word_error_rate"] == pytest.approx(wer_a)
+
+
+def test_assessment_temperature_knob_is_live(trainer):
+    """The manifest's ``temperature`` (0.384 in the demo, mirroring
+    mocha-1_word_sequence.yaml:82) drives the assessment decode; an
+    SN_kwargs override changes the compiled decode fn."""
+    assert trainer.temperature == pytest.approx(0.384)
+    sampled = trainer._decode_fn()
+    trainer.SN_kwargs["temperature"] = 0.0
+    try:
+        greedy = trainer._decode_fn()
+        assert greedy is not sampled  # knob rebuilds the decode path
+        # sampled decode is reproducible under a fixed rng
+        import jax
+        import jax.numpy as jnp
+
+        ds = trainer.packed_dataset("validation")
+        rng = jax.random.PRNGKey(0)
+        args = (
+            trainer.state.ema,
+            jnp.asarray(ds.encoder_inputs[0]),
+            jnp.asarray(ds.encoder_lengths[0]),
+            jnp.asarray(0, jnp.int32),
+        )
+        a = np.asarray(sampled(*args, rng))
+        b = np.asarray(sampled(*args, rng))
+        np.testing.assert_array_equal(a, b)
+    finally:
+        trainer.SN_kwargs.pop("temperature", None)
+
+
+def test_beam_composes_with_temperature(trainer):
+    """beam_width > 1 + temperature > 0: the tempered beam path decodes
+    (VERDICT #4: the knobs compose instead of being exclusive)."""
+    import jax
+    import jax.numpy as jnp
+
+    trainer.beam_width = 3
+    try:
+        decode = trainer._decode_fn()
+        ds = trainer.packed_dataset("validation")
+        tokens = np.asarray(
+            decode(
+                trainer.state.ema,
+                jnp.asarray(ds.encoder_inputs[0]),
+                jnp.asarray(ds.encoder_lengths[0]),
+                jnp.asarray(0, jnp.int32),
+                jax.random.PRNGKey(0),
+            )
+        )
+        assert tokens.shape == (ds.encoder_inputs.shape[1],
+                                trainer.net_config.max_dec_len)
+    finally:
+        trainer.beam_width = 1
+        trainer._decode_fn()  # restore the greedy/sampled path
+
+
+def test_restricted_clone_inherits_generator_overrides(tmp_path):
+    """restricted_to_trials forwards DG/ES/vocab kwargs, so a
+    perf-vs-training-size sweep retrains the SAME experiment
+    (VERDICT #5: the clone used to drop them silently)."""
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"batch_size": 8, "max_dec_len": 10},
+        DG_kwargs={"noise_scale": 0.11, "grid_step": 2},
+        ES_kwargs={"decimation_factor": 6},
+        VERBOSE=False,
+    )
+    gen = tr.target_subject.data_generator
+    assert gen.noise_scale == 0.11 and gen.grid_step == 2
+    assert tr.target_subject.decimation_factor == 6
+    clone = tr.restricted_to_trials(range(8))
+    cgen = clone.target_subject.data_generator
+    assert cgen.noise_scale == 0.11 and cgen.grid_step == 2
+    assert clone.target_subject.decimation_factor == 6
+    ds = clone.packed_dataset("training")
+    assert int(ds.num_trials[0]) == 8
+
+    from ecog2txt_tpu.experiments import _restricted_trainer
+
+    sweep = _restricted_trainer(tr, learning_rate=1e-4)
+    sgen = sweep.target_subject.data_generator
+    assert sgen.noise_scale == 0.11 and sgen.grid_step == 2
+    assert sweep.learning_rate == pytest.approx(1e-4)
 
 
 def test_streaming_sharded_training(tmp_path):
