@@ -27,6 +27,13 @@ from scipy.fftpack import dct
 EPS = np.finfo(np.float64).eps
 
 
+def _round_half_up(x: float) -> int:
+    """Round half away from zero (python_speech_features rounds frame
+    lengths with decimal ROUND_HALF_UP; Python's round() is banker's —
+    the two differ at exact .5 boundaries, e.g. winlen·rate = 312.5)."""
+    return int(math.floor(x + 0.5))
+
+
 # --------------------------------------------------------------------------
 # framing + spectra
 # --------------------------------------------------------------------------
@@ -115,8 +122,8 @@ def fbank_features(
     signal = preemphasize(signal, preemph)
     frames = frame_signal(
         signal,
-        int(round(winlen * samplerate)),
-        int(round(winstep * samplerate)),
+        _round_half_up(winlen * samplerate),
+        _round_half_up(winstep * samplerate),
     )
     pspec = power_spectrum(frames, nfft)
     energy = np.where(pspec.sum(axis=1) == 0, EPS, pspec.sum(axis=1))

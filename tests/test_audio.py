@@ -1,11 +1,23 @@
 """MFCC-chain tests: analytic invariants of the featurization formulas
-(SURVEY §4: 'MFCC parity vs python_speech_features' — the package is not
-installed here, so parity is checked against the defining formulas)."""
+plus NUMERIC parity against python_speech_features (SURVEY §4).  The
+package itself is not installed in this image, so parity runs against
+(a) tests/psf_oracle.py — a faithful reimplementation of its published
+algorithms — and (b) committed golden fixtures generated from that
+oracle (tests/fixtures/mfcc_goldens.npz), covering all four
+USE_LOG_MELS × USE_MFCC_DELTAS mode combinations (reference
+data_generators.py:328-380)."""
+
+import os
 
 import numpy as np
+import pytest
 from scipy.fftpack import dct
 
 from ecog2txt_tpu import audio
+
+from psf_oracle import reference_mfcc_chain
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "fixtures", "mfcc_goldens.npz")
 
 
 def test_frame_count_ceil():
@@ -103,3 +115,51 @@ def test_num_feature_accounting():
 def test_empty_audio_fallback():
     out = audio.empty_mfcc_features(13)
     assert out.shape == (0, 13)
+
+
+# ---------------------------------------------------------------------------
+# python_speech_features numeric parity (VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("USE_LOG_MELS", [False, True])
+@pytest.mark.parametrize("USE_MFCC_DELTAS", [False, True])
+def test_mfcc_parity_vs_psf_oracle(rng, USE_LOG_MELS, USE_MFCC_DELTAS):
+    """audio.mfcc_chain matches the python_speech_features composition
+    exactly, for all four reference mode combinations."""
+    sig = rng.normal(size=9000) + np.sin(
+        2 * np.pi * 700 * np.arange(9000) / 16000
+    )
+    for rate, winlen, winstep in (
+        (16000.0, 0.02, 1 / 200.0),  # the reference configuration
+        (12500.0, 0.025, 0.01),  # winlen·rate = 312.5: rounding edge
+    ):
+        ours = audio.mfcc_chain(
+            sig, rate, winlen=winlen, winstep=winstep,
+            USE_LOG_MELS=USE_LOG_MELS, USE_MFCC_DELTAS=USE_MFCC_DELTAS,
+        )
+        theirs = reference_mfcc_chain(
+            sig, rate, winlen=winlen, winstep=winstep,
+            USE_LOG_MELS=USE_LOG_MELS, USE_MFCC_DELTAS=USE_MFCC_DELTAS,
+        )
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(ours, theirs, rtol=1e-9, atol=1e-10)
+
+
+def test_mfcc_parity_vs_committed_goldens():
+    """Golden .npz fixtures pin the numbers independent of the oracle
+    code, including a sub-frame signal and the .5-rounding edge."""
+    z = np.load(GOLDENS)
+    for name in ("ref16k", "edge12500", "short"):
+        sig = z[f"{name}_signal"]
+        rate, winlen, winstep = z[f"{name}_meta"]
+        for lm in (0, 1):
+            for dl in (0, 1):
+                ours = audio.mfcc_chain(
+                    sig, rate, winlen=winlen, winstep=winstep,
+                    USE_LOG_MELS=bool(lm), USE_MFCC_DELTAS=bool(dl),
+                )
+                np.testing.assert_allclose(
+                    ours, z[f"{name}_lm{lm}_dl{dl}"], rtol=1e-9, atol=1e-10,
+                    err_msg=f"{name} lm={lm} dl={dl}",
+                )
