@@ -41,14 +41,51 @@ def save_grid_search(
 
 class GridSearchResults:
     def __init__(self, path: str):
-        if not path.endswith(".npz") and os.path.exists(path + ".npz"):
-            path += ".npz"
+        for ext in (".npz", ".hkl"):
+            if not path.endswith(ext) and os.path.exists(path + ext):
+                path += ext
+                break
+        if path.endswith(".hkl"):
+            self._init_from_hkl(path)
+            return
         with np.load(path, allow_pickle=True) as z:
             self.param_names = [str(n) for n in z["param_names"]]
             self.wers = z["wers"]
             self.param_values = {
                 name: z[f"values_{name}"] for name in self.param_names
             }
+
+    def _init_from_hkl(self, path: str) -> None:
+        """Reference-toolchain archive: a hickle tuple ``(all_results,
+        parameter_names, grids)`` where ``grids`` are meshgrid-flattened
+        coordinates over the search grid (reference
+        plotters.py:2216-2221, 2159-2199)."""
+        from .hkl import find_mapping, load_hkl
+
+        raw = load_hkl(path)
+        if not (isinstance(raw, (list, tuple)) and len(raw) >= 3):
+            raise ValueError(f"{path}: expected (results, names, grids)")
+        all_results, parameter_names, grids = raw[0], raw[1], raw[2]
+        results = find_mapping(all_results, ("word_error_rate",))
+        if results is None:
+            raise ValueError(f"{path}: no word_error_rate in results")
+        self.param_names = [str(n) for n in np.atleast_1d(parameter_names)]
+        grids = [np.asarray(g, float) for g in grids]
+        # grid shape: per-axis unique-count, in meshgrid('ij') layout
+        grid_shape = tuple(
+            len(np.unique(g)) for g in grids
+        )
+        wers = np.asarray(results["word_error_rate"], float).reshape(
+            grid_shape
+        )
+        self.wers = wers
+        self.param_values = {}
+        for i, name in enumerate(self.param_names):
+            g = grids[i].reshape(grid_shape)
+            index = tuple(
+                slice(None) if j == i else 0 for j in range(len(grid_shape))
+            )
+            self.param_values[name] = g[index]
 
     def project(
         self, x_param: str, y_param: str, reduce: str = "min"

@@ -7,9 +7,13 @@ plotters.py:51-119, 1578-1592): ``DecodingResults`` loads
 ``word_error_rate`` / ``accuracy`` / ``nums_seconds``; ``ResultsMatrix``
 provides nan-aware mean/stderr across folds.
 
-The reference stores these as hickle (HDF5) files; hickle is not a
-dependency here, so the native container is ``.npz`` (numpy archive,
-same keys).  Loading falls back to pickle for old archives.
+The reference stores these as hickle (HDF5) files; the native container
+here is ``.npz`` (numpy archive, same keys), but pre-existing ``.hkl``
+archives from the reference toolchain load too (via h5py —
+:mod:`plotting.hkl`), with the reference's own normalization applied
+(flattened fold×datasize entries reshaped by the number of distinct
+training-set sizes, reference plotters.py:77-99).  Loading falls back
+to pickle for old archives.
 """
 
 from __future__ import annotations
@@ -94,12 +98,14 @@ class DecodingResults:
 
     @staticmethod
     def _load(path: str) -> dict[str, Any]:
-        for candidate in (path, path + ".npz", path + ".pkl"):
+        for candidate in (path, path + ".npz", path + ".hkl", path + ".pkl"):
             if not os.path.exists(candidate):
                 continue
             if candidate.endswith(".pkl"):
                 with open(candidate, "rb") as f:
                     return pickle.load(f)
+            if candidate.endswith(".hkl"):
+                return DecodingResults._load_hkl(candidate)
             with np.load(candidate, allow_pickle=True) as z:
                 out = {k: z[k] for k in z.files}
             out["training_blocks"] = [
@@ -107,7 +113,53 @@ class DecodingResults:
                 for s in out["training_blocks"]
             ]
             return out
-        raise FileNotFoundError(f"no results archive at {path}(.npz|.pkl)")
+        raise FileNotFoundError(
+            f"no results archive at {path}(.npz|.hkl|.pkl)"
+        )
+
+    @staticmethod
+    def _load_hkl(path: str) -> dict[str, Any]:
+        """Reference-toolchain hickle archive → the dict this class
+        consumes, applying the reference's normalization (reference
+        plotters.py:73-99): a legacy tuple wrapper is unwrapped,
+        flattened fold×datasize entries are reshaped by the number of
+        distinct training-block-set sizes, and 2-D result entries keep
+        their final column."""
+        from .hkl import find_mapping, load_hkl
+
+        raw = load_hkl(path)
+        data = find_mapping(raw, _MATRIX_KEYS + ("training_blocks",))
+        if data is None:
+            raise ValueError(
+                f"{path}: no mapping with keys {_MATRIX_KEYS} found"
+            )
+        blocks = list(data["training_blocks"])
+        n_datasizes = max(
+            len({len(np.atleast_1d(b)) for b in blocks}), 1
+        )
+        out: dict[str, Any] = {
+            "training_blocks": [
+                [int(x) for x in np.atleast_1d(b)]
+                for b in np.asarray(blocks, dtype=object).reshape(-1)
+            ],
+            # flat list OR per-(fold,datasize) lists — either way, the
+            # distinct validation block ids
+            "validation_blocks": sorted(
+                {
+                    int(x)
+                    for entry in np.asarray(
+                        data["validation_blocks"], dtype=object
+                    ).ravel()
+                    for x in np.atleast_1d(entry)
+                }
+            ),
+        }
+        for key in _MATRIX_KEYS:
+            matrix = np.asarray(data[key], float)
+            if matrix.ndim == 2 and matrix.shape[1] != n_datasizes:
+                matrix = matrix[:, -1]  # legacy per-epoch columns
+            out[key] = matrix.reshape(-1, n_datasizes)
+        return out
 
     @property
     def num_folds(self) -> int:

@@ -81,6 +81,99 @@ def test_decoding_results_roundtrip(tmp_path):
     assert "wer_mean" in s and len(s["wer_mean"]) == 2
 
 
+def test_decoding_results_reads_reference_hkl(tmp_path):
+    """A reference-toolchain .hkl archive (hickle = HDF5; flattened
+    fold×datasize entries, legacy tuple wrapper, repr-quoted keys)
+    round-trips into DecodingResults (reference plotters.py:51-119)."""
+    import h5py
+
+    # 2 folds × 3 datasizes, flattened the way the reference saves them
+    wer = np.array([0.9, 0.5, 0.2, 0.8, 0.6, 0.3])
+    acc = 1.0 - wer
+    secs = np.array([60.0, 120, 240, 60, 120, 240])
+    blocks = [[1], [1, 2], [1, 2, 3], [2], [2, 3], [1, 2, 3]]
+    path = str(tmp_path / "perf_vs_training_size_9_xfer.hkl")
+    with h5py.File(path, "w") as f:
+        # legacy tuple wrapper: data → [dict]; quoted dict keys
+        root = f.create_group("data")
+        entry = root.create_group("data_0")
+        entry.create_dataset("'word_error_rate'", data=wer)
+        entry.create_dataset("'accuracy'", data=acc)
+        entry.create_dataset("'nums_seconds'", data=secs)
+        tb = entry.create_group("'training_blocks'")
+        for i, b in enumerate(blocks):
+            tb.create_dataset(f"data_{i}", data=np.asarray(b))
+        entry.create_dataset("'validation_blocks'", data=np.asarray([5, 6]))
+
+    res = DecodingResults(str(tmp_path), 9, "xfer")
+    assert res.word_error_rate.shape == (2, 3)
+    np.testing.assert_allclose(res.word_error_rate, wer.reshape(2, 3))
+    np.testing.assert_allclose(
+        res.word_error_rate.mean_across_folds, [0.85, 0.55, 0.25]
+    )
+    assert res.validation_blocks == [5, 6]
+    # plain-key (hickle v3-style) layout loads too
+    path2 = str(tmp_path / "perf_vs_training_size_9_v3.hkl")
+    with h5py.File(path2, "w") as f:
+        entry = f.create_group("data")
+        entry.create_dataset("word_error_rate", data=wer)
+        entry.create_dataset("accuracy", data=acc)
+        entry.create_dataset("nums_seconds", data=secs)
+        tb = entry.create_group("training_blocks")
+        for i, b in enumerate(blocks):
+            tb.create_dataset(f"item_{i}", data=np.asarray(b))
+        entry.create_dataset("validation_blocks", data=np.asarray([5]))
+    res2 = DecodingResults(str(tmp_path), 9, "v3")
+    assert res2.word_error_rate.shape == (2, 3)
+
+
+def test_grid_search_reads_reference_hkl(tmp_path):
+    """A reference grid_search_*.hkl tuple (all_results, parameter_names,
+    grids) loads into GridSearchResults (reference plotters.py:2216-2221)."""
+    from ecog2txt_tpu.plotting.hkl import save_hkl
+
+    lrs = np.array([1e-4, 1e-3])
+    bss = np.array([16.0, 32, 64])
+    g_lr, g_bs = np.meshgrid(lrs, bss, indexing="ij")
+    wers = np.array([[0.5, 0.4, 0.3], [0.6, 0.2, 0.25]])
+    path = save_hkl(
+        str(tmp_path / "grid_search_1_conv_2_way"),
+        (
+            {"word_error_rate": wers.ravel()},
+            ["learning_rate", "batch_size"],
+            [g_lr.ravel(), g_bs.ravel()],
+        ),
+    )
+    gs = GridSearchResults(path)
+    assert gs.param_names == ["learning_rate", "batch_size"]
+    np.testing.assert_allclose(gs.wers, wers)
+    np.testing.assert_allclose(gs.param_values["batch_size"], bss)
+    best = gs.best()
+    assert best["wer"] == pytest.approx(0.2)
+    assert best["learning_rate"] == pytest.approx(1e-3)
+    proj = gs.project("batch_size", "learning_rate")
+    assert proj.shape == (2, 3)
+
+
+def test_hkl_roundtrip_nested():
+    """save_hkl → load_hkl preserves dict/list/array nesting."""
+    import tempfile
+
+    from ecog2txt_tpu.plotting.hkl import load_hkl, save_hkl
+
+    obj = {
+        "matrix": np.arange(6.0).reshape(2, 3),
+        "names": ["alpha", "beta"],
+        "nested": {"k": np.asarray([1, 2, 3])},
+    }
+    with tempfile.TemporaryDirectory() as d:
+        path = save_hkl(os.path.join(d, "x"), obj)
+        back = load_hkl(path)
+    np.testing.assert_allclose(back["matrix"], obj["matrix"])
+    assert [str(s) for s in back["names"]] == ["alpha", "beta"]
+    np.testing.assert_array_equal(back["nested"]["k"], [1, 2, 3])
+
+
 def test_weight_norm_contribs(plotter, trainer):
     contribs = plotter.elec_contribs("weight_norms")
     assert contribs.shape == (16,)
