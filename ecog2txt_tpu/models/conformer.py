@@ -229,14 +229,24 @@ class ConformerStream:
     def reset(self):
         self._window: jax.Array | None = None  # (B, W, in_dim)
         self._pushed = 0
+        self._valid = 0
 
-    def push(self, chunk: jax.Array) -> jax.Array:
+    def push(self, chunk: jax.Array, num_valid: int | None = None) -> jax.Array:
         """chunk: (B, chunk_size, in_dim) → (B, chunk_size, D) encoder
-        output for this chunk."""
+        output for this chunk.
+
+        ``num_valid`` < chunk_size marks a FINAL partial chunk (padded to
+        the chunk boundary): steps beyond it are masked out of attention,
+        matching the offline encode's length masking exactly.  After a
+        partial push the stream must be reset before reuse."""
         cfg = self.config
         if chunk.shape[1] != cfg.chunk_size:
             raise ValueError(
                 f"push expects chunks of {cfg.chunk_size} steps"
+            )
+        if self._valid < self._pushed:
+            raise RuntimeError(
+                "push after a partial (final) chunk: reset() the stream"
             )
         if self._window is None:
             self._window = chunk
@@ -245,8 +255,16 @@ class ConformerStream:
                 [self._window, chunk], axis=1
             )[:, -self.window_steps :]
         self._pushed += chunk.shape[1]
+        self._valid += (
+            chunk.shape[1] if num_valid is None else int(num_valid)
+        )
         offset = self._pushed - self._window.shape[1]
+        lengths = None
+        if self._valid < self._pushed:
+            B = chunk.shape[0]
+            valid_in_window = max(self._valid - offset, 0)
+            lengths = jnp.full((B,), valid_in_window, jnp.int32)
         out, _ = conformer_encode(
-            self.params, cfg, self._window, None, position_offset=offset
+            self.params, cfg, self._window, lengths, position_offset=offset
         )
         return out[:, -chunk.shape[1] :]

@@ -77,7 +77,9 @@ class Seq2SeqConfig:
     RNN_dropout: float = 0.5
     temperature: float = 0.0  # 0 → greedy argmax
     BIDIRECTIONAL: bool = True
-    use_pallas_lstm: bool = False  # fused VMEM-resident recurrence (TPU)
+    # fused VMEM-resident recurrence (TPU): False | True (chunked-grid
+    # kernels) | 'dma' (single-launch manual-DMA kernels)
+    use_pallas_lstm: Any = False
     encoder_type: str = "lstm"  # 'lstm' | 'conformer'
     conformer: ConformerConfig | None = None  # used when encoder_type=conformer
     # Luong-style cross-attention from decoder steps onto encoder
@@ -289,7 +291,13 @@ def encode(
     Returns (enc_outputs (T', B, 2H), final (h, c) (B, 2H),
     enc_lengths (B,))."""
     xs = jnp.moveaxis(inputs, 0, 1)  # (T, B, C)
-    xs = reverse_padded(xs, lengths)
+    if config.encoder_type != "conformer":
+        # the reference reverses encoder inputs before the conv
+        # (tf.reverse_sequence, trainers.py:806-811) — an offline
+        # LSTM-specific trick; the conformer is chunked-causal and
+        # consumes natural time order so the SAME function streams
+        # chunk-by-chunk (serve.StreamingConformerSession)
+        xs = reverse_padded(xs, lengths)
     rng, conv_rng = jax.random.split(rng)
     if config.conv_sizes:
         xs = convolve_sequences(params, config, xs, subject_idx, conv_rng, train)
@@ -450,12 +458,21 @@ def decoder_teacher_forcing(
 # --------------------------------------------------------------------------
 
 
-def _decimate_targets(ts: jax.Array, lengths: jax.Array, stride: int, T_out: int):
+def _decimate_targets(
+    ts: jax.Array,
+    lengths: jax.Array,
+    stride: int,
+    T_out: int,
+    reverse: bool = True,
+):
     """Align per-sample encoder targets with encoder steps: reverse the
-    valid prefix, then take every ``stride``-th sample (the reference
-    reverses + decimates encoder targets, trainers.py:789-799)."""
-    ts_rev = reverse_padded(ts, lengths)
-    return ts_rev[: T_out * stride : stride]
+    valid prefix (matching the encoder's input reversal — the reference
+    reverses + decimates encoder targets, trainers.py:789-799), then
+    take every ``stride``-th sample.  ``reverse=False`` for the
+    natural-order (conformer) encoder."""
+    if reverse:
+        ts = reverse_padded(ts, lengths)
+    return ts[: T_out * stride : stride]
 
 
 def seq2seq_loss(
@@ -516,7 +533,8 @@ def seq2seq_loss(
         elif head.distribution == "categorical":
             ts = jnp.moveaxis(raw, 0, 1)  # (T, B)
             aligned = _decimate_targets(
-                ts, batch["encoder_lengths"], config.decimation_factor, T_out
+                ts, batch["encoder_lengths"], config.decimation_factor,
+                T_out, reverse=config.encoder_type != "conformer",
             )
             logp = jax.nn.log_softmax(pred, axis=-1)
             nll = -jnp.take_along_axis(
@@ -528,7 +546,8 @@ def seq2seq_loss(
         else:  # Gaussian → masked MSE
             ts = jnp.moveaxis(raw, 0, 1)  # (T, B, F)
             aligned = _decimate_targets(
-                ts, batch["encoder_lengths"], config.decimation_factor, T_out
+                ts, batch["encoder_lengths"], config.decimation_factor,
+                T_out, reverse=config.encoder_type != "conformer",
             )
             se = jnp.sum((pred - aligned) ** 2, axis=-1)
             loss = jnp.sum(se * step_mask) / jnp.maximum(jnp.sum(step_mask), 1)
@@ -588,9 +607,28 @@ def greedy_decode(
     enc_out, enc_final, enc_lengths = encode(
         params, config, inputs, lengths, subject_idx, dummy, train=False
     )
+    return decode_from_encoder(
+        params, config, enc_out, enc_final, enc_lengths, rng, temperature
+    )
+
+
+def decode_from_encoder(
+    params: dict,
+    config: Seq2SeqConfig,
+    enc_out: jax.Array,  # (T', B, E)
+    enc_final: tuple[jax.Array, jax.Array],
+    enc_lengths: jax.Array,
+    rng: jax.Array | None = None,
+    temperature: float = 0.0,
+) -> jax.Array:
+    """Free-running decode from already-computed encoder state — the
+    shared back half of :func:`greedy_decode`, exposed so streaming
+    sessions (serve.StreamingConformerSession) can decode at endpoint
+    from incrementally-built encoder outputs."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
     decoder = params["decoder"]
     states = _decoder_init_state(params, config, enc_final)
-    B = inputs.shape[0]
+    B = enc_out.shape[1]
 
     def step(carry, step_rng):
         states, token, finished = carry

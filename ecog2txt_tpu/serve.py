@@ -7,15 +7,19 @@ into a live TF session and fetches ``decoder_probs:0`` /
 ``decoder_outputs:0``; here the saved model is an Orbax checkpoint and
 predict is one jitted call).
 
-Also provides :class:`StreamingSession` — the chunked-inference path for
-long continuous recordings (BASELINE configs[4]): ECoG arrives in
-chunks; the session re-decodes on demand.  The flagship encoder is
-bidirectional over a reversed input, i.e. inherently utterance-level
-(the reference is the same), so streaming here means **latency hiding**:
-fixed-size padded buffers keep the jit cache warm so an end-of-utterance
-decode is a single pre-compiled device call; truly incremental
-carried-state encoding is the causal/Conformer variant's job
-(models/, later).
+Two streaming paths (BASELINE configs[4] "streaming chunked inference"):
+
+* :class:`StreamingSession` — latency hiding for the flagship biLSTM
+  model, which is bidirectional over a reversed input and therefore
+  inherently utterance-level (the reference is the same): fixed-size
+  padded buffers keep the jit cache warm so an end-of-utterance decode
+  is a single pre-compiled device call.
+* :class:`StreamingConformerSession` — GENUINELY incremental encoding
+  for ``encoder_type='conformer'`` models: raw ECoG chunks →
+  chunk-aligned subnet conv (width == stride, so chunks convolve
+  independently) → ``ConformerStream`` windowed encode → decode at
+  endpoint from the accumulated encoder outputs; streamed hypotheses
+  match the offline decode exactly (tested).
 """
 
 from __future__ import annotations
@@ -25,7 +29,14 @@ from typing import Callable, Sequence
 
 import numpy as np
 
-from .models.seq2seq import Seq2SeqConfig, greedy_decode, encode, decoder_teacher_forcing
+from .models.seq2seq import (
+    Seq2SeqConfig,
+    convolve_sequences,
+    decode_from_encoder,
+    decoder_teacher_forcing,
+    encode,
+    greedy_decode,
+)
 from .tokenizers import target_inds_to_sequences
 
 
@@ -203,3 +214,149 @@ class StreamingSession:
     def reset(self) -> None:
         self._buffer = []
         self._samples = 0
+
+
+class StreamingConformerSession:
+    """Incremental raw-ECoG → text session for conformer models.
+
+    ``push(chunk)`` accepts raw samples (T, C) as they arrive; whenever a
+    full conv-aligned attention chunk (``decimation_factor ×
+    conformer.chunk_size`` samples) is buffered, it is convolved by the
+    subject's subnet (kernel width == stride → chunks convolve
+    independently of each other) and pushed through the bounded-window
+    :class:`models.conformer.ConformerStream`, accumulating encoder
+    outputs as the recording plays.  ``endpoint()`` flushes the
+    remainder (zero-padded to the conv/chunk boundary with the tail
+    steps masked, exactly like the offline padded encode), pools the
+    valid encoder steps into the decoder initial state, and decodes —
+    producing the SAME hypothesis as the offline
+    ``greedy_decode`` on the full utterance."""
+
+    def __init__(
+        self,
+        params,
+        config: Seq2SeqConfig,
+        targets_list: Sequence[str],
+        subject_idx: int = 0,
+    ):
+        if config.encoder_type != "conformer":
+            raise ValueError(
+                "StreamingConformerSession requires encoder_type='conformer'"
+            )
+        from .models.conformer import ConformerConfig, ConformerStream
+
+        self.params = params
+        self.config = config
+        self.targets_list = list(targets_list)
+        self.ccfg = config.conformer or ConformerConfig()
+        self.stream = ConformerStream(
+            params["encoder"]["conformer"], self.ccfg
+        )
+        import jax.numpy as jnp
+
+        self._subject_idx = jnp.asarray(subject_idx, jnp.int32)
+        self.samples_per_chunk = (
+            config.decimation_factor * self.ccfg.chunk_size
+        )
+        self.reset()
+
+    def reset(self) -> None:
+        self.stream.reset()
+        self._raw: list[np.ndarray] = []  # pending raw samples
+        self._raw_samples = 0
+        self._enc_outs: list = []  # (B, chunk, D) emitted blocks
+        self._enc_steps = 0  # valid encoder steps emitted
+
+    @property
+    def num_samples(self) -> int:
+        return (
+            self._enc_steps * self.config.decimation_factor
+            + self._raw_samples
+        )
+
+    def _convolve(self, raw: np.ndarray):
+        """(B, n·d, C) raw block → (B, n, F) conv features (inference:
+        no dropout)."""
+        import jax
+        import jax.numpy as jnp
+
+        Cp = self.config.in_channels
+        B, T, C = raw.shape
+        padded = np.zeros((B, T, Cp), np.float32)
+        padded[..., :C] = raw[..., :Cp]
+        xs = jnp.moveaxis(jnp.asarray(padded), 0, 1)  # (T, B, C)
+        out = convolve_sequences(
+            self.params, self.config, xs, self._subject_idx,
+            jax.random.PRNGKey(0), train=False,
+        )
+        return jnp.moveaxis(out, 0, 1)  # (B, n, F)
+
+    def push(self, chunk: np.ndarray) -> None:
+        chunk = np.asarray(chunk, np.float32)
+        if chunk.ndim == 2:
+            chunk = chunk[None]
+        self._raw.append(chunk)
+        self._raw_samples += chunk.shape[1]
+        while self._raw_samples >= self.samples_per_chunk:
+            raw = np.concatenate(self._raw, axis=1)
+            block = raw[:, : self.samples_per_chunk]
+            rest = raw[:, self.samples_per_chunk :]
+            self._raw = [rest] if rest.shape[1] else []
+            self._raw_samples = rest.shape[1]
+            feats = self._convolve(block)  # (B, chunk_size, F)
+            out = self.stream.push(feats)
+            self._enc_outs.append(out)
+            self._enc_steps += self.ccfg.chunk_size
+
+    def decode(self) -> dict:
+        """Flush the remainder and decode the utterance so far."""
+        import jax
+        import jax.numpy as jnp
+
+        d = self.config.decimation_factor
+        enc_outs = list(self._enc_outs)
+        valid_steps = self._enc_steps
+        if self._raw_samples:
+            raw = np.concatenate(self._raw, axis=1)
+            B, L = raw.shape[:2]
+            n_steps = -(-L // d)  # ceil: same as the offline enc_lengths
+            padded = np.zeros(
+                (B, self.samples_per_chunk, raw.shape[2]), np.float32
+            )
+            padded[:, :L] = raw
+            feats = self._convolve(padded)
+            out = self.stream.push(feats, num_valid=n_steps)
+            enc_outs.append(out[:, :n_steps])
+            valid_steps += n_steps
+        if not enc_outs:
+            return {
+                "sequences": [""], "tokens": None, "encoder_outputs": None,
+            }
+        enc_bm = jnp.concatenate(enc_outs, axis=1)  # (B, T', D)
+        B = enc_bm.shape[0]
+        lengths = jnp.full((B,), valid_steps, jnp.int32)
+        # masked mean over valid steps → decoder initial state (the
+        # offline conformer bridge in models.seq2seq.encode)
+        pooled = jnp.sum(enc_bm, axis=1) / jnp.maximum(
+            lengths[:, None], 1
+        ).astype(enc_bm.dtype)
+        tokens = decode_from_encoder(
+            self.params,
+            self.config,
+            jnp.moveaxis(enc_bm, 0, 1),  # (T', B, D)
+            (pooled, pooled),
+            lengths,
+            jax.random.PRNGKey(0),
+            temperature=0.0,
+        )
+        tokens = np.asarray(tokens)
+        return {
+            "tokens": tokens,
+            "encoder_outputs": np.asarray(enc_bm),
+            "sequences": target_inds_to_sequences(tokens, self.targets_list),
+        }
+
+    def endpoint(self) -> dict:
+        out = self.decode()
+        self.reset()
+        return out
