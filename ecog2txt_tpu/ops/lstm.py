@@ -140,12 +140,23 @@ def lstm_scan(
     )  # (T, B, 4H)
 
     if use_pallas:
-        # fused Pallas recurrence (ops/pallas_lstm.py): whole sequence in
-        # one kernel, weights + state resident in VMEM.  Under bf16
-        # compute, the streamed tensors (xw in, h/c residuals out,
-        # dgates in the backward) are bf16 too — the kernels are
-        # HBM-bandwidth-bound, so this halves their step time.
-        from .pallas_lstm import fused_lstm_recurrence
+        # fused Pallas recurrence: whole sequence in one kernel, weights
+        # + state resident in VMEM.  Under bf16 compute, the streamed
+        # tensors (xw in, h/c residuals out, dgates in the backward)
+        # are bf16 too — the kernels are HBM-bandwidth-bound, so this
+        # halves their step time.  ``use_pallas='dma'`` selects the
+        # single-launch manual-DMA variant (ops/pallas_lstm_dma.py):
+        # time streamed inside ONE grid step per batch tile, removing
+        # the per-time-chunk grid overhead of the default
+        # (ops/pallas_lstm.py) chunked-grid kernels.
+        if use_pallas == "dma":
+            from .pallas_lstm_dma import (
+                fused_lstm_recurrence_dma as fused_recurrence,
+            )
+        else:
+            from .pallas_lstm import (
+                fused_lstm_recurrence as fused_recurrence,
+            )
 
         mask = (
             h_dropout_mask
@@ -157,7 +168,7 @@ def lstm_scan(
         )
         if compute_dtype == jnp.bfloat16:
             xw = xw.astype(jnp.bfloat16)
-        outputs, h_f, c_f = fused_lstm_recurrence(
+        outputs, h_f, c_f = fused_recurrence(
             xw, params["wh"], lens, h0, c0, mask, pallas_interpret
         )
         return outputs, (h_f, c_f)

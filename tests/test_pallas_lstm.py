@@ -1,7 +1,11 @@
 """Fused Pallas LSTM parity tests (interpreter mode on CPU).
 
 Forward outputs, final states, and ALL gradients must match the
-lax.scan reference (ops/lstm.py) to float32 tolerance.
+lax.scan reference (ops/lstm.py) to float32 tolerance — for BOTH
+implementations: the chunked-grid kernels (ops/pallas_lstm.py,
+use_pallas=True) and the single-launch manual-DMA kernels
+(ops/pallas_lstm_dma.py, use_pallas='dma'), whose lane padding
+(H→128-multiples) must be exactly inert.
 """
 
 import jax
@@ -23,6 +27,9 @@ def setup():
     return params, xs, lengths
 
 
+IMPLS = [True, "dma"]
+
+
 def _run(params, xs, lengths, use_pallas, initial_state=None, mask=None):
     return lstm_scan(
         params, xs, lengths, initial_state, mask,
@@ -30,36 +37,40 @@ def _run(params, xs, lengths, use_pallas, initial_state=None, mask=None):
     )
 
 
-def test_forward_parity(setup):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_forward_parity(setup, impl):
     params, xs, lengths = setup
     out_ref, (h_ref, c_ref) = _run(params, xs, lengths, False)
-    out_pl, (h_pl, c_pl) = _run(params, xs, lengths, True)
+    out_pl, (h_pl, c_pl) = _run(params, xs, lengths, impl)
     np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(h_pl, h_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(c_pl, c_ref, rtol=1e-5, atol=1e-6)
 
 
-def test_forward_parity_no_lengths(setup):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_forward_parity_no_lengths(setup, impl):
     params, xs, _ = setup
     out_ref, (h_ref, _) = _run(params, xs, None, False)
-    out_pl, (h_pl, _) = _run(params, xs, None, True)
+    out_pl, (h_pl, _) = _run(params, xs, None, impl)
     np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(h_pl, h_ref, rtol=1e-5, atol=1e-6)
 
 
-def test_forward_parity_with_initial_state_and_mask(setup):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_forward_parity_with_initial_state_and_mask(setup, impl):
     params, xs, lengths = setup
     rng = np.random.default_rng(1)
     h0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
     c0 = jnp.asarray(rng.normal(size=(B, H)), jnp.float32)
     mask = jnp.asarray(rng.integers(0, 2, size=(B, H)) * 2.0, jnp.float32)
     out_ref, fs_ref = _run(params, xs, lengths, False, (h0, c0), mask)
-    out_pl, fs_pl = _run(params, xs, lengths, True, (h0, c0), mask)
+    out_pl, fs_pl = _run(params, xs, lengths, impl, (h0, c0), mask)
     np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(fs_pl[0], fs_ref[0], rtol=1e-5, atol=1e-6)
 
 
-def test_gradient_parity(setup):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_gradient_parity(setup, impl):
     """Gradients wrt xs, wx, wh, b, h0, c0 all match the scan path."""
     params, xs, lengths = setup
     rng = np.random.default_rng(2)
@@ -75,14 +86,15 @@ def test_gradient_parity(setup):
         )
 
     g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(params, xs, h0, c0, False)
-    g_pl = jax.grad(loss, argnums=(0, 1, 2, 3))(params, xs, h0, c0, True)
+    g_pl = jax.grad(loss, argnums=(0, 1, 2, 3))(params, xs, h0, c0, impl)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
         )
 
 
-def test_gradient_parity_with_dropout_mask(setup):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_gradient_parity_with_dropout_mask(setup, impl):
     params, xs, lengths = setup
     rng = np.random.default_rng(3)
     mask = jnp.asarray(rng.integers(0, 2, size=(B, H)) * 2.0, jnp.float32)
@@ -92,14 +104,15 @@ def test_gradient_parity_with_dropout_mask(setup):
         return jnp.sum(out**2) + jnp.sum(hf)
 
     g_ref = jax.grad(loss, argnums=(0, 1))(params, xs, False)
-    g_pl = jax.grad(loss, argnums=(0, 1))(params, xs, True)
+    g_pl = jax.grad(loss, argnums=(0, 1))(params, xs, impl)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
         )
 
 
-def test_invalid_step_upstream_grad_dropped(setup):
+@pytest.mark.parametrize("impl", IMPLS)
+def test_invalid_step_upstream_grad_dropped(setup, impl):
     """Gradient flowing into outputs past the valid prefix must vanish
     (forward emits constant 0 there)."""
     params, xs, lengths = setup
@@ -110,7 +123,7 @@ def test_invalid_step_upstream_grad_dropped(setup):
         return jnp.sum(out[5:, 2])
 
     g_ref = jax.grad(loss)(xs, False)
-    g_pl = jax.grad(loss)(xs, True)
+    g_pl = jax.grad(loss)(xs, impl)
     np.testing.assert_allclose(np.asarray(g_pl), 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(g_ref), 0.0, atol=1e-7)
 
