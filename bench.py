@@ -138,6 +138,20 @@ def main():
     projected = full_train_s + full_decode_s
     vs_baseline = 600.0 / projected  # north star: <10 min (BASELINE.json)
 
+    # model-FLOP utilization (matmul FLOPs; bwd = 2× fwd) against the
+    # v5e bf16 peak — the efficiency axis VERDICT r1 asked for
+    from ecog2txt_tpu.utils.flops import (
+        TPU_V5E_BF16_PEAK_FLOPS,
+        mfu,
+        seq2seq_forward_flops,
+        train_step_flops,
+    )
+
+    train_flops = train_step_flops(config, T, dec_len=12)
+    decode_flops = seq2seq_forward_flops(config, T, dec_len=config.max_dec_len)
+    train_mfu = mfu(train_sent_per_sec, train_flops)
+    decode_mfu = mfu(decode_sent_per_sec, decode_flops)
+
     print(
         json.dumps(
             {
@@ -147,6 +161,13 @@ def main():
                 "vs_baseline": round(vs_baseline, 3),
                 "decode_sentences_per_sec": round(decode_sent_per_sec, 2),
                 "projected_full_run_s": round(projected, 1),
+                "mfu": round(train_mfu, 4),
+                "decode_mfu": round(decode_mfu, 4),
+                "model_tflops_per_s": round(
+                    train_sent_per_sec * train_flops / 1e12, 2
+                ),
+                "train_gflops_per_sentence": round(train_flops / 1e9, 3),
+                "peak_tflops": TPU_V5E_BF16_PEAK_FLOPS / 1e12,
                 "platform": jax.devices()[0].platform,
             }
         )

@@ -1,0 +1,101 @@
+"""Model-FLOP accounting for MFU reporting.
+
+Counts the matmul FLOPs (2·M·N·K per GEMM — the MXU-relevant work) of
+one forward pass through the seq2seq model as configured, per sentence.
+MFU = achieved model FLOP/s ÷ peak: the north-star efficiency axis
+(BASELINE.md; VERDICT round 1 asked for this number in bench.py).
+
+Convention (standard in the scaling literature): backward pass counts
+2× the forward matmul FLOPs, so a training step is 3× forward.
+Elementwise/VPU work (gate nonlinearities, masking, optimizer update)
+is excluded — it is not MXU work and would inflate the ratio.
+"""
+
+from __future__ import annotations
+
+# bf16 peak of one TPU v5e chip (public spec: 197 TFLOP/s)
+TPU_V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def seq2seq_forward_flops(
+    config, T: int, dec_len: int | None = None
+) -> float:
+    """Matmul FLOPs of one forward pass for ONE sentence of ``T`` raw
+    samples (``config``: models.seq2seq.Seq2SeqConfig)."""
+    flops = 0.0
+    # subnet conv stack: (T', d·C) @ (d·C, size) per layer
+    t = T
+    in_dim = config.in_channels
+    for size, stride in zip(config.conv_sizes, config.conv_strides):
+        t = t // stride
+        flops += 2.0 * t * (stride * in_dim) * size
+        in_dim = size
+    if not config.conv_sizes:
+        t = T // config.decimation_factor
+
+    if config.encoder_type == "conformer":
+        ccfg = config.conformer
+        D, F, H = ccfg.model_dim, ccfg.ffn_dim, ccfg.num_heads
+        flops += 2.0 * t * in_dim * D  # in_proj
+        # per block: 2 half-FFNs, qkv+out proj, attention scores/values,
+        # conv module pointwise (2D + D) projections
+        kv_span = min((ccfg.left_context + 1) * ccfg.chunk_size, t)
+        per_block = (
+            2 * (2.0 * t * D * F + 2.0 * t * F * D)  # ffn1 + ffn2
+            + 2.0 * t * D * (3 * D)  # qkv
+            + 2.0 * t * D * D  # wo
+            + 2 * (2.0 * t * kv_span * D)  # qk^T and attn·v
+            + 2.0 * t * D * (2 * D)  # conv pw1
+            + 2.0 * t * D * D  # conv pw2
+        )
+        flops += ccfg.num_blocks * per_block
+        enc_out_dim = D
+        in_dim = D
+    else:
+        directions = 2 if config.BIDIRECTIONAL else 1
+        for size in config.rnn_sizes:
+            # hoisted input GEMM + serial recurrent GEMM, per direction
+            flops += directions * (
+                2.0 * t * in_dim * 4 * size + 2.0 * t * size * 4 * size
+            )
+            in_dim = directions * size
+        enc_out_dim = in_dim
+
+    # aux heads: shared MLP trunk + per-head output projection
+    if config.aux_heads:
+        dim = enc_out_dim
+        for size in config.aux_proj_sizes:
+            flops += len(config.aux_heads) * 2.0 * t * dim * size
+            dim = size
+        for head in config.aux_heads:
+            flops += 2.0 * t * dim * head.out_dim
+
+    # decoder: embedding lookup is a gather (no matmul); LSTM stack +
+    # vocab projection per emitted token
+    L = dec_len if dec_len is not None else config.max_dec_len
+    dim = config.dec_embedding_size
+    for size in config.dec_rnn_sizes:
+        flops += 2.0 * L * dim * 4 * size + 2.0 * L * size * 4 * size
+        dim = size
+    if config.use_attention:
+        flops += (
+            2.0 * L * dim * enc_out_dim  # wa
+            + 2 * (2.0 * L * t * enc_out_dim)  # scores + context
+            + 2.0 * L * (dim + enc_out_dim) * dim  # wc
+        )
+    flops += 2.0 * L * dim * config.vocab_size
+    return flops
+
+
+def train_step_flops(config, T: int, dec_len: int | None = None) -> float:
+    """fwd + bwd ≈ 3× forward matmul FLOPs per sentence."""
+    return 3.0 * seq2seq_forward_flops(config, T, dec_len)
+
+
+def mfu(
+    sentences_per_sec: float,
+    flops_per_sentence: float,
+    peak_flops: float = TPU_V5E_BF16_PEAK_FLOPS,
+) -> float:
+    """Achieved model-FLOP utilization fraction."""
+    return sentences_per_sec * flops_per_sentence / peak_flops
