@@ -215,6 +215,7 @@ def bidirectional_lstm(
     h_dropout_masks: tuple[jax.Array, jax.Array] | None = None,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """Bidirectional layer: forward scan + backward scan over the
     valid-prefix-reversed input; outputs concatenated on features.
@@ -222,16 +223,102 @@ def bidirectional_lstm(
     Returns (outputs (T, B, 2H), final (h, c) each (B, 2H)) where the
     final state concatenates both directions' last-valid states — sized
     for the reference's decoder (2×400 → 800, SURVEY §2.8).
+
+    With ``use_pallas='dma'`` both directions run in ONE fused kernel
+    (ops/pallas_lstm_dma.fused_bilstm_recurrence_dma): the two serial
+    chains are independent, so interleaving them per step hides each
+    chain's matmul/VPU latency behind the other's compute — a
+    bidirectional layer costs roughly one unidirectional launch.
     """
     mask_f, mask_b = h_dropout_masks if h_dropout_masks else (None, None)
+    if use_pallas is True:
+        # gather-free bidirectional (chunked-grid kernels): the reverse
+        # direction runs the kernel REVERSED IN TIME (cuDNN-style)
+        # instead of reversing the sequence — no input/output gathers,
+        # outputs land at their absolute positions, final states come
+        # out directly.
+        from .pallas_lstm import fused_lstm_recurrence
+
+        T, B, _ = xs.shape
+        H = params_fwd["wh"].shape[0]
+        lens = (
+            lengths if lengths is not None else jnp.full((B,), T, jnp.int32)
+        )
+        zeros = jnp.zeros((B, H), jnp.float32)
+        ones = jnp.ones((B, H), jnp.float32)
+
+        def run(p, mask, reverse_time):
+            xw = (
+                jnp.dot(
+                    xs.astype(compute_dtype),
+                    p["wx"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + p["b"]
+            )
+            if compute_dtype == jnp.bfloat16:
+                xw = xw.astype(jnp.bfloat16)
+            return fused_lstm_recurrence(
+                xw, p["wh"], lens, zeros, zeros,
+                mask if mask is not None else ones,
+                pallas_interpret, reverse_time,
+            )
+
+        out_f, h_f, c_f = run(params_fwd, mask_f, False)
+        out_b, h_b, c_b = run(params_bwd, mask_b, True)
+        return jnp.concatenate([out_f, out_b], axis=-1), (
+            jnp.concatenate([h_f, h_b], axis=-1),
+            jnp.concatenate([c_f, c_b], axis=-1),
+        )
+    if use_pallas == "dma":
+        from .pallas_lstm_dma import fused_bilstm_recurrence_dma
+
+        T, B, _ = xs.shape
+        H = params_fwd["wh"].shape[0]
+        xs_rev = reverse_padded(xs, lengths)
+
+        def proj(p, x):
+            return (
+                jnp.dot(
+                    x.astype(compute_dtype),
+                    p["wx"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + p["b"]
+            )
+
+        xw2 = jnp.stack(
+            [proj(params_fwd, xs), proj(params_bwd, xs_rev)], axis=1
+        )  # (T, 2, B, 4H)
+        if compute_dtype == jnp.bfloat16:
+            xw2 = xw2.astype(jnp.bfloat16)
+        wh2 = jnp.stack([params_fwd["wh"], params_bwd["wh"]], axis=0)
+        ones = jnp.ones((B, H), jnp.float32)
+        mask2 = jnp.stack(
+            [
+                mask_f if mask_f is not None else ones,
+                mask_b if mask_b is not None else ones,
+            ],
+            axis=0,
+        )
+        zeros = jnp.zeros((2, B, H), jnp.float32)
+        h_seq2, hT2, cT2 = fused_bilstm_recurrence_dma(
+            xw2, wh2, lengths, zeros, zeros, mask2, pallas_interpret
+        )
+        out_b = reverse_padded(h_seq2[:, 1], lengths)
+        outputs = jnp.concatenate([h_seq2[:, 0], out_b], axis=-1)
+        return outputs, (
+            jnp.concatenate([hT2[0], hT2[1]], axis=-1),
+            jnp.concatenate([cT2[0], cT2[1]], axis=-1),
+        )
     out_f, (h_f, c_f) = lstm_scan(
         params_fwd, xs, lengths, None, mask_f, compute_dtype,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
     )
     xs_rev = reverse_padded(xs, lengths)
     out_b_rev, (h_b, c_b) = lstm_scan(
         params_bwd, xs_rev, lengths, None, mask_b, compute_dtype,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
     )
     out_b = reverse_padded(out_b_rev, lengths)
     outputs = jnp.concatenate([out_f, out_b], axis=-1)

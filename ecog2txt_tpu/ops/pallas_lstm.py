@@ -64,8 +64,12 @@ def _choose_tiles(
     for BB in (128, 64, 32, 16, 8):
         BB_eff = min(BB, max(B, 1))
         for C in (8, 6, 4, 3, 2, 1):
-            wh = H * G * 4
             sb = stream_bytes
+            # weight block counted at 4 B/elem regardless of stream
+            # dtype: the headroom absorbs Mosaic's loop-body stack,
+            # which grows with CHUNK (measured: counting bf16 weights
+            # here let CHUNK grow 4->6 and the kernel slowed 3x)
+            wh = H * G * 4
             if bwd:
                 seq = 2 * (
                     2 * C * BB_eff * G * sb + 4 * C * BB_eff * H * sb
@@ -95,7 +99,14 @@ def _pad_axis(a, multiple, axis):
 # --------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(chunk: int):
+def _make_fwd_kernel(chunk: int, reverse_time: bool = False):
+  """``reverse_time`` runs the recurrence from t=T-1 down to t=0 —
+  the BACKWARD direction of a biLSTM computed with NO sequence
+  reversal (cuDNN-style): outputs land at their absolute positions and
+  the final state is the state after consuming t=0.  Steps t >= length
+  are no-ops (carry frozen at the initial state), so variable lengths
+  work unchanged; requires zero initial state (the encoder's case) so
+  the zero-filled h_seq residuals match the carry at invalid steps."""
   def _fwd_kernel(
     xw_ref,  # (chunk, BB, 4H) input-projection block
     wh_ref,  # (H, 4H)
@@ -117,15 +128,23 @@ def _make_fwd_kernel(chunk: int):
         h_scr[:] = h0_ref[:]
         c_scr[:] = c0_ref[:]
 
-    wh = wh_ref[:]
+    # recurrent matmul operands follow the stream dtype: under bf16
+    # streams the MXU runs at its bf16 rate (8× the fp32 rate) with
+    # fp32 accumulation; the h/c carry itself stays fp32
+    mm_dtype = xw_ref.dtype
+    wh = wh_ref[:].astype(mm_dtype)
     mask = mask_ref[:]
     lens = len_ref[:]  # (BB, 1)
-    base = k * chunk
+    nt = pl.num_programs(1)
+    # the index maps load chunk (nt-1-k) when running reversed
+    base = ((nt - 1 - k) if reverse_time else k) * chunk
 
-    def body(i, carry):
+    def body(j, carry):
+        i = (chunk - 1 - j) if reverse_time else j
         h, c = carry
         gates = xw_ref[i].astype(jnp.float32) + jnp.dot(
-            h * mask, wh, preferred_element_type=jnp.float32
+            (h * mask).astype(mm_dtype), wh,
+            preferred_element_type=jnp.float32,
         )
         gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
         c_new = jax.nn.sigmoid(gf + 1.0) * c + jax.nn.sigmoid(gi) * jnp.tanh(gg)
@@ -149,12 +168,13 @@ def _make_fwd_kernel(chunk: int):
   return _fwd_kernel
 
 
-def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret):
+def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret, reverse_time=False):
     T, B, G = xw.shape
     H = wh.shape[0]
     stream = xw.dtype  # bf16 streams halve HBM traffic + VMEM blocks
     BB, CHUNK = _choose_tiles(B, H, G, bwd=False, stream_bytes=stream.itemsize)
     xw_p = _pad_axis(_pad_axis(xw, CHUNK, 0), BB, 1)
+    wh = wh.astype(stream)  # bf16 weight block under bf16 compute
     Tp, Bp = xw_p.shape[:2]
     lengths2d = _pad_axis(lengths.reshape(B, 1).astype(jnp.int32), BB, 0)
     h0_p = _pad_axis(h0, BB, 0)
@@ -167,11 +187,14 @@ def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret):
         jax.ShapeDtypeStruct((Bp, H), jnp.float32),  # hT
         jax.ShapeDtypeStruct((Bp, H), jnp.float32),  # cT
     )
-    seq3 = lambda b, k: (k, b, 0)  # noqa: E731
+    if reverse_time:
+        seq3 = lambda b, k: (nt - 1 - k, b, 0)  # noqa: E731
+    else:
+        seq3 = lambda b, k: (k, b, 0)  # noqa: E731
     bfix = lambda b, k: (b, 0)  # noqa: E731
     wfix = lambda b, k: (0, 0)  # noqa: E731
     h_seq, c_seq, hT, cT = pl.pallas_call(
-        _make_fwd_kernel(CHUNK),
+        _make_fwd_kernel(CHUNK, reverse_time),
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((CHUNK, BB, G), seq3, memory_space=pltpu.VMEM),
@@ -202,7 +225,10 @@ def _fwd_call(xw, wh, lengths, h0, c0, mask, interpret):
 # --------------------------------------------------------------------------
 
 
-def _make_bwd_kernel(chunk: int):
+def _make_bwd_kernel(chunk: int, reverse_time: bool = False):
+  """Adjoint iterates opposite to the forward recurrence: reversed
+  chunks for the forward-time recurrence, forward chunks when the
+  recurrence itself ran reverse_time."""
   def _bwd_kernel(
     xw_ref,  # (chunk, BB, 4H) at this (reversed) chunk
     wh_ref,  # (H, 4H)
@@ -228,19 +254,20 @@ def _make_bwd_kernel(chunk: int):
         dh_scr[:] = dhT_ref[:]
         dc_scr[:] = dcT_ref[:]
 
-    wh = wh_ref[:]
+    mm_dtype = xw_ref.dtype
+    wh = wh_ref[:].astype(mm_dtype)
     mask = mask_ref[:]
     lens = len_ref[:]
-    # grid step k covers the k-th time chunk FROM THE END
-    base = (nk - 1 - k) * chunk
+    # adjoint time order is the REVERSE of the recurrence's
+    base = (k if reverse_time else (nk - 1 - k)) * chunk
 
     def body(j, carry):
         dh_c, dc_c = carry
-        i = chunk - 1 - j
+        i = j if reverse_time else (chunk - 1 - j)
         valid = lens > (base + i)
         h_in = hprev_ref[i].astype(jnp.float32) * mask
         gates = xw_ref[i].astype(jnp.float32) + jnp.dot(
-            h_in, wh, preferred_element_type=jnp.float32
+            h_in.astype(mm_dtype), wh, preferred_element_type=jnp.float32
         )
         gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
         si = jax.nn.sigmoid(gi)
@@ -261,7 +288,11 @@ def _make_bwd_kernel(chunk: int):
         dgates = jnp.where(valid, dgates, 0.0)
         dgates_ref[i] = dgates.astype(dgates_ref.dtype)
         dh_prev = (
-            jnp.dot(dgates, wh.T, preferred_element_type=jnp.float32) * mask
+            jnp.dot(
+                dgates.astype(mm_dtype), wh.T,
+                preferred_element_type=jnp.float32,
+            )
+            * mask
         )
         dh_c = jnp.where(valid, dh_prev, dh)
         dc_c = jnp.where(valid, dct * sf, dc_c)
@@ -280,7 +311,8 @@ def _make_bwd_kernel(chunk: int):
 
 
 def _bwd_call(
-    xw, wh, hprev, cprev, cseq, lengths, mask, dhseq, dhT, dcT, interpret
+    xw, wh, hprev, cprev, cseq, lengths, mask, dhseq, dhT, dcT, interpret,
+    reverse_time=False,
 ):
     T, B, G = xw.shape
     H = wh.shape[0]
@@ -295,13 +327,17 @@ def _bwd_call(
     xw_p, hprev_p, cprev_p, cseq_p, dhseq_p = (
         prep(a) for a in (xw, hprev, cprev, cseq, dhseq)
     )
+    wh = wh.astype(stream)  # bf16 weight block under bf16 compute
     Tp, Bp = xw_p.shape[:2]
     nb, nt = Bp // BB, Tp // CHUNK_BWD
     lengths2d = _pad_axis(lengths.reshape(B, 1).astype(jnp.int32), BB, 0)
     mask_p = _pad_axis(mask, BB, 0)
     dhT_p = _pad_axis(dhT, BB, 0)
     dcT_p = _pad_axis(dcT, BB, 0)
-    rev3 = lambda b, k: (nt - 1 - k, b, 0)  # noqa: E731
+    if reverse_time:
+        rev3 = lambda b, k: (k, b, 0)  # noqa: E731
+    else:
+        rev3 = lambda b, k: (nt - 1 - k, b, 0)  # noqa: E731
     bfix = lambda b, k: (b, 0)  # noqa: E731
     wfix = lambda b, k: (0, 0)  # noqa: E731
     out_shape = (
@@ -310,7 +346,7 @@ def _bwd_call(
         jax.ShapeDtypeStruct((Bp, H), jnp.float32),  # dc0
     )
     dgates, dh0, dc0 = pl.pallas_call(
-        _make_bwd_kernel(CHUNK_BWD),
+        _make_bwd_kernel(CHUNK_BWD, reverse_time),
         grid=(nb, nt),
         in_specs=[
             pl.BlockSpec((CHUNK_BWD, BB, G), rev3, memory_space=pltpu.VMEM),
@@ -347,36 +383,66 @@ def _bwd_call(
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_lstm_recurrence(xw, wh, lengths, h0, c0, mask, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_lstm_recurrence(
+    xw, wh, lengths, h0, c0, mask, interpret=False, reverse_time=False
+):
     """(h_seq (T,B,H), hT (B,H), cT (B,H)) from the precomputed input
-    projection ``xw = xs@wx + b``."""
-    h_seq, _c_seq, hT, cT = _fwd_call(xw, wh, lengths, h0, c0, mask, interpret)
+    projection ``xw = xs@wx + b``.
+
+    ``reverse_time`` runs the recurrence t=T-1 → 0 with outputs at
+    their absolute positions — the gather-free way to compute a
+    biLSTM's backward direction (no input/output reversal).  Requires
+    zero initial state."""
+    h_seq, _c_seq, hT, cT = _fwd_call(
+        xw, wh, lengths, h0, c0, mask, interpret, reverse_time
+    )
     return h_seq, hT, cT
 
 
-def _fused_fwd(xw, wh, lengths, h0, c0, mask, interpret):
-    h_seq, c_seq, hT, cT = _fwd_call(xw, wh, lengths, h0, c0, mask, interpret)
+def _fused_fwd(xw, wh, lengths, h0, c0, mask, interpret, reverse_time):
+    h_seq, c_seq, hT, cT = _fwd_call(
+        xw, wh, lengths, h0, c0, mask, interpret, reverse_time
+    )
     return (h_seq, hT, cT), (xw, wh, lengths, h0, c0, mask, h_seq, c_seq)
 
 
-def _fused_bwd(interpret, residuals, grads):
+def _fused_bwd(interpret, reverse_time, residuals, grads):
     xw, wh, lengths, h0, c0, mask, h_seq, c_seq = residuals
     dhseq, dhT, dcT = grads
-    # h_{t-1}/c_{t-1} sequences: shifted with the initial state in front.
-    # h_seq is zeroed past each valid prefix, but those steps produce
-    # dgates = 0 in the kernel, so the zeros never contribute.
-    hprev = jnp.concatenate([h0[None], h_seq[:-1]], axis=0)
-    cprev = jnp.concatenate([c0[None], c_seq[:-1]], axis=0)
+    # predecessor-in-recurrence-order h/c sequences: shifted with the
+    # initial state at the recurrence's first step.  h_seq is zeroed
+    # past each valid prefix, but those steps produce dgates = 0 in the
+    # kernel, so the zeros never contribute (reverse_time additionally
+    # relies on zero initial state — see fused_lstm_recurrence).
+    if reverse_time:
+        hprev = jnp.concatenate(
+            [h_seq[1:], h0[None].astype(h_seq.dtype)], axis=0
+        )
+        cprev = jnp.concatenate(
+            [c_seq[1:], c0[None].astype(c_seq.dtype)], axis=0
+        )
+    else:
+        hprev = jnp.concatenate(
+            [h0[None].astype(h_seq.dtype), h_seq[:-1]], axis=0
+        )
+        cprev = jnp.concatenate(
+            [c0[None].astype(c_seq.dtype), c_seq[:-1]], axis=0
+        )
     dgates, dh0, dc0 = _bwd_call(
-        xw, wh, hprev, cprev, c_seq, lengths, mask, dhseq, dhT, dcT, interpret
+        xw, wh, hprev, cprev, c_seq, lengths, mask, dhseq, dhT, dcT,
+        interpret, reverse_time,
     )
-    # weight gradient as ONE large MXU GEMM outside the serial loop
+    # weight gradient as ONE large MXU GEMM outside the serial loop —
+    # in the stream dtype (bf16 under bf16 compute: 8× the fp32 MXU
+    # rate), accumulating fp32
     T, B, G = dgates.shape
     H = wh.shape[0]
-    h_in = (hprev * mask).reshape(T * B, H)
+    h_in = (hprev * mask.astype(hprev.dtype)).reshape(T * B, H)
     dwh = jnp.dot(
-        h_in.T, dgates.reshape(T * B, G), preferred_element_type=jnp.float32
+        h_in.T,
+        dgates.reshape(T * B, G),
+        preferred_element_type=jnp.float32,
     )
     return dgates, dwh, None, dh0, dc0, None
 

@@ -159,3 +159,127 @@ def test_bf16_streams_close_to_fp32(setup):
         a, b = np.asarray(a), np.asarray(b, np.float32)
         denom = np.abs(a).max() + 1e-6
         assert np.abs(a - b).max() / denom < 0.1
+
+
+def test_bidirectional_fused_dma_parity(setup):
+    """The fused bidirectional kernel (both directions in one launch)
+    matches the two-scan bidirectional reference: outputs, final states,
+    and gradients wrt both directions' weights and the inputs."""
+    from ecog2txt_tpu.ops.lstm import bidirectional_lstm
+
+    params_fwd, xs, lengths = setup
+    params_bwd = init_lstm_params(jax.random.PRNGKey(9), F, H)
+    rng = np.random.default_rng(7)
+    masks = (
+        jnp.asarray(rng.integers(0, 2, size=(B, H)) * 2.0, jnp.float32),
+        jnp.asarray(rng.integers(0, 2, size=(B, H)) * 2.0, jnp.float32),
+    )
+
+    def run(use_pallas):
+        return bidirectional_lstm(
+            params_fwd, params_bwd, xs, lengths, masks,
+            use_pallas=use_pallas, pallas_interpret=True,
+        )
+
+    out_ref, (h_ref, c_ref) = run(False)
+    out_pl, (h_pl, c_pl) = run("dma")
+    np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_pl, h_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c_pl, c_ref, rtol=1e-5, atol=1e-6)
+
+    w_out = jnp.asarray(rng.normal(size=(2 * H,)), jnp.float32)
+
+    def loss(pf, pb, xs, use_pallas):
+        out, (hf, cf) = bidirectional_lstm(
+            pf, pb, xs, lengths, masks,
+            use_pallas=use_pallas, pallas_interpret=True,
+        )
+        return jnp.sum(out * w_out) + 2.0 * jnp.sum(hf) + 0.5 * jnp.sum(cf**2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(params_fwd, params_bwd, xs, False)
+    g_pl = jax.grad(loss, argnums=(0, 1, 2))(params_fwd, params_bwd, xs, "dma")
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_reverse_time_kernel_parity(setup):
+    """reverse_time recurrence == scan over the reversed sequence with
+    outputs re-reversed (the gather-free biLSTM backward direction),
+    including gradients."""
+    from ecog2txt_tpu.ops.lstm import reverse_padded
+    from ecog2txt_tpu.ops.pallas_lstm import fused_lstm_recurrence
+
+    params, xs, lengths = setup
+
+    def ref(p, xs):
+        xs_rev = reverse_padded(xs, lengths)
+        out_rev, (hf, cf) = _run(p, xs_rev, lengths, False)
+        return reverse_padded(out_rev, lengths), hf, cf
+
+    def rt(p, xs):
+        xw = jnp.dot(xs, p["wx"]) + p["b"]
+        mask = jnp.ones((B, H), jnp.float32)
+        zeros = jnp.zeros((B, H), jnp.float32)
+        return fused_lstm_recurrence(
+            xw, p["wh"], lengths, zeros, zeros, mask, True, True
+        )
+
+    out_ref, h_ref, c_ref = ref(params, xs)
+    out_rt, h_rt, c_rt = rt(params, xs)
+    np.testing.assert_allclose(out_rt, out_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_rt, h_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c_rt, c_ref, rtol=1e-5, atol=1e-6)
+
+    w_out = jnp.asarray(np.random.default_rng(5).normal(size=(H,)), jnp.float32)
+
+    def loss(p, xs, which):
+        out, hf, cf = (ref if which == "ref" else rt)(p, xs)
+        return jnp.sum(out * w_out) + 2.0 * jnp.sum(hf) + 0.5 * jnp.sum(cf**2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, xs, "ref")
+    g_rt = jax.grad(loss, argnums=(0, 1))(params, xs, "rt")
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_rt)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_bidirectional_grid_gather_free_parity(setup):
+    """bidirectional_lstm(use_pallas=True) — the gather-free reverse_time
+    path — matches the two-scan reference."""
+    from ecog2txt_tpu.ops.lstm import bidirectional_lstm
+
+    params_fwd, xs, lengths = setup
+    params_bwd = init_lstm_params(jax.random.PRNGKey(11), F, H)
+    rng = np.random.default_rng(8)
+    masks = (
+        jnp.asarray(rng.integers(0, 2, size=(B, H)) * 2.0, jnp.float32),
+        jnp.asarray(rng.integers(0, 2, size=(B, H)) * 2.0, jnp.float32),
+    )
+
+    def loss(pf, pb, xs, use_pallas):
+        out, (hf, cf) = bidirectional_lstm(
+            pf, pb, xs, lengths, masks,
+            use_pallas=use_pallas, pallas_interpret=True,
+        )
+        return jnp.sum(out**2) + jnp.sum(hf) + jnp.sum(cf)
+
+    out_ref, fs_ref = bidirectional_lstm(
+        params_fwd, params_bwd, xs, lengths, masks, use_pallas=False
+    )
+    out_pl, fs_pl = bidirectional_lstm(
+        params_fwd, params_bwd, xs, lengths, masks,
+        use_pallas=True, pallas_interpret=True,
+    )
+    np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fs_pl[0], fs_ref[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fs_pl[1], fs_ref[1], rtol=1e-5, atol=1e-6)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(params_fwd, params_bwd, xs, False)
+    g_pl = jax.grad(loss, argnums=(0, 1, 2))(params_fwd, params_bwd, xs, True)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
