@@ -448,3 +448,436 @@ def _fused_bwd(interpret, reverse_time, residuals, grads):
 
 
 fused_lstm_recurrence.defvjp(_fused_fwd, _fused_bwd)
+
+
+# --------------------------------------------------------------------------
+# fused BIDIRECTIONAL grid kernels: both directions in one launch
+# --------------------------------------------------------------------------
+#
+# The two directions of a biLSTM are independent serial chains; run as
+# separate launches each pays the full per-step latency (MXU issue →
+# VPU gate math on a dependent chain).  Here both run in ONE kernel:
+# direction 0 forward-in-time, direction 1 reverse-in-time (the
+# gather-free trick above) — the PIPELINE's per-input index maps feed
+# chunk k to chain A and chunk nt-1-k to chain B at the same grid
+# step, and the two chains' per-step work has no cross dependencies,
+# so Mosaic's scheduler interleaves them and hides each chain's
+# latency behind the other's compute.  Zero initial state required
+# (encoder case).
+
+
+def _choose_bi_grid_tiles(
+    B: int, H: int, G: int, bwd: bool, stream_bytes: int
+) -> tuple[int, int]:
+    for BB in (128, 64, 32, 16, 8):
+        BB_eff = min(BB, max(B, 1))
+        for C in (8, 6, 4, 3, 2, 1):
+            sb = stream_bytes
+            wh = 2 * H * G * 4
+            if bwd:
+                seq = 2 * 2 * (
+                    2 * C * BB_eff * G * sb + 4 * C * BB_eff * H * sb
+                )
+                fixed = 2 * 2 * 4 * BB_eff * H * 4
+            else:
+                seq = 2 * 2 * (
+                    C * BB_eff * G * sb + 2 * C * BB_eff * H * sb
+                )
+                fixed = 2 * 2 * 5 * BB_eff * H * 4
+            scratch = 2 * 2 * BB_eff * H * 4
+            if wh + seq + fixed + scratch <= VMEM_BUDGET:
+                return BB_eff, C
+    return 8, 1
+
+
+def _make_bi_fwd_kernel(chunk: int):
+  def _kernel(
+    xwf_ref,  # (chunk, BB, 4H) chunk k (forward order)
+    xwb_ref,  # (chunk, BB, 4H) chunk nt-1-k (reverse chain's stream)
+    whf_ref,  # (H, 4H)
+    whb_ref,  # (H, 4H)
+    len_ref,  # (BB, 1)
+    maskf_ref,  # (BB, H)
+    maskb_ref,  # (BB, H)
+    hseqf_ref,  # out (chunk, BB, H) at chunk k
+    hseqb_ref,  # out (chunk, BB, H) at chunk nt-1-k
+    cseqf_ref,
+    cseqb_ref,
+    hT_ref,  # out (2, BB, H)
+    cT_ref,  # out (2, BB, H)
+    hf_scr, cf_scr, hb_scr, cb_scr,  # scratch (BB, H) each
+  ):
+    k = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        cf_scr[:] = jnp.zeros_like(cf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+        cb_scr[:] = jnp.zeros_like(cb_scr)
+
+    mm = xwf_ref.dtype
+    whf = whf_ref[:].astype(mm)
+    whb = whb_ref[:].astype(mm)
+    maskf = maskf_ref[:]
+    maskb = maskb_ref[:]
+    lens = len_ref[:]
+    base_f = k * chunk
+    base_b = (nt - 1 - k) * chunk
+
+    def cell(xw_t, wh, mask, h, c, valid):
+        gates = xw_t.astype(jnp.float32) + jnp.dot(
+            (h * mask).astype(mm), wh, preferred_element_type=jnp.float32
+        )
+        gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
+        c_new = (
+            jax.nn.sigmoid(gf + 1.0) * c
+            + jax.nn.sigmoid(gi) * jnp.tanh(gg)
+        )
+        h_new = jax.nn.sigmoid(go) * jnp.tanh(c_new)
+        h_new = jnp.where(valid, h_new, h)
+        c_new = jnp.where(valid, c_new, c)
+        return h_new, c_new
+
+    def body(j, carry):
+        hf, cf, hb, cb = carry
+        ib = chunk - 1 - j
+        valid_f = lens > (base_f + j)
+        valid_b = lens > (base_b + ib)
+        # chain A (forward time) and chain B (reverse time) are
+        # independent: their instructions interleave in the schedule
+        hf, cf = cell(xwf_ref[j], whf, maskf, hf, cf, valid_f)
+        hb, cb = cell(xwb_ref[ib], whb, maskb, hb, cb, valid_b)
+        hseqf_ref[j] = jnp.where(valid_f, hf, 0.0).astype(hseqf_ref.dtype)
+        cseqf_ref[j] = cf.astype(cseqf_ref.dtype)
+        hseqb_ref[ib] = jnp.where(valid_b, hb, 0.0).astype(hseqb_ref.dtype)
+        cseqb_ref[ib] = cb.astype(cseqb_ref.dtype)
+        return (hf, cf, hb, cb)
+
+    hf, cf, hb, cb = jax.lax.fori_loop(
+        0, chunk, body, (hf_scr[:], cf_scr[:], hb_scr[:], cb_scr[:])
+    )
+    hf_scr[:] = hf
+    cf_scr[:] = cf
+    hb_scr[:] = hb
+    cb_scr[:] = cb
+
+    @pl.when(k == nt - 1)
+    def _():
+        hT_ref[0] = hf
+        hT_ref[1] = hb
+        cT_ref[0] = cf
+        cT_ref[1] = cb
+
+  return _kernel
+
+
+def _bi_grid_fwd_call(xwf, xwb, whf, whb, lengths, maskf, maskb, interpret):
+    T, B, G = xwf.shape
+    H = whf.shape[0]
+    stream = xwf.dtype
+    BB, CHUNK = _choose_bi_grid_tiles(
+        B, H, G, bwd=False, stream_bytes=stream.itemsize
+    )
+    prep = lambda a: _pad_axis(_pad_axis(a, CHUNK, 0), BB, 1)  # noqa: E731
+    xwf_p, xwb_p = prep(xwf), prep(xwb)
+    whf = whf.astype(stream)
+    whb = whb.astype(stream)
+    Tp, Bp = xwf_p.shape[:2]
+    lengths2d = _pad_axis(lengths.reshape(B, 1).astype(jnp.int32), BB, 0)
+    maskf_p = _pad_axis(maskf, BB, 0)
+    maskb_p = _pad_axis(maskb, BB, 0)
+    nb, nt = Bp // BB, Tp // CHUNK
+    seq3 = lambda b, k: (k, b, 0)  # noqa: E731
+    rev3 = lambda b, k: (nt - 1 - k, b, 0)  # noqa: E731
+    bfix = lambda b, k: (b, 0)  # noqa: E731
+    dfix = lambda b, k: (0, b, 0)  # noqa: E731
+    wfix = lambda b, k: (0, 0)  # noqa: E731
+    out_shape = (
+        jax.ShapeDtypeStruct((Tp, Bp, H), stream),  # h_seq fwd-dir
+        jax.ShapeDtypeStruct((Tp, Bp, H), stream),  # h_seq bwd-dir
+        jax.ShapeDtypeStruct((Tp, Bp, H), stream),  # c_seq fwd-dir
+        jax.ShapeDtypeStruct((Tp, Bp, H), stream),  # c_seq bwd-dir
+        jax.ShapeDtypeStruct((2, Bp, H), jnp.float32),  # hT
+        jax.ShapeDtypeStruct((2, Bp, H), jnp.float32),  # cT
+    )
+    hf, hb, cf, cb, hT, cT = pl.pallas_call(
+        _make_bi_fwd_kernel(CHUNK),
+        grid=(nb, nt),
+        in_specs=[
+            pl.BlockSpec((CHUNK, BB, G), seq3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, BB, G), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), wfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), wfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 1), bfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), bfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), bfix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((CHUNK, BB, H), seq3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, BB, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, BB, H), seq3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, BB, H), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BB, H), dfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BB, H), dfix, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xwf_p, xwb_p, whf, whb, lengths2d, maskf_p, maskb_p)
+    return (
+        hf[:T, :B], hb[:T, :B], cf[:T, :B], cb[:T, :B],
+        hT[:, :B], cT[:, :B],
+    )
+
+
+def _make_bi_bwd_kernel(chunk: int):
+  def _kernel(
+    xwf_ref, xwb_ref,  # (chunk, BB, 4H) at chunk nt-1-k / k
+    whf_ref, whb_ref,  # (H, 4H)
+    hpf_ref, hpb_ref,  # h_prev-in-recurrence-order per chain
+    cpf_ref, cpb_ref,
+    csf_ref, csb_ref,  # c_t per chain
+    len_ref,  # (BB, 1)
+    maskf_ref, maskb_ref,  # (BB, H)
+    dhsf_ref, dhsb_ref,  # upstream dL/dh_t per chain
+    dhT_ref, dcT_ref,  # (2, BB, H)
+    dgf_ref, dgb_ref,  # out (chunk, BB, 4H)
+    dh0_ref, dc0_ref,  # out (2, BB, H)
+    dhf_scr, dcf_scr, dhb_scr, dcb_scr,
+  ):
+    k = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _():
+        dhf_scr[:] = dhT_ref[0]
+        dcf_scr[:] = dcT_ref[0]
+        dhb_scr[:] = dhT_ref[1]
+        dcb_scr[:] = dcT_ref[1]
+
+    mm = xwf_ref.dtype
+    whf = whf_ref[:].astype(mm)
+    whb = whb_ref[:].astype(mm)
+    maskf = maskf_ref[:]
+    maskb = maskb_ref[:]
+    lens = len_ref[:]
+    base_f = (nt - 1 - k) * chunk  # chain A adjoint walks backward
+    base_b = k * chunk  # chain B adjoint walks forward
+
+    def adj(xw_t, wh, mask, hp, cp, ct, dhs, dh_c, dc_c, valid, dg_ref, i):
+        h_in = hp.astype(jnp.float32) * mask
+        gates = xw_t.astype(jnp.float32) + jnp.dot(
+            h_in.astype(mm), wh, preferred_element_type=jnp.float32
+        )
+        gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
+        si = jax.nn.sigmoid(gi)
+        tg = jnp.tanh(gg)
+        sf = jax.nn.sigmoid(gf + 1.0)
+        so = jax.nn.sigmoid(go)
+        tc = jnp.tanh(ct.astype(jnp.float32))
+        dh = dh_c + jnp.where(valid, dhs.astype(jnp.float32), 0.0)
+        do = dh * tc * so * (1.0 - so)
+        dct = dh * so * (1.0 - tc * tc) + dc_c
+        di = dct * tg * si * (1.0 - si)
+        dg = dct * si * (1.0 - tg * tg)
+        df = dct * cp.astype(jnp.float32) * sf * (1.0 - sf)
+        dgates = jnp.concatenate([di, dg, df, do], axis=-1)
+        dgates = jnp.where(valid, dgates, 0.0)
+        dg_ref[i] = dgates.astype(dg_ref.dtype)
+        dh_prev = (
+            jnp.dot(
+                dgates.astype(mm), wh.T, preferred_element_type=jnp.float32
+            )
+            * mask
+        )
+        dh_c = jnp.where(valid, dh_prev, dh)
+        dc_c = jnp.where(valid, dct * sf, dc_c)
+        return dh_c, dc_c
+
+    def body(j, carry):
+        dhf, dcf, dhb, dcb = carry
+        i_f = chunk - 1 - j  # chain A: reversed within chunk
+        i_b = j  # chain B: forward within chunk
+        valid_f = lens > (base_f + i_f)
+        valid_b = lens > (base_b + i_b)
+        dhf, dcf = adj(
+            xwf_ref[i_f], whf, maskf, hpf_ref[i_f], cpf_ref[i_f],
+            csf_ref[i_f], dhsf_ref[i_f], dhf, dcf, valid_f, dgf_ref, i_f,
+        )
+        dhb, dcb = adj(
+            xwb_ref[i_b], whb, maskb, hpb_ref[i_b], cpb_ref[i_b],
+            csb_ref[i_b], dhsb_ref[i_b], dhb, dcb, valid_b, dgb_ref, i_b,
+        )
+        return (dhf, dcf, dhb, dcb)
+
+    dhf, dcf, dhb, dcb = jax.lax.fori_loop(
+        0, chunk, body, (dhf_scr[:], dcf_scr[:], dhb_scr[:], dcb_scr[:])
+    )
+    dhf_scr[:] = dhf
+    dcf_scr[:] = dcf
+    dhb_scr[:] = dhb
+    dcb_scr[:] = dcb
+
+    @pl.when(k == nt - 1)
+    def _():
+        dh0_ref[0] = dhf
+        dh0_ref[1] = dhb
+        dc0_ref[0] = dcf
+        dc0_ref[1] = dcb
+
+  return _kernel
+
+
+def _bi_grid_bwd_call(
+    xwf, xwb, whf, whb, hpf, hpb, cpf, cpb, csf, csb,
+    lengths, maskf, maskb, dhsf, dhsb, dhT, dcT, interpret,
+):
+    T, B, G = xwf.shape
+    H = whf.shape[0]
+    stream = xwf.dtype
+    BB, CHUNK = _choose_bi_grid_tiles(
+        B, H, G, bwd=True, stream_bytes=stream.itemsize
+    )
+    prep = lambda a: _pad_axis(  # noqa: E731
+        _pad_axis(a.astype(stream), CHUNK, 0), BB, 1
+    )
+    xwf_p, xwb_p = prep(xwf), prep(xwb)
+    hpf_p, hpb_p = prep(hpf), prep(hpb)
+    cpf_p, cpb_p = prep(cpf), prep(cpb)
+    csf_p, csb_p = prep(csf), prep(csb)
+    dhsf_p, dhsb_p = prep(dhsf), prep(dhsb)
+    whf = whf.astype(stream)
+    whb = whb.astype(stream)
+    Tp, Bp = xwf_p.shape[:2]
+    nb, nt = Bp // BB, Tp // CHUNK
+    lengths2d = _pad_axis(lengths.reshape(B, 1).astype(jnp.int32), BB, 0)
+    maskf_p = _pad_axis(maskf, BB, 0)
+    maskb_p = _pad_axis(maskb, BB, 0)
+    dhT_p = _pad_axis(dhT, BB, 1)
+    dcT_p = _pad_axis(dcT, BB, 1)
+    seq3 = lambda b, k: (k, b, 0)  # noqa: E731
+    rev3 = lambda b, k: (nt - 1 - k, b, 0)  # noqa: E731
+    bfix = lambda b, k: (b, 0)  # noqa: E731
+    dfix = lambda b, k: (0, b, 0)  # noqa: E731
+    wfix = lambda b, k: (0, 0)  # noqa: E731
+    spec_f = pl.BlockSpec((CHUNK, BB, G), rev3, memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((CHUNK, BB, G), seq3, memory_space=pltpu.VMEM)
+    hspec_f = pl.BlockSpec((CHUNK, BB, H), rev3, memory_space=pltpu.VMEM)
+    hspec_b = pl.BlockSpec((CHUNK, BB, H), seq3, memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((Tp, Bp, G), stream),  # dgates fwd-dir
+        jax.ShapeDtypeStruct((Tp, Bp, G), stream),  # dgates bwd-dir
+        jax.ShapeDtypeStruct((2, Bp, H), jnp.float32),
+        jax.ShapeDtypeStruct((2, Bp, H), jnp.float32),
+    )
+    dgf, dgb, dh0, dc0 = pl.pallas_call(
+        _make_bi_bwd_kernel(CHUNK),
+        grid=(nb, nt),
+        in_specs=[
+            spec_f, spec_b,
+            pl.BlockSpec((H, G), wfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), wfix, memory_space=pltpu.VMEM),
+            hspec_f, hspec_b,
+            hspec_f, hspec_b,
+            hspec_f, hspec_b,
+            pl.BlockSpec((BB, 1), bfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), bfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, H), bfix, memory_space=pltpu.VMEM),
+            hspec_f, hspec_b,
+            pl.BlockSpec((2, BB, H), dfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BB, H), dfix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            spec_f, spec_b,
+            pl.BlockSpec((2, BB, H), dfix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BB, H), dfix, memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+            pltpu.VMEM((BB, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        xwf_p, xwb_p, whf, whb, hpf_p, hpb_p, cpf_p, cpb_p, csf_p, csb_p,
+        lengths2d, maskf_p, maskb_p, dhsf_p, dhsb_p, dhT_p, dcT_p,
+    )
+    return dgf[:T, :B], dgb[:T, :B], dh0[:, :B], dc0[:, :B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_bilstm_grid(xwf, xwb, whf, whb, lengths, maskf, maskb,
+                      interpret=False):
+    """Bidirectional recurrence in ONE chunked-grid launch: direction 0
+    forward-in-time, direction 1 reverse-in-time (gather-free).  Zero
+    initial state.  Returns (h_seq (T, B, 2H) aligned+concatenated,
+    hT (B, 2H), cT (B, 2H))."""
+    hf, hb, _cf, _cb, hT, cT = _bi_grid_fwd_call(
+        xwf, xwb, whf, whb, lengths, maskf, maskb, interpret
+    )
+    return (
+        jnp.concatenate([hf, hb], axis=-1),
+        jnp.concatenate([hT[0], hT[1]], axis=-1),
+        jnp.concatenate([cT[0], cT[1]], axis=-1),
+    )
+
+
+def _bi_grid_fused_fwd(xwf, xwb, whf, whb, lengths, maskf, maskb, interpret):
+    hf, hb, cf, cb, hT, cT = _bi_grid_fwd_call(
+        xwf, xwb, whf, whb, lengths, maskf, maskb, interpret
+    )
+    out = (
+        jnp.concatenate([hf, hb], axis=-1),
+        jnp.concatenate([hT[0], hT[1]], axis=-1),
+        jnp.concatenate([cT[0], cT[1]], axis=-1),
+    )
+    return out, (xwf, xwb, whf, whb, lengths, maskf, maskb, hf, hb, cf, cb)
+
+
+def _bi_grid_fused_bwd(interpret, residuals, grads):
+    xwf, xwb, whf, whb, lengths, maskf, maskb, hf, hb, cf, cb = residuals
+    dhseq, dhT, dcT = grads
+    H = whf.shape[0]
+    dhsf, dhsb = dhseq[..., :H], dhseq[..., H:]
+    zeros = jnp.zeros_like(hf[:1])
+    # chain A's recurrence-predecessor is t-1; chain B's is t+1
+    hpf = jnp.concatenate([zeros, hf[:-1]], axis=0)
+    cpf = jnp.concatenate([zeros, cf[:-1]], axis=0)
+    hpb = jnp.concatenate([hb[1:], zeros], axis=0)
+    cpb = jnp.concatenate([cb[1:], zeros], axis=0)
+    # adjoint as TWO unidirectional launches: the fused bwd kernel's
+    # doubled loop-body temporaries overflow Mosaic's scoped-VMEM stack
+    # at full batch tiles (measured 17.8 MB vs the 16 MB core limit),
+    # while the split launches keep BB=128 and bigger chunks
+    dgf, _dh0f, _dc0f = _bwd_call(
+        xwf, whf, hpf, cpf, cf, lengths, maskf,
+        dhsf.astype(xwf.dtype), dhT[..., :H], dcT[..., :H],
+        interpret, False,
+    )
+    dgb, _dh0b, _dc0b = _bwd_call(
+        xwb, whb, hpb, cpb, cb, lengths, maskb,
+        dhsb.astype(xwb.dtype), dhT[..., H:], dcT[..., H:],
+        interpret, True,
+    )
+    T, B, G = dgf.shape
+    h_inf = (hpf * maskf.astype(hpf.dtype)).reshape(T * B, H)
+    h_inb = (hpb * maskb.astype(hpb.dtype)).reshape(T * B, H)
+    dwhf = jnp.dot(
+        h_inf.T, dgf.reshape(T * B, G), preferred_element_type=jnp.float32
+    )
+    dwhb = jnp.dot(
+        h_inb.T, dgb.reshape(T * B, G), preferred_element_type=jnp.float32
+    )
+    return dgf, dgb, dwhf, dwhb, None, None, None
+
+
+fused_bilstm_grid.defvjp(_bi_grid_fused_fwd, _bi_grid_fused_bwd)

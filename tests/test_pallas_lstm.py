@@ -283,3 +283,49 @@ def test_bidirectional_grid_gather_free_parity(setup):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
         )
+
+
+def test_fused_bilstm_grid_parity(setup):
+    """The experimental one-launch bidirectional grid kernel
+    (fused_bilstm_grid) matches bidirectional_lstm, incl. gradients."""
+    from ecog2txt_tpu.ops.lstm import bidirectional_lstm
+    from ecog2txt_tpu.ops.pallas_lstm import fused_bilstm_grid
+
+    params_fwd, xs, lengths = setup
+    params_bwd = init_lstm_params(jax.random.PRNGKey(13), F, H)
+    ones = jnp.ones((B, H), jnp.float32)
+
+    def fused(pf, pb, xs):
+        xwf = jnp.dot(xs, pf["wx"]) + pf["b"]
+        xwb = jnp.dot(xs, pb["wx"]) + pb["b"]
+        return fused_bilstm_grid(
+            xwf, xwb, pf["wh"], pb["wh"], lengths, ones, ones, True
+        )
+
+    out_ref, (h_ref, c_ref) = bidirectional_lstm(
+        params_fwd, params_bwd, xs, lengths, None, use_pallas=False
+    )
+    out_pl, h_pl, c_pl = fused(params_fwd, params_bwd, xs)
+    np.testing.assert_allclose(out_pl, out_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(h_pl, h_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c_pl, c_ref, rtol=1e-5, atol=1e-6)
+
+    def loss(pf, pb, xs, fn):
+        if fn == "ref":
+            out, (hf, cf) = bidirectional_lstm(
+                pf, pb, xs, lengths, None, use_pallas=False
+            )
+        else:
+            out, hf, cf = fused(pf, pb, xs)
+        return jnp.sum(out**2) + jnp.sum(hf) + jnp.sum(cf)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(
+        params_fwd, params_bwd, xs, "ref"
+    )
+    g_pl = jax.grad(loss, argnums=(0, 1, 2))(
+        params_fwd, params_bwd, xs, "pl"
+    )
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pl)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+        )
