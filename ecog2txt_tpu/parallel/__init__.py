@@ -7,3 +7,7 @@ from .mesh import (  # noqa: F401
     shard_params_tp,
     make_dp_train_step,
 )
+from .multihost import (  # noqa: F401
+    initialize_distributed,
+    make_global,
+)

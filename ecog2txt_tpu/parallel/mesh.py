@@ -45,7 +45,13 @@ def make_mesh(
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Fully-replicated placement."""
+    """Fully-replicated placement.  With a multi-process (DCN) mesh,
+    every process supplies the same host data and the global array is
+    assembled from the process-local shards."""
+    if jax.process_count() > 1:
+        from .multihost import make_global
+
+        return make_global(tree, mesh)
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)
 

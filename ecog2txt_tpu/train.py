@@ -182,6 +182,14 @@ class MultiSubjectTrainer:
         seed: int = 0,
         **kwargs: Any,
     ):
+        # multi-host (DCN) bootstrap BEFORE any JAX computation:
+        # SN_kwargs['distributed'] = {coordinator_address, num_processes,
+        # process_id} wires the processes together; jax.devices() is the
+        # global device list afterwards (SURVEY §2.9 multi-node row)
+        if (SN_kwargs or {}).get("distributed"):
+            from .parallel import initialize_distributed
+
+            initialize_distributed(**SN_kwargs["distributed"])
         self.subject_ids = [int(s) for s in subject_ids]
         self._manifest_path = experiment_manifest_name
         self._text_dir = text_dir
@@ -725,9 +733,9 @@ class MultiSubjectTrainer:
                     self.state, metrics = runner(
                         self.state,
                         shard_dev,
-                        jnp.asarray(subjects_sched),
-                        jnp.asarray(idx_sched),
-                        jax.random.fold_in(rng, si),
+                        subjects_sched,
+                        idx_sched,
+                        np.asarray(jax.random.fold_in(rng, si)),
                         0,  # epochs counted once, below
                     )
                 self.state = self.state._replace(
@@ -738,12 +746,15 @@ class MultiSubjectTrainer:
                     train_data, self.batch_size, segment, rng_np,
                     subject_subset,
                 )
+                # schedule/rng passed as host numpy: uncommitted
+                # inputs are implicitly replicated, which also holds in
+                # multi-process SPMD (multi-host dp)
                 self.state, metrics = runner(
                     self.state,
                     data,
-                    jnp.asarray(subjects_sched),
-                    jnp.asarray(idx_sched),
-                    rng,
+                    subjects_sched,
+                    idx_sched,
+                    np.asarray(rng),
                     segment,
                 )
             done += segment
