@@ -85,3 +85,74 @@ def electrode_locs_3D(manifest) -> np.ndarray | None:
     if not path or not os.path.exists(path):
         return None
     return load_electrode_file(path)["positions"]
+
+
+# --------------------------------------------------------------------------
+# cortical surface (degraded brain rendering)
+# --------------------------------------------------------------------------
+
+
+def load_cortical_mesh(manifest) -> dict | None:
+    """Cortical surface mesh for on-brain electrode rendering
+    (reference plotters.py:771-795 renders via img_pipe with lab mesh
+    assets).  Reads the manifest's ``cortical_mesh_file``:
+
+    * ``.npz`` with ``vertices`` (V, 3) and ``faces`` (F, 3); or
+    * MATLAB ``.mat`` with a ``cortex`` struct carrying ``vert``/``tri``
+      (the img_pipe/FreeSurfer export convention; ``tri`` may be
+      1-indexed).
+
+    Returns {'vertices', 'faces'} or None when unconfigured/absent.
+    """
+    path = manifest.resolve("cortical_mesh_file")
+    if not path or not os.path.exists(path):
+        return None
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {
+                "vertices": np.asarray(z["vertices"], float),
+                "faces": np.asarray(z["faces"], int),
+            }
+    from scipy.io import loadmat
+
+    mat = loadmat(path, squeeze_me=True, simplify_cells=True)
+    cortex = mat.get("cortex", mat)
+    vert = np.asarray(cortex["vert"], float)
+    tri = np.asarray(cortex["tri"], int)
+    if tri.min() == 1:  # MATLAB 1-indexing
+        tri = tri - 1
+    return {"vertices": vert, "faces": tri}
+
+
+def generic_pial_mesh(
+    positions: np.ndarray, n_theta: int = 24, n_phi: int = 36
+) -> dict:
+    """Fallback surface when no lab mesh asset exists: an ellipsoid
+    fitted to the electrode cloud (scaled a little beyond it), so
+    on-brain contribution figures still render with spatial context —
+    the degraded path for the reference's img_pipe brain rendering."""
+    center = positions.mean(axis=0)
+    radii = 1.15 * np.maximum(
+        np.abs(positions - center).max(axis=0), 1e-3
+    )
+    theta = np.linspace(0, np.pi, n_theta)
+    phi = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    vertices = np.stack(
+        [
+            center[0] + radii[0] * np.sin(tt) * np.cos(pp),
+            center[1] + radii[1] * np.sin(tt) * np.sin(pp),
+            center[2] + radii[2] * np.cos(tt),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    faces = []
+    for i in range(n_theta - 1):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return {"vertices": vertices, "faces": np.asarray(faces, int)}

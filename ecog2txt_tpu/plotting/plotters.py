@@ -450,24 +450,96 @@ class ResultsPlotter:
         fig.colorbar(p, ax=ax, label=contrib_method)
         return self._save(fig, f"elec_contribs_3D_{contrib_method}")
 
+    def plot_elec_contribs_on_brain(
+        self, contrib_method: str = "weight_norms", **kwargs
+    ):
+        """Electrode contributions over a cortical surface (the
+        reference's img_pipe on-brain rendering, plotters.py:771-795).
+        Uses the manifest's ``cortical_mesh_file`` when present
+        (npz vertices/faces or a .mat ``cortex`` struct); otherwise a
+        generic pial-like ellipsoid fitted to the electrode cloud — a
+        degraded but self-contained surface (lab mesh assets are
+        non-public).  Requires an elecmatrix (falls back to 2D when
+        absent)."""
+        locs = self.electrode_locs_3D()
+        if locs is None:
+            self.vprint("no electrode file; falling back to 2D")
+            return self.plot_elec_contribs_2D(contrib_method, **kwargs)
+        from .anatomy import generic_pial_mesh, load_cortical_mesh
 
-def suffix_to_label(suffix: str) -> str:
-    """Experiment-suffix → human figure label (reference
-    plotters.py:1513-1575 documents the variant taxonomy)."""
-    table = {
-        "": "baseline",
-        "subject_transfer": "subject transfer learning",
-        "dual_transfer": "dual transfer learning",
-        "task_transfer": "task transfer learning",
-        "decimated": "decimated input",
-        "no_mfccs": "no MFCC targets",
-        "no_conv": "no temporal convolution",
-        "lowdensity": "low-density grid",
-        "length_info_only": "length information only",
-        "phoneme_hmm": "phoneme-HMM baseline",
-        "cross_attention": "cross-attention decoder",
-    }
-    for key, label in table.items():
-        if key and key in suffix:
-            return label
-    return table.get(suffix, suffix.replace("_", " ") or "baseline")
+        mesh = load_cortical_mesh(self.subject.manifest)
+        if mesh is None:
+            mesh = generic_pial_mesh(locs)
+        plt = _mpl()
+        contribs = self.elec_contribs(contrib_method, **kwargs)
+        n = min(len(locs), len(contribs))
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+        v, f = mesh["vertices"], mesh["faces"]
+        ax.plot_trisurf(
+            v[:, 0], v[:, 1], v[:, 2], triangles=f,
+            color=(0.75, 0.75, 0.78), alpha=0.25, linewidth=0,
+        )
+        p = ax.scatter(
+            locs[:n, 0], locs[:n, 1], locs[:n, 2],
+            c=contribs[:n], cmap="viridis", s=46, depthshade=False,
+        )
+        ax.set_axis_off()
+        fig.colorbar(p, ax=ax, label=contrib_method, shrink=0.7)
+        return self._save(fig, f"elec_contribs_brain_{contrib_method}")
+
+
+def suffix_to_label(suffix: str, BOLD_LABEL: bool = False) -> str:
+    """Experiment-suffix → human figure label, implementing the
+    reference's full variant taxonomy (reference plotters.py:1513-1575):
+    transfer-learning suffixes carry the donor subject ids after
+    ``with`` (``via`` marks the sequential curriculum → "TL", plain
+    ``with`` the parallel one → "PTL"), ``mochastar`` marks task/dual
+    transfer, and the ablation keywords are ``untargeted`` (no MFCC
+    targets), ``undecimated`` (no conv), ``noise`` (length info only),
+    ``viterbi`` (phoneme-HMM baseline)."""
+    bits = suffix.split("_")
+
+    def donor_ids(after: str) -> list[str]:
+        ids = []
+        i = bits.index(after) + 1
+        while i < len(bits) and bits[i].isdigit():
+            ids.append(bits[i])
+            i += 1
+        return ids
+
+    if "cross-subject" in bits:
+        label = " ".join(bits[1:-2])
+    elif "via" in bits and "with" in bits:
+        ids = ", ".join(donor_ids("with"))
+        label = (
+            f"+dual TL ({ids})" if "mochastar" in bits
+            else f"+subject TL ({ids})"
+        )
+    elif "with" in bits:
+        ids = ", ".join(donor_ids("with"))
+        label = (
+            f"+dual PTL ({ids})" if "mochastar" in bits
+            else f"+subject PTL ({ids})"
+        )
+    elif "decimated" in bits:
+        label = "decimated"
+    elif "untargeted" in bits:
+        label = "no MFCCs"
+    elif "undecimated" in bits:
+        label = "no conv."
+    elif "lowdensity" in bits:
+        label = "low density"
+    elif "noise" in bits:
+        label = "length info. only"
+    elif "mochastar" in bits:
+        label = "+task TL"
+    elif "viterbi" in bits:
+        label = "phoneme-based HMM"
+    elif "cross-attention" in bits:
+        label = "cross-attention"
+    else:
+        label = "encoder-decoder"
+    if BOLD_LABEL:
+        label = rf"{{\bfseries {label}}}"
+    return label

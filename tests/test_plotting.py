@@ -297,9 +297,26 @@ def test_anti_alias_smooths():
 
 
 def test_suffix_to_label():
-    assert suffix_to_label("") == "baseline"
-    assert "transfer" in suffix_to_label("mocha_subject_transfer")
-    assert suffix_to_label("no_conv") == "no temporal convolution"
+    """Reference taxonomy (plotters.py:1513-1575): transfer suffixes
+    carry donor ids after 'with'; 'via' → sequential TL, plain 'with' →
+    parallel PTL; 'mochastar' → dual/task transfer; ablation keywords."""
+    assert suffix_to_label("") == "encoder-decoder"
+    assert suffix_to_label("mocha1_400") == "encoder-decoder"
+    assert suffix_to_label("400_via_tl_with_401_402_x") == "+subject TL (401, 402)"
+    assert suffix_to_label("400_with_401_x") == "+subject PTL (401)"
+    assert (
+        suffix_to_label("400_mochastar_via_tl_with_401_x")
+        == "+dual TL (401)"
+    )
+    assert suffix_to_label("400_mochastar_x") == "+task TL"
+    assert suffix_to_label("400_untargeted") == "no MFCCs"
+    assert suffix_to_label("400_undecimated") == "no conv."
+    assert suffix_to_label("400_decimated") == "decimated"
+    assert suffix_to_label("400_lowdensity") == "low density"
+    assert suffix_to_label("400_noise") == "length info. only"
+    assert suffix_to_label("400_viterbi") == "phoneme-based HMM"
+    assert suffix_to_label("400_cross-attention") == "cross-attention"
+    assert suffix_to_label("x", BOLD_LABEL=True).startswith("{\\bfseries")
 
 
 def test_latex_emitters(tmp_path):
