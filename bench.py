@@ -69,8 +69,10 @@ def main():
 
     ks = jax.random.split(rng, 4)
     data = {
+        # corpus stored bf16 on device (what trainer.device_data does
+        # under bf16 compute): halves per-step batch-gather traffic
         "encoder_inputs": jax.random.normal(
-            ks[0], (1, N_SENT, T, config.in_channels), jnp.float32
+            ks[0], (1, N_SENT, T, config.in_channels), jnp.bfloat16
         ),
         "encoder_lengths": jnp.full((1, N_SENT), T, jnp.int32),
         "decoder_targets": jax.random.randint(

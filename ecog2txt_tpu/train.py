@@ -511,11 +511,24 @@ class MultiSubjectTrainer:
     def device_data(self, partition: str) -> dict:
         """Device-resident copy of a partition's stacked arrays, uploaded
         ONCE and cached — host→device transfer would otherwise dominate
-        every fit segment and assessment at corpus scale."""
+        every fit segment and assessment at corpus scale.
+
+        Under bf16 compute, float arrays (ECoG inputs, Gaussian aux
+        targets) are stored in bf16: halves corpus HBM + the per-step
+        batch-gather traffic, and is numerically identical to the fp32
+        store because the model casts them to the compute dtype at
+        first use anyway."""
         if partition not in self._device_data:
             ds = self.packed_dataset(partition)
+            cast = self.net_config.compute_dtype == jnp.bfloat16
+
+            def put(v):
+                if cast and v.dtype == np.float32:
+                    return jnp.asarray(v, jnp.bfloat16)
+                return jnp.asarray(v)
+
             self._device_data[partition] = {
-                k: jnp.asarray(v) for k, v in ds.batch_dict().items()
+                k: put(v) for k, v in ds.batch_dict().items()
             }
         return self._device_data[partition]
 
