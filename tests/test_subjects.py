@@ -189,3 +189,28 @@ def test_synchronize_counters():
     synchronize_sequence_counters({"x": a, "y": b})
     assert set(a.unique_sentences) == set(b.unique_sentences)
     assert a.counts[a.unique_sentences.index("only in b")] == 0
+
+
+def test_synchronize_counters_near_variant_wrinkle():
+    """pad_to uses EXACT-string membership while observe() clusters by
+    WER < threshold, so two partitions that each canonicalized a
+    transcription variant differently keep BOTH variants after
+    synchronization (each padded with a zero-count row for the other's
+    variant).  This mirrors the reference's semantics
+    (subjects.py:546-554 vs :576-600) — pinned here so the wrinkle is a
+    documented contract, not an accident."""
+    a, b = SequenceCounter(threshold=0.4), SequenceCounter(threshold=0.4)
+    a.observe("the quick brown fox")
+    b.observe("the quick brown box")  # 1/4 WER — same cluster in ONE counter
+    assert b.observe("the quick brown fox") == 0  # clusters with 'box'
+    synchronize_sequence_counters({"x": a, "y": b})
+    # exact-string padding → both near-variants present in both counters
+    assert set(a.unique_sentences) == {
+        "the quick brown fox", "the quick brown box",
+    }
+    assert a.counts[a.unique_sentences.index("the quick brown box")] == 0
+    assert b.counts[b.unique_sentences.index("the quick brown fox")] == 0
+    # ...and a LATER observation on the synchronized counter lands in
+    # the first cluster within threshold, not necessarily the exact row
+    idx = a.observe("the quick brown box")
+    assert a.unique_sentences[idx] == "the quick brown fox"
