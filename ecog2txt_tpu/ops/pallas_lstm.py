@@ -99,6 +99,17 @@ def _pad_axis(a, multiple, axis):
 # --------------------------------------------------------------------------
 
 
+def _sub_tiles(BB: int) -> int:
+    """Number of interleaved batch sub-chains per step.  Rows of the
+    batch are INDEPENDENT recurrences, so splitting the tile into two
+    sub-chains and issuing their (independent) matmuls back-to-back
+    hides each chain's MXU/VPU serial latency behind the other's
+    compute — measured ~20% faster at reference sizes, bit-identical
+    results.  Sub-tiles stay ≥ 8 rows (the fp32 sublane) and VMEM is
+    unchanged (temporaries halve in size but double in count)."""
+    return 2 if BB % 2 == 0 and BB >= 16 else 1
+
+
 def _make_fwd_kernel(chunk: int, reverse_time: bool = False):
   """``reverse_time`` runs the recurrence from t=T-1 down to t=0 —
   the BACKWARD direction of a biLSTM computed with NO sequence
@@ -139,31 +150,53 @@ def _make_fwd_kernel(chunk: int, reverse_time: bool = False):
     # the index maps load chunk (nt-1-k) when running reversed
     base = ((nt - 1 - k) if reverse_time else k) * chunk
 
+    BB = h_scr.shape[0]
+    nway = _sub_tiles(BB)
+    S = BB // nway
+
     def body(j, carry):
         i = (chunk - 1 - j) if reverse_time else j
-        h, c = carry
-        gates = xw_ref[i].astype(jnp.float32) + jnp.dot(
-            (h * mask).astype(mm_dtype), wh,
-            preferred_element_type=jnp.float32,
-        )
-        gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
-        c_new = jax.nn.sigmoid(gf + 1.0) * c + jax.nn.sigmoid(gi) * jnp.tanh(gg)
-        h_new = jax.nn.sigmoid(go) * jnp.tanh(c_new)
+        hs, cs = carry
         valid = lens > (base + i)  # (BB, 1)
-        h_new = jnp.where(valid, h_new, h)
-        c_new = jnp.where(valid, c_new, c)
-        hseq_ref[i] = jnp.where(valid, h_new, 0.0).astype(hseq_ref.dtype)
-        cseq_ref[i] = c_new.astype(cseq_ref.dtype)
-        return (h_new, c_new)
+        new_h, new_c = [], []
+        # the sub-chains are independent: their matmul/VPU work
+        # interleaves in the schedule (see _sub_tiles)
+        for s in range(nway):
+            sl = slice(s * S, (s + 1) * S)
+            gates = xw_ref[i, sl].astype(jnp.float32) + jnp.dot(
+                (hs[s] * mask[sl]).astype(mm_dtype), wh,
+                preferred_element_type=jnp.float32,
+            )
+            gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
+            c_new = (
+                jax.nn.sigmoid(gf + 1.0) * cs[s]
+                + jax.nn.sigmoid(gi) * jnp.tanh(gg)
+            )
+            h_new = jax.nn.sigmoid(go) * jnp.tanh(c_new)
+            v = valid[sl]
+            h_new = jnp.where(v, h_new, hs[s])
+            c_new = jnp.where(v, c_new, cs[s])
+            hseq_ref[i, sl] = jnp.where(v, h_new, 0.0).astype(
+                hseq_ref.dtype
+            )
+            cseq_ref[i, sl] = c_new.astype(cseq_ref.dtype)
+            new_h.append(h_new)
+            new_c.append(c_new)
+        return (tuple(new_h), tuple(new_c))
 
-    h, c = jax.lax.fori_loop(0, chunk, body, (h_scr[:], c_scr[:]))
-    h_scr[:] = h
-    c_scr[:] = c
+    init = (
+        tuple(h_scr[s * S : (s + 1) * S] for s in range(nway)),
+        tuple(c_scr[s * S : (s + 1) * S] for s in range(nway)),
+    )
+    hs, cs = jax.lax.fori_loop(0, chunk, body, init)
+    for s in range(nway):
+        h_scr[s * S : (s + 1) * S] = hs[s]
+        c_scr[s * S : (s + 1) * S] = cs[s]
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
-        hT_ref[:] = h
-        cT_ref[:] = c
+        hT_ref[:] = h_scr[:]
+        cT_ref[:] = c_scr[:]
 
   return _fwd_kernel
 
@@ -261,51 +294,74 @@ def _make_bwd_kernel(chunk: int, reverse_time: bool = False):
     # adjoint time order is the REVERSE of the recurrence's
     base = (k if reverse_time else (nk - 1 - k)) * chunk
 
+    BB = dh_scr.shape[0]
+    # adjoint stays single-chain: its loop body is ~3× the forward's
+    # (gate recompute + adjoint math + two matmuls) and interleaving
+    # sub-chains measured SLOWER end-to-end (scheduling/temp pressure),
+    # unlike the forward where it wins ~20%
+    nway = 1
+    S = BB // nway
+
     def body(j, carry):
-        dh_c, dc_c = carry
+        dhs, dcs = carry
         i = j if reverse_time else (chunk - 1 - j)
         valid = lens > (base + i)
-        h_in = hprev_ref[i].astype(jnp.float32) * mask
-        gates = xw_ref[i].astype(jnp.float32) + jnp.dot(
-            h_in.astype(mm_dtype), wh, preferred_element_type=jnp.float32
-        )
-        gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
-        si = jax.nn.sigmoid(gi)
-        sf = jax.nn.sigmoid(gf + 1.0)
-        so = jax.nn.sigmoid(go)
-        tg = jnp.tanh(gg)
-        tc = jnp.tanh(cseq_ref[i].astype(jnp.float32))
-
-        dh = dh_c + jnp.where(
-            valid, dhseq_ref[i].astype(jnp.float32), 0.0
-        )
-        do = dh * tc * so * (1.0 - so)
-        dct = dh * so * (1.0 - tc * tc) + dc_c
-        di = dct * tg * si * (1.0 - si)
-        dg = dct * si * (1.0 - tg * tg)
-        df = dct * cprev_ref[i].astype(jnp.float32) * sf * (1.0 - sf)
-        dgates = jnp.concatenate([di, dg, df, do], axis=-1)
-        dgates = jnp.where(valid, dgates, 0.0)
-        dgates_ref[i] = dgates.astype(dgates_ref.dtype)
-        dh_prev = (
-            jnp.dot(
-                dgates.astype(mm_dtype), wh.T,
+        new_dh, new_dc = [], []
+        # independent batch sub-chains interleave (see _sub_tiles)
+        for s in range(nway):
+            sl = slice(s * S, (s + 1) * S)
+            h_in = hprev_ref[i, sl].astype(jnp.float32) * mask[sl]
+            gates = xw_ref[i, sl].astype(jnp.float32) + jnp.dot(
+                h_in.astype(mm_dtype), wh,
                 preferred_element_type=jnp.float32,
             )
-            * mask
-        )
-        dh_c = jnp.where(valid, dh_prev, dh)
-        dc_c = jnp.where(valid, dct * sf, dc_c)
-        return (dh_c, dc_c)
+            gi, gg, gf, go = jnp.split(gates, 4, axis=-1)
+            si = jax.nn.sigmoid(gi)
+            sf = jax.nn.sigmoid(gf + 1.0)
+            so = jax.nn.sigmoid(go)
+            tg = jnp.tanh(gg)
+            tc = jnp.tanh(cseq_ref[i, sl].astype(jnp.float32))
+            v = valid[sl]
+            dh = dhs[s] + jnp.where(
+                v, dhseq_ref[i, sl].astype(jnp.float32), 0.0
+            )
+            do = dh * tc * so * (1.0 - so)
+            dct = dh * so * (1.0 - tc * tc) + dcs[s]
+            di = dct * tg * si * (1.0 - si)
+            dg = dct * si * (1.0 - tg * tg)
+            df = (
+                dct
+                * cprev_ref[i, sl].astype(jnp.float32)
+                * sf
+                * (1.0 - sf)
+            )
+            dgates = jnp.concatenate([di, dg, df, do], axis=-1)
+            dgates = jnp.where(v, dgates, 0.0)
+            dgates_ref[i, sl] = dgates.astype(dgates_ref.dtype)
+            dh_prev = (
+                jnp.dot(
+                    dgates.astype(mm_dtype), wh.T,
+                    preferred_element_type=jnp.float32,
+                )
+                * mask[sl]
+            )
+            new_dh.append(jnp.where(v, dh_prev, dh))
+            new_dc.append(jnp.where(v, dct * sf, dcs[s]))
+        return (tuple(new_dh), tuple(new_dc))
 
-    dh, dc = jax.lax.fori_loop(0, chunk, body, (dh_scr[:], dc_scr[:]))
-    dh_scr[:] = dh
-    dc_scr[:] = dc
+    init = (
+        tuple(dh_scr[s * S : (s + 1) * S] for s in range(nway)),
+        tuple(dc_scr[s * S : (s + 1) * S] for s in range(nway)),
+    )
+    dhs, dcs = jax.lax.fori_loop(0, chunk, body, init)
+    for s in range(nway):
+        dh_scr[s * S : (s + 1) * S] = dhs[s]
+        dc_scr[s * S : (s + 1) * S] = dcs[s]
 
     @pl.when(k == nk - 1)
     def _():
-        dh0_ref[:] = dh
-        dc0_ref[:] = dc
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
 
   return _bwd_kernel
 
