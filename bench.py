@@ -133,6 +133,20 @@ def main():
     float(jnp.sum(out))
     decode_sent_per_sec = 3 * N_SENT / (time.perf_counter() - t0)
 
+    # online-serving latency: ONE utterance through the full
+    # encoder+decoder (the construct_online_predictor path)
+    one_in = dec_in[:1]
+    one_len = dec_len[:1]
+    out = decode(state.ema, one_in, one_len)
+    float(jnp.sum(out))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out = decode(state.ema, one_in, one_len)
+        float(jnp.sum(out))  # forced round trip = end-to-end latency
+        lat.append(time.perf_counter() - t0)
+    serve_latency_ms = sorted(lat)[len(lat) // 2] * 1e3
+
     # projected full reference run: 800 epochs train + 80 assessment
     # decodes over train+val (500 sentences each)
     full_train_s = 800 * steps_per_epoch * B / train_sent_per_sec
@@ -162,6 +176,7 @@ def main():
                 "unit": "sentences/s",
                 "vs_baseline": round(vs_baseline, 3),
                 "decode_sentences_per_sec": round(decode_sent_per_sec, 2),
+                "serve_latency_ms": round(serve_latency_ms, 2),
                 "projected_full_run_s": round(projected, 1),
                 "mfu": round(train_mfu, 4),
                 "decode_mfu": round(decode_mfu, 4),
