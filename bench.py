@@ -168,6 +168,48 @@ def main():
     train_mfu = mfu(train_sent_per_sec, train_flops)
     decode_mfu = mfu(decode_sent_per_sec, decode_flops)
 
+    # ---- conformer encoder variant (BASELINE configs[4]) ------------
+    # Same data/decoder/loss; encoder swapped for chunked-causal
+    # conformer blocks at comparable parameter count (~14 M encoder).
+    # The biLSTM's recurrence is a serial per-step chain (the measured
+    # wall, RESULTS.md); the conformer is pure batched GEMMs — this
+    # quantifies the architectural lever on the same chip.
+    import dataclasses
+
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+
+    conf_config = dataclasses.replace(
+        config,
+        encoder_type="conformer",
+        conformer=ConformerConfig(
+            num_blocks=4, model_dim=384, num_heads=6, ffn_dim=1536,
+            conv_kernel=8, chunk_size=16, left_context=1,
+        ),
+        use_pallas_lstm=False,
+    )
+    conf_params = init_seq2seq(jax.random.PRNGKey(3), conf_config)
+    conf_state = TrainState(
+        params=conf_params,
+        ema=jax.tree.map(jnp.copy, conf_params),
+        opt_state=optimizer.init(conf_params),
+        epoch=jnp.asarray(0, jnp.int32),
+    )
+    conf_runner = make_segment_runner(conf_config, optimizer, {}, 0.99)
+    conf_state, metrics = conf_runner(
+        conf_state, data, subj, idx, jax.random.PRNGKey(4), EPOCHS_PER_SEGMENT
+    )
+    force(metrics)  # warmup/compile
+    t0 = time.perf_counter()
+    for r in range(REPS):
+        conf_state, metrics = conf_runner(
+            conf_state, data, subj, idx, jax.random.PRNGKey(5 + r),
+            EPOCHS_PER_SEGMENT,
+        )
+    force(metrics)
+    conf_sent_per_sec = REPS * K * B / (time.perf_counter() - t0)
+    conf_flops = train_step_flops(conf_config, T, dec_len=12)
+    conf_mfu = mfu(conf_sent_per_sec, conf_flops)
+
     print(
         json.dumps(
             {
@@ -184,6 +226,10 @@ def main():
                     train_sent_per_sec * train_flops / 1e12, 2
                 ),
                 "train_gflops_per_sentence": round(train_flops / 1e9, 3),
+                "conformer_train_sentences_per_sec": round(
+                    conf_sent_per_sec, 2
+                ),
+                "conformer_mfu": round(conf_mfu, 4),
                 "peak_tflops": TPU_V5E_BF16_PEAK_FLOPS / 1e12,
                 "platform": jax.devices()[0].platform,
             }
