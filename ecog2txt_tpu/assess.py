@@ -212,6 +212,54 @@ def holm_bonferroni(p_values: Sequence[float], alpha: float = 0.05) -> list[bool
     return reject.tolist()
 
 
+def apply_comparisons(partial_path, comparisons, application_fxn, VERBOSE=True):
+    """Run ``application_fxn`` over every (comparison, baseline) pair of
+    saved result archives (reference plotters.py:2138-2156).
+
+    ``partial_path`` is a ``%``-template over the experiment suffix (the
+    reference's saved-results naming); ``comparisons`` maps
+    ``comparison_suffix -> {baseline_suffix: stats_dict}``.  Each pair's
+    two archives are loaded as :class:`plotting.results.DecodingResults`
+    and passed to ``application_fxn(baseline_results, comparison_results,
+    baseline_suffix, comparison_suffix)``.
+    """
+    from .plotting.results import DecodingResults
+
+    for comparison_suffix, baseline_dict in comparisons.items():
+        comparison_results = DecodingResults(
+            "", "", path=partial_path % comparison_suffix
+        )
+        for baseline_suffix in baseline_dict:
+            if VERBOSE:
+                print(f"comparing {comparison_suffix!r} to {baseline_suffix!r}")
+            baseline_results = DecodingResults(
+                "", "", path=partial_path % baseline_suffix
+            )
+            application_fxn(
+                baseline_results, comparison_results,
+                baseline_suffix, comparison_suffix,
+            )
+
+
+def results_updater(partial_path, comparisons, ranks, VERBOSE=True):
+    """Annotate every comparison's stats in place with its
+    Holm-Bonferroni rank and rank-adjusted p value (reference
+    plotters.py:2123-2136).  ``ranks`` are consumed in iteration order."""
+    ranks = list(ranks)
+
+    def application_fxn(
+        baseline_results, comparison_results, baseline_suffix,
+        comparison_suffix,
+    ):
+        rank = ranks.pop(0)
+        stats = comparisons[comparison_suffix][baseline_suffix]
+        p = stats.get("p_value", stats.get("p value"))
+        stats["adjusted_p_value"] = p * rank
+        stats["rank"] = rank
+
+    apply_comparisons(partial_path, comparisons, application_fxn, VERBOSE)
+
+
 def results_summarizer(
     comparisons: Sequence[dict], alpha: float = 0.05
 ) -> list[dict]:

@@ -544,4 +544,44 @@ class SyntheticDataGenerator(ECoGDataGenerator):
         return with_special_tokens(list(unique))
 
 
+def filter_to_common_targets(inputs_A, targets_A, inputs_B, targets_B):
+    """Drop examples whose target occurs in only one of two sets
+    (reference data_generators.py:535-549; marked deprecated there but
+    kept for API completeness).  ``inputs_*`` are (N, T, C) arrays,
+    ``targets_*`` parallel lists; returns the four filtered objects."""
+    common = set(map(_hashable, targets_A)) & set(map(_hashable, targets_B))
+    inputs_A, targets_A = filter_to_common_targets_core(
+        inputs_A, targets_A, common
+    )
+    inputs_B, targets_B = filter_to_common_targets_core(
+        inputs_B, targets_B, common
+    )
+    print(
+        "Sets (A,B) now have (%d,%d) examples and (%d,%d) unique tokens"
+        % (
+            len(targets_A), len(targets_B),
+            len(set(map(_hashable, targets_A))),
+            len(set(map(_hashable, targets_B))),
+        )
+    )
+    return inputs_A, targets_A, inputs_B, targets_B
+
+
+def filter_to_common_targets_core(inputs, targets, common_targets):
+    """Core of :func:`filter_to_common_targets` (reference
+    data_generators.py:551-562): keep indices whose target is in
+    ``common_targets``; inputs are a numpy array, targets a list."""
+    keep = [
+        i for i, val in enumerate(targets)
+        if _hashable(val) in common_targets
+    ]
+    return inputs[keep], [targets[i] for i in keep]
+
+
+def _hashable(target):
+    """Targets may be strings or lists of tokens (list-of-lists case in
+    the reference docstring); make them set-compatible."""
+    return tuple(target) if isinstance(target, list) else target
+
+
 set_fallback_generator("SyntheticDataGenerator")

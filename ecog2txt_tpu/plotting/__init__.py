@@ -5,7 +5,11 @@ from .results import (  # noqa: F401
     ResultsMatrix,
     save_decoding_results,
 )
-from .plotters import ResultsPlotter, suffix_to_label  # noqa: F401
+from .plotters import (  # noqa: F401
+    ResultsPlotter,
+    get_save_path,
+    suffix_to_label,
+)
 from .figures import (  # noqa: F401
     plot_annotated_performances,
     plot_performance,
@@ -13,5 +17,17 @@ from .figures import (  # noqa: F401
     pvalue_annotate,
 )
 from .embeddings import cluster_embeddings, scatter_desequenced_data  # noqa: F401
-from .gridsearch import GridSearchResults, save_grid_search  # noqa: F401
-from .latex import latex_legend, latex_table, save_tikz, tikz_errorbar_plot  # noqa: F401
+from .gridsearch import (  # noqa: F401
+    GridSearchResults,
+    all_grid_search_projections,
+    ith_param_range,
+    save_grid_search,
+)
+from .latex import (  # noqa: F401
+    effect_of_tabularizer,
+    latex_legend,
+    latex_table,
+    print_latex_anatomical_legend,
+    save_tikz,
+    tikz_errorbar_plot,
+)

@@ -88,17 +88,40 @@ class GridSearchResults:
             self.param_values[name] = g[index]
 
     def project(
-        self, x_param: str, y_param: str, reduce: str = "min"
+        self,
+        x_param: str,
+        y_param: str,
+        reduce: str = "min",
+        conditions: dict | None = None,
     ) -> np.ndarray:
         """Marginalize all other axes (min = best-case, mean = average)
-        → (len(y values), len(x values)) heatmap matrix."""
+        → (len(y values), len(x values)) heatmap matrix.  ``conditions``
+        (param name → value) slices those axes to the given value
+        instead of marginalizing (the reference's conditioning_list,
+        plotters.py:2164-2199)."""
         xi = self.param_names.index(x_param)
         yi = self.param_names.index(y_param)
+        wers = self.wers
+        if conditions:
+            indexer: list = [slice(None)] * wers.ndim
+            for name, value in conditions.items():
+                i = self.param_names.index(name)
+                if i in (xi, yi):
+                    raise ValueError(f"{name} is a heatmap axis")
+                matches = np.where(
+                    np.asarray(self.param_values[name]) == value
+                )[0]
+                if not len(matches):
+                    raise ValueError(f"{name} has no grid point {value!r}")
+                # length-1 slice (not an index array): keeps ndim and
+                # axis order so xi/yi stay valid
+                indexer[i] = slice(matches[0], matches[0] + 1)
+            wers = wers[tuple(indexer)]
         axes = tuple(
-            i for i in range(self.wers.ndim) if i not in (xi, yi)
+            i for i in range(wers.ndim) if i not in (xi, yi)
         )
         fn = {"min": np.nanmin, "mean": np.nanmean, "max": np.nanmax}[reduce]
-        out = fn(self.wers, axis=axes) if axes else self.wers
+        out = fn(wers, axis=axes) if axes else wers
         if xi < yi:
             out = out.T
         return out
@@ -114,7 +137,12 @@ class GridSearchResults:
         }
 
     def plot_projection(
-        self, x_param: str, y_param: str, reduce: str = "min", ax=None
+        self,
+        x_param: str,
+        y_param: str,
+        reduce: str = "min",
+        ax=None,
+        conditions: dict | None = None,
     ):
         import matplotlib
 
@@ -125,7 +153,7 @@ class GridSearchResults:
             fig, ax = plt.subplots(figsize=(6, 5))
         else:
             fig = ax.figure
-        matrix = self.project(x_param, y_param, reduce)
+        matrix = self.project(x_param, y_param, reduce, conditions)
         im = ax.imshow(matrix, cmap="viridis", aspect="auto")
         ax.set_xticks(
             range(len(self.param_values[x_param])),
@@ -139,3 +167,96 @@ class GridSearchResults:
         ax.set_ylabel(y_param)
         fig.colorbar(im, ax=ax, label=f"{reduce} WER")
         return fig
+
+
+def ith_param_range(grids, ii, grid_shape):
+    """Distinct values of hyperparameter ``ii`` from meshgrid-flattened
+    search coordinates (reference plotters.py:2159-2162): ``grids`` is
+    (N_points, N_params) with ``N_points == prod(grid_shape)``."""
+    grids = np.asarray(grids, float)
+    ith_grid = np.reshape(grids[:, ii], grid_shape)
+    return np.reshape(np.moveaxis(ith_grid, ii, -1), [-1])[
+        : ith_grid.shape[ii]
+    ]
+
+
+def all_grid_search_projections(
+    results: "GridSearchResults | str",
+    marginal_params: Sequence[str],
+    reduce: str = "mean",
+    annotate: bool = True,
+):
+    """Every 2-D heatmap slice of a grid search, conditioned on each
+    combination of ``marginal_params`` values (reference
+    plotters.py:2207-2257).
+
+    The two parameters NOT in ``marginal_params`` form the heatmap axes
+    of every subplot.  Subplots within a figure sweep the last two
+    marginal params; one figure is produced per combination of any
+    remaining (outer) marginal params.  Returns the list of figures.
+    """
+    import itertools
+
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    if isinstance(results, str):
+        results = GridSearchResults(results)
+    heat_params = [p for p in results.param_names if p not in marginal_params]
+    if len(heat_params) != 2:
+        raise ValueError(
+            f"need exactly 2 non-marginal params for heatmap axes, "
+            f"got {heat_params}"
+        )
+    y_param, x_param = heat_params
+    ranges = [list(results.param_values[p]) for p in marginal_params]
+    outer_params = list(marginal_params[:-2])
+    inner_params = list(marginal_params[-2:])
+    subplot_shape = [len(results.param_values[p]) for p in inner_params]
+    per_fig = int(np.prod(subplot_shape)) if subplot_shape else 1
+    vmax = float(np.nanmax(results.wers))
+
+    figures = []
+    fig = None
+    for ii, conditioning in enumerate(itertools.product(*ranges)):
+        jj = ii % per_fig
+        if jj == 0:
+            fig, axes = plt.subplots(
+                *(subplot_shape or [1, 1]),
+                figsize=(3 * max(subplot_shape[-1:] or [1], default=1), 9),
+                squeeze=False,
+            )
+            outer_bits = ", ".join(
+                f"{p}={c}" for p, c in zip(outer_params, conditioning)
+            )
+            fig.suptitle(f"Performance: {outer_bits}" if outer_bits else
+                         "Performance")
+            figures.append(fig)
+        ax = fig.axes[jj]
+        conditions = dict(zip(marginal_params, conditioning))
+        matrix = results.project(x_param, y_param, reduce, conditions)
+        ax.imshow(matrix, cmap="viridis", aspect="auto", vmin=0, vmax=vmax)
+        if annotate:
+            for (r, c), val in np.ndenumerate(matrix):
+                if np.isfinite(val):
+                    ax.text(c, r, f"{val:.2f}", ha="center", va="center",
+                            fontsize=7, color="w")
+        ax.set_xticks(
+            range(len(results.param_values[x_param])),
+            [str(v) for v in results.param_values[x_param]], fontsize=7,
+        )
+        ax.set_yticks(
+            range(len(results.param_values[y_param])),
+            [str(v) for v in results.param_values[y_param]], fontsize=7,
+        )
+        inner_bits = ", ".join(
+            f"{p}={c}"
+            for p, c in zip(marginal_params, conditioning)
+            if p in inner_params
+        )
+        ax.set_title(inner_bits, fontsize=8)
+        ax.set_xlabel(x_param, fontsize=8)
+        ax.set_ylabel(y_param, fontsize=8)
+    return figures

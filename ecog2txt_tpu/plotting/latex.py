@@ -102,3 +102,142 @@ def save_tikz(content: str, tikz_partial_path: str, name: str) -> str:
     with open(path, "w") as f:
         f.write(content + "\n")
     return path
+
+
+# FreeSurfer Desikan-Killiany cortical-label colors (RGB), from the
+# public FreeSurferColorLUT ctx-lh-* entries — the values the reference
+# pulls from img_pipe's FS_colorLUT (reference plotters.py:2260-2285).
+FREESURFER_DK_COLORS = {
+    "precentral": (60, 20, 220),
+    "postcentral": (220, 20, 20),
+    "supramarginal": (80, 160, 20),
+    "pars triangularis": (220, 60, 20),
+    "pars opercularis": (220, 180, 140),
+    "pars orbitalis": (20, 100, 50),
+    "superior temporal": (140, 220, 220),
+    "middle temporal": (160, 100, 50),
+    "inferior temporal": (180, 20, 20),
+    "rostral middle frontal": (75, 50, 125),
+    "caudal middle frontal": (100, 25, 0),
+}
+
+# the reference's hard-coded legend inventory (plotters.py:2264-2272):
+# M1/S1/PPC, IFG, temporal, middle frontal
+ANATOMICAL_LEGEND_AREAS = list(FREESURFER_DK_COLORS)
+
+
+def print_latex_anatomical_legend(
+    brain_areas: Sequence[str] | None = None,
+    legend_split_points: Sequence[str] = ("pars orbitalis",),
+    PRINT: bool = True,
+) -> str:
+    """LaTeX/TikZ code for the anatomical color legend (reference
+    plotters.py:2260-2312): ``\\providecolor`` definitions from the
+    FreeSurfer LUT, then an ``\\anatomyLegend`` TikZ command with the
+    legend split into stacked nodes at ``legend_split_points``."""
+    brain_areas = list(
+        ANATOMICAL_LEGEND_AREAS if brain_areas is None else brain_areas
+    )
+    lines = []
+    for area in brain_areas:
+        r, g, b = FREESURFER_DK_COLORS[area]
+        lines.append(
+            r"\providecolor{%s}{RGB}{%d,%d,%d}"
+            % (area.replace(" ", ""), r, g, b)
+        )
+    lines.append("")
+    lines.append(r"\newcommand{\anatomyLegend}{%")
+    lines.append("\t\\begin{tikzpicture}[>=latex,remember picture]%")
+    vertical_pos = 0.0
+    lines.append("\t\t\\node at (0,%g) {%%" % vertical_pos)
+    for i, area in enumerate(brain_areas):
+        lines.append("\t\t\t\\begin{tikzpicture}")
+        lines.append(
+            "\t\t\t\t\\fill[%s] (1ex,1ex) circle (1ex)"
+            % area.replace(" ", "")
+        )
+        lines.append(
+            "\t\t\t\t\tnode[label={[black]right:%s}] {};" % area
+        )
+        lines.append("\t\t\t\\end{tikzpicture}")
+        if area in legend_split_points and i + 1 < len(brain_areas):
+            lines.append("\t\t};")
+            vertical_pos -= 0.5
+            lines.append("\t\t\\node at (0,%g) {%%" % vertical_pos)
+    lines.append("\t\t};")
+    lines.append("\t\\end{tikzpicture}")
+    lines.append("}")
+    out = "\n".join(lines)
+    if PRINT:
+        print(out)
+    return out
+
+
+def _stat(stats: dict, *names):
+    for name in names:
+        if name in stats:
+            return stats[name]
+    raise KeyError(f"none of {names} in {sorted(stats)}")
+
+
+def effect_of_tabularizer(summary_dict: dict, PRINT: bool = True) -> str:
+    """LaTeX tabular of per-subject comparison statistics (reference
+    plotters.py:2420-2462): one row-triple (p value, test statistic,
+    effect size) per participant, one column per comparison suffix.
+    ``summary_dict`` is {subj_id: {experiment: {'comparisons':
+    {key: {suffix: stats}}}}} with stats from :mod:`assess`
+    (``p_value``/``statistic``/``effect_size``; the reference's
+    space-separated spellings also accepted)."""
+    from .plotters import suffix_to_label
+
+    lines: list[str] = []
+    labels: list[str] | None = None
+    hline = r"\\\hline"
+    for iSubj, (subj_id, summary_entry) in enumerate(summary_dict.items()):
+        for experiment_dict in summary_entry.values():
+            for comparisons in experiment_dict["comparisons"].values():
+                tentative = [suffix_to_label(s) for s in comparisons]
+                if iSubj == 0 and labels is None:
+                    labels = tentative
+                    lines.append(
+                        r"\begin{tabular}{r%s}" % ("|c" * (len(labels) + 1))
+                    )
+                    lines.append(
+                        r"participant & baseline: & "
+                        + " & ".join(labels) + hline + r"\hline"
+                    )
+                else:
+                    assert labels == tentative, (
+                        "subjects compared to different baselines"
+                    )
+                p_values = [
+                    "%.1e" % _stat(s, "p_value", "p value")
+                    for s in comparisons.values()
+                ]
+                test_statistics = [
+                    "%d" % _stat(s, "statistic", "test statistic", "t")
+                    for s in comparisons.values()
+                ]
+                effect_sizes = [
+                    "%.2f" % _stat(s, "effect_size", "effect size",
+                                   "mean_diff")
+                    for s in comparisons.values()
+                ]
+                cline = r"\\\cline{2-%i}" % (len(labels) + 2)
+                lines.append(
+                    r"\ecnum{%s} & (unadjusted) p value & " % subj_id
+                    + " & ".join(p_values) + cline
+                )
+                lines.append(
+                    r"           & test statistic & "
+                    + " & ".join(test_statistics) + cline
+                )
+                lines.append(
+                    r"           & effect size & "
+                    + " & ".join(effect_sizes) + hline
+                )
+    lines.append(r"\end{tabular}")
+    out = "\n".join(lines)
+    if PRINT:
+        print(out)
+    return out

@@ -543,3 +543,18 @@ def suffix_to_label(suffix: str, BOLD_LABEL: bool = False) -> str:
     if BOLD_LABEL:
         label = rf"{{\bfseries {label}}}"
     return label
+
+
+def get_save_path(fig_type: str, plotters_list) -> str:
+    """Common save path for a figure spanning several plotters
+    (reference plotters.py:1930-1940): the common directory prefix of
+    every plotter's ``{fig_type}_partial_path`` manifest template, with
+    the first plotter's basename."""
+    templates = [
+        p.subject.manifest.resolve(f"{fig_type}_partial_path")
+        for p in plotters_list
+    ]
+    if any(t is None for t in templates):
+        raise ValueError(f"a plotter has no {fig_type}_partial_path")
+    common = os.path.commonpath([os.path.dirname(t) for t in templates])
+    return os.path.join(common, os.path.basename(templates[0]))

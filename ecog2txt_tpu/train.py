@@ -258,6 +258,22 @@ class MultiSubjectTrainer:
         os.makedirs(path, exist_ok=True)
         return path
 
+    @property
+    def results_plotter(self):
+        """Lazily-constructed per-target-subject plotter (reference
+        trainers.py:259-275); assign to replace."""
+        if getattr(self, "_results_plotter", None) is None:
+            from .plotting import ResultsPlotter
+
+            self._results_plotter = ResultsPlotter(
+                self.target_subject, self, VERBOSE=self.VERBOSE
+            )
+        return self._results_plotter
+
+    @results_plotter.setter
+    def results_plotter(self, plotter) -> None:
+        self._results_plotter = plotter
+
     # -- vocab resolution (reference trainers.py:147-211) ------------------
 
     def set_feature_lists(self) -> None:

@@ -88,3 +88,42 @@ def test_results_summarizer():
 def test_unknown_comparator():
     with pytest.raises(ValueError):
         assess.results_comparator("nope")
+
+
+def test_apply_comparisons_and_results_updater(tmp_path):
+    """Archive-level comparison plumbing (reference plotters.py:2123-2156):
+    load each (comparison, baseline) archive pair from a %-template path
+    and annotate the stats dict with Holm ranks in place."""
+    from ecog2txt_tpu.assess import apply_comparisons, results_updater
+    from ecog2txt_tpu.plotting.results import save_decoding_results
+
+    rng = np.random.default_rng(0)
+    for suffix in ("", "_untargeted", "_noise"):
+        save_decoding_results(
+            str(tmp_path / f"perf_vs_training_size_1{suffix}"),
+            word_error_rate=rng.uniform(0, 1, (3, 2)),
+            accuracy=rng.uniform(0, 1, (3, 2)),
+            nums_seconds=rng.uniform(60, 600, (3, 2)),
+            training_blocks=[[1], [1, 2]],
+            validation_blocks=[9],
+        )
+    template = str(tmp_path / "perf_vs_training_size_1%s")
+    comparisons = {
+        "_untargeted": {"": {"p_value": 0.01}},
+        "_noise": {"": {"p_value": 0.002}},
+    }
+    seen = []
+    apply_comparisons(
+        template, comparisons,
+        lambda b, c, bs, cs: seen.append(
+            (bs, cs, b.word_error_rate.shape, c.num_folds)
+        ),
+        VERBOSE=False,
+    )
+    assert seen == [("", "_untargeted", (3, 2), 3), ("", "_noise", (3, 2), 3)]
+    results_updater(template, comparisons, ranks=[2, 1], VERBOSE=False)
+    assert comparisons["_untargeted"][""]["adjusted_p_value"] == \
+        pytest.approx(0.02)
+    assert comparisons["_untargeted"][""]["rank"] == 2
+    assert comparisons["_noise"][""]["adjusted_p_value"] == \
+        pytest.approx(0.002)

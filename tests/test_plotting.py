@@ -348,3 +348,114 @@ def test_grid_search(tmp_path):
     assert proj.shape == (2, 2)
     np.testing.assert_allclose(proj, [[0.4, 0.5], [0.2, 0.1]])
     assert gs.plot_projection("lr", "dropout") is not None
+
+
+def test_grid_search_conditioned_projection(tmp_path):
+    wers = np.arange(24, dtype=float).reshape(2, 3, 4) / 24.0
+    path = save_grid_search(
+        str(tmp_path / "grid_search_2"),
+        ["lr", "units", "dropout"],
+        [[1e-3, 1e-2], [64, 128, 256], [0.0, 0.1, 0.3, 0.5]],
+        wers,
+    )
+    gs = GridSearchResults(path)
+    # conditioning on a value slices that axis instead of marginalizing
+    proj = gs.project("dropout", "units", conditions={"lr": 1e-2})
+    np.testing.assert_allclose(proj, wers[1])
+    with pytest.raises(ValueError):
+        gs.project("dropout", "units", conditions={"units": 64})
+    with pytest.raises(ValueError):
+        gs.project("dropout", "units", conditions={"lr": 123.0})
+
+
+def test_all_grid_search_projections(tmp_path):
+    from ecog2txt_tpu.plotting import all_grid_search_projections
+
+    wers = np.random.default_rng(0).uniform(0, 1, (2, 3, 2, 2))
+    path = save_grid_search(
+        str(tmp_path / "grid_search_3"),
+        ["lr", "units", "dropout", "layers"],
+        [[1e-3, 1e-2], [64, 128, 256], [0.1, 0.5], [2, 3]],
+        wers,
+    )
+    # marginal (conditioned) params: lr × units → 6 subplots, 1 figure
+    figs = all_grid_search_projections(path, ["lr", "units"])
+    assert len(figs) == 1 and len(figs[0].axes) == 6
+    # exactly two non-marginal (heatmap) params are required
+    with pytest.raises(ValueError):
+        all_grid_search_projections(path, ["lr", "dropout", "layers"])
+    # 5 params, 3 marginal: outer 'a' → one figure per a value, 2x2 grid
+    wers5 = np.random.default_rng(1).uniform(0, 1, (2,) * 5)
+    path5 = save_grid_search(
+        str(tmp_path / "grid_search_5"),
+        list("abcde"),
+        [[0, 1]] * 5,
+        wers5,
+    )
+    figs = all_grid_search_projections(path5, ["a", "b", "c"])
+    assert len(figs) == 2 and len(figs[0].axes) == 4
+
+
+def test_ith_param_range():
+    from ecog2txt_tpu.plotting import ith_param_range
+
+    axes = [np.array([1.0, 2.0]), np.array([10.0, 20.0, 30.0])]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    grids = np.stack([m.ravel() for m in mesh], axis=1)
+    np.testing.assert_allclose(
+        ith_param_range(grids, 0, (2, 3)), axes[0]
+    )
+    np.testing.assert_allclose(
+        ith_param_range(grids, 1, (2, 3)), axes[1]
+    )
+
+
+def test_latex_anatomical_legend(capsys):
+    from ecog2txt_tpu.plotting import print_latex_anatomical_legend
+
+    out = print_latex_anatomical_legend()
+    printed = capsys.readouterr().out
+    assert out in printed
+    assert r"\providecolor{precentral}{RGB}{60,20,220}" in out
+    assert r"\newcommand{\anatomyLegend}" in out
+    # the legend splits into a second node after 'pars orbitalis'
+    assert out.count(r"\node at (0,") == 2
+
+
+def test_effect_of_tabularizer():
+    from ecog2txt_tpu.plotting import effect_of_tabularizer
+
+    stats = {"p_value": 1.5e-3, "statistic": 42.0, "effect_size": 0.61}
+    summary = {
+        1: {"expA": {"comparisons": {"wer": {"_untargeted": dict(stats)}}}},
+        2: {"expA": {"comparisons": {"wer": {"_untargeted": dict(stats)}}}},
+    }
+    out = effect_of_tabularizer(summary, PRINT=False)
+    assert out.count(r"\ecnum{") == 2
+    assert "1.5e-03" in out and "42" in out and "0.61" in out
+    assert out.strip().endswith(r"\end{tabular}")
+
+
+def test_get_save_path(tmp_path):
+    from types import SimpleNamespace
+
+    from ecog2txt_tpu.plotting import get_save_path
+
+    def plotter(d):
+        manifest = SimpleNamespace(
+            resolve=lambda key, *a: str(tmp_path / d / "fig_{0}.png")
+        )
+        return SimpleNamespace(subject=SimpleNamespace(manifest=manifest))
+
+    p = get_save_path("png", [plotter("a/x"), plotter("a/y")])
+    assert p == str(tmp_path / "a" / "fig_{0}.png")
+
+
+def test_trainer_results_plotter_property(trainer):
+    """trainer.results_plotter lazily builds a per-target-subject plotter
+    (reference trainers.py:259-275) and is assignable."""
+    rp = trainer.results_plotter
+    assert rp.subject is trainer.target_subject and rp.trainer is trainer
+    assert trainer.results_plotter is rp  # cached
+    trainer.results_plotter = "sentinel"
+    assert trainer.results_plotter == "sentinel"

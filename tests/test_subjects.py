@@ -214,3 +214,28 @@ def test_synchronize_counters_near_variant_wrinkle():
     # the first cluster within threshold, not necessarily the exact row
     idx = a.observe("the quick brown box")
     assert a.unique_sentences[idx] == "the quick brown fox"
+
+
+def test_filter_to_common_targets():
+    """Cross-set target filtering (reference data_generators.py:535-562,
+    kept for API completeness): examples whose target appears in only
+    one set are dropped from that set."""
+    from ecog2txt_tpu.datagen import filter_to_common_targets
+
+    inputs_A = np.arange(4 * 3 * 2, dtype=float).reshape(4, 3, 2)
+    targets_A = ["horse", "cow", "pig", "cow"]
+    inputs_B = np.arange(3 * 3 * 2, dtype=float).reshape(3, 3, 2) + 100
+    targets_B = ["cow", "dog", "pig"]
+    iA, tA, iB, tB = filter_to_common_targets(
+        inputs_A, targets_A, inputs_B, targets_B
+    )
+    assert tA == ["cow", "pig", "cow"] and tB == ["cow", "pig"]
+    np.testing.assert_array_equal(iA, inputs_A[[1, 2, 3]])
+    np.testing.assert_array_equal(iB, inputs_B[[0, 2]])
+    # list-of-token-lists targets (the reference docstring's other case)
+    tok_A = [["a", "b"], ["c"]]
+    tok_B = [["c"], ["d"]]
+    _, tA2, _, tB2 = filter_to_common_targets(
+        inputs_A[:2], tok_A, inputs_B[:2], tok_B
+    )
+    assert tA2 == [["c"]] and tB2 == [["c"]]
