@@ -92,14 +92,20 @@ def init_conformer(rng: jax.Array, config: ConformerConfig, in_dim: int) -> dict
 
 
 def _layernorm(p, x, eps=1e-6):
-    mu = x.mean(axis=-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    # statistics in f32 regardless of the stream dtype (bf16-safe);
+    # the result is cast back so downstream GEMMs stay in compute dtype
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    return out.astype(x.dtype)
 
 
-def _ffn(p, x):
-    h = jax.nn.swish(jnp.dot(_layernorm(p["ln"], x), p["w1"]) + p["b1"])
-    return jnp.dot(h, p["w2"]) + p["b2"]
+def _ffn(p, x, cd):
+    h = jax.nn.swish(
+        jnp.dot(_layernorm(p["ln"], x), p["w1"].astype(cd)) + p["b1"].astype(cd)
+    )
+    return jnp.dot(h, p["w2"].astype(cd)) + p["b2"].astype(cd)
 
 
 def _rotary(x: jax.Array, positions: jax.Array) -> jax.Array:
@@ -109,65 +115,88 @@ def _rotary(x: jax.Array, positions: jax.Array) -> jax.Array:
     half = Dh // 2
     freq = 1.0 / (10000.0 ** (jnp.arange(half) / half))
     angles = positions[:, None] * freq[None, :]  # (T, half)
-    cos = jnp.cos(angles)[None, :, None, :]
-    sin = jnp.sin(angles)[None, :, None, :]
+    # angles in f32 (large absolute positions), rotation in the stream
+    # dtype so q/k stay in compute dtype for the attention GEMMs
+    cos = jnp.cos(angles)[None, :, None, :].astype(x.dtype)
+    sin = jnp.sin(angles)[None, :, None, :].astype(x.dtype)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
 
 
 def _chunk_causal_mask(
-    T: int, chunk: int, left_context: int
+    positions: jax.Array, chunk: int, left_context: int
 ) -> jnp.ndarray:
     """(T, T) bool: query at t attends to keys in its own chunk and up to
-    ``left_context`` chunks back."""
-    q_chunk = jnp.arange(T)[:, None] // chunk
-    k_chunk = jnp.arange(T)[None, :] // chunk
-    return (k_chunk <= q_chunk) & (k_chunk >= q_chunk - left_context)
+    ``left_context`` chunks back.  Chunk ids come from ABSOLUTE
+    positions, so windowed (streaming) and sequence-parallel shards
+    reproduce the offline mask; keys at negative positions (a shard's
+    ppermute halo before the recording starts) are invalid."""
+    q_chunk = positions[:, None] // chunk
+    k_chunk = positions[None, :] // chunk
+    return (
+        (k_chunk <= q_chunk)
+        & (k_chunk >= q_chunk - left_context)
+        & (positions[None, :] >= 0)
+    )
 
 
 def _attention(
-    p, x, config: ConformerConfig, lengths, positions
+    p, x, config: ConformerConfig, lengths, positions, cd
 ):
     B, T, D = x.shape
     H = config.num_heads
     Dh = D // H
     xn = _layernorm(p["ln"], x)
-    qkv = jnp.dot(xn, p["wqkv"]).reshape(B, T, 3, H, Dh)
+    qkv = jnp.dot(xn, p["wqkv"].astype(cd)).reshape(B, T, 3, H, Dh)
     q = _rotary(qkv[:, :, 0], positions)
     k = _rotary(qkv[:, :, 1], positions)
     v = qkv[:, :, 2]
-    logits = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(Dh)
-    mask = _chunk_causal_mask(T, config.chunk_size, config.left_context)
+    # scores GEMM in compute dtype; softmax in f32 for stability
+    logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(
+        jnp.float32
+    ) / np.sqrt(Dh)
+    mask = _chunk_causal_mask(
+        positions, config.chunk_size, config.left_context
+    )
     if lengths is not None:
+        # lengths are ABSOLUTE valid-step counts, compared against the
+        # keys' absolute positions (identical to a local arange when
+        # position_offset == 0, i.e. the offline encode)
         mask = mask[None, :, :] & (
-            jnp.arange(T)[None, None, :] < lengths[:, None, None]
+            positions[None, None, :] < lengths[:, None, None]
         )
         mask = mask[:, None]  # (B, 1, T, T)
     else:
         mask = mask[None, None]
     logits = jnp.where(mask, logits, -1e9)
-    attn = jax.nn.softmax(logits, axis=-1)
+    attn = jax.nn.softmax(logits, axis=-1).astype(cd)
     out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
-    return jnp.dot(out, p["wo"])
+    return jnp.dot(out, p["wo"].astype(cd))
 
 
-def _conv_module(p, x, tail: jax.Array | None = None):
+def _conv_module(
+    p, x, tail: jax.Array | None = None, cd=jnp.float32, valid=None
+):
     """Depthwise-causal conv module.  ``tail``: (B, K-1, D) carried
-    samples for streaming; returns (out, new_tail)."""
+    samples for streaming; ``valid``: (T,) bool zeroing pre-recording
+    halo steps so their taps equal the offline encode's zero left-pad;
+    returns (out, new_tail)."""
     B, T, D = x.shape
     K = p["dw"].shape[0]
     xn = _layernorm(p["ln"], x)
-    h = jnp.dot(xn, p["pw1"])  # (B, T, 2D)
+    h = jnp.dot(xn, p["pw1"].astype(cd))  # (B, T, 2D)
     h = jax.nn.glu(h, axis=-1)  # (B, T, D)
+    if valid is not None:
+        h = h * valid[None, :, None].astype(h.dtype)
     if tail is None:
-        tail = jnp.zeros((B, K - 1, D))
+        tail = jnp.zeros((B, K - 1, D), h.dtype)
     h_padded = jnp.concatenate([tail, h], axis=1)  # (B, T+K-1, D)
     # depthwise causal conv as K shifted adds (K is small/static)
     out = jnp.zeros_like(h)
     for k in range(K):
-        out = out + h_padded[:, k : k + T] * p["dw"][k]
+        out = out + h_padded[:, k : k + T] * p["dw"][k].astype(cd)
     out = jax.nn.swish(out)
-    out = jnp.dot(out, p["pw2"])
+    out = jnp.dot(out, p["pw2"].astype(cd))
     new_tail = h_padded[:, T:]  # last K-1 pre-conv samples
     return out, new_tail
 
@@ -177,24 +206,36 @@ def conformer_encode(
     config: ConformerConfig,
     xs: jax.Array,  # (B, T, in_dim) — already downsampled features
     lengths: jax.Array | None = None,
-    position_offset: int = 0,
+    position_offset=0,
     carry: list | None = None,
+    compute_dtype=jnp.float32,
+    mask_invalid: bool = False,
 ):
     """Full-sequence (training) or continuation (streaming) encode.
 
     ``carry``: per-block streaming state [{'kv': (B, C, 2, H, Dh) cached
     chunks' k/v — None in training}, conv tail].  Returns (out (B,T,D),
-    new_carry)."""
-    x = jnp.dot(xs, params["in_proj"]["w"]) + params["in_proj"]["b"]
+    new_carry).  Under ``compute_dtype=bfloat16`` every GEMM runs in
+    bf16 on the MXU; layernorm statistics and the attention softmax stay
+    f32 (numerics-neutral at the loss level, ~2× MXU throughput)."""
+    cd = compute_dtype
+    x = (
+        jnp.dot(xs.astype(cd), params["in_proj"]["w"].astype(cd))
+        + params["in_proj"]["b"].astype(cd)
+    )
     positions = jnp.arange(x.shape[1]) + position_offset
+    # pre-recording halo steps (negative absolute position — only under
+    # sequence parallelism, where the offset is traced) behave exactly
+    # like the offline zero pad
+    valid = positions >= 0 if mask_invalid else None
     new_carry = []
     for bi, block in enumerate(params["blocks"]):
-        x = x + 0.5 * _ffn(block["ffn1"], x)
-        x = x + _attention(block["attn"], x, config, lengths, positions)
+        x = x + 0.5 * _ffn(block["ffn1"], x, cd)
+        x = x + _attention(block["attn"], x, config, lengths, positions, cd)
         tail = carry[bi] if carry is not None else None
-        conv_out, new_tail = _conv_module(block["conv"], x, tail)
+        conv_out, new_tail = _conv_module(block["conv"], x, tail, cd, valid)
         x = x + conv_out
-        x = x + 0.5 * _ffn(block["ffn2"], x)
+        x = x + 0.5 * _ffn(block["ffn2"], x, cd)
         x = _layernorm(block["ln_out"], x)
         new_carry.append(new_tail)
     return x, new_carry
@@ -215,9 +256,13 @@ class ConformerStream:
     O(window), independent of recording length — the long-continuous-
     recordings path (BASELINE configs[4])."""
 
-    def __init__(self, params: dict, config: ConformerConfig):
+    def __init__(
+        self, params: dict, config: ConformerConfig,
+        compute_dtype=jnp.float32,
+    ):
         self.params = params
         self.config = config
+        self.compute_dtype = compute_dtype
         receptive = config.num_blocks * (
             config.left_context * config.chunk_size + config.conv_kernel - 1
         )
@@ -261,10 +306,12 @@ class ConformerStream:
         offset = self._pushed - self._window.shape[1]
         lengths = None
         if self._valid < self._pushed:
+            # absolute valid-step count — _attention masks keys by their
+            # absolute positions
             B = chunk.shape[0]
-            valid_in_window = max(self._valid - offset, 0)
-            lengths = jnp.full((B,), valid_in_window, jnp.int32)
+            lengths = jnp.full((B,), self._valid, jnp.int32)
         out, _ = conformer_encode(
-            self.params, cfg, self._window, lengths, position_offset=offset
+            self.params, cfg, self._window, lengths, position_offset=offset,
+            compute_dtype=self.compute_dtype,
         )
         return out[:, -chunk.shape[1] :]

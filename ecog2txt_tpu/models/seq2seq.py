@@ -356,7 +356,8 @@ def encode(
         ccfg = config.conformer or ConformerConfig()
         xs_bm = jnp.moveaxis(xs, 0, 1)  # (B, T', F)
         out_bm, _ = conformer_encode(
-            params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths
+            params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths,
+            compute_dtype=config.compute_dtype,
         )
         T_out = out_bm.shape[1]
         step_mask = (

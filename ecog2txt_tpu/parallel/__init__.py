@@ -11,3 +11,8 @@ from .multihost import (  # noqa: F401
     initialize_distributed,
     make_global,
 )
+from .sequence import (  # noqa: F401
+    halo_steps,
+    receptive_field_steps,
+    sequence_parallel_encode,
+)

@@ -1,0 +1,118 @@
+"""Sequence parallelism for the conformer encoder.
+
+Long continuous recordings (BASELINE configs[4]) can exceed what one
+chip should hold or what one chip's latency budget allows.  The
+chunked-causal conformer has a BOUNDED compound receptive field —
+``num_blocks · (left_context·chunk_size + conv_kernel − 1)`` steps
+(the same bound :class:`models.conformer.ConformerStream` streams
+with) — so the time axis shards cleanly over a mesh axis:
+
+* each device holds a contiguous time shard (a multiple of the
+  attention chunk, so chunk boundaries align across shards);
+* ONE ``ppermute`` ships each shard's input tail (the receptive-field
+  halo, rounded up to whole chunks) to its right neighbor before any
+  compute — there is no per-layer communication at all;
+* every device then encodes ``[halo, local]`` with its absolute
+  position offset and drops the halo outputs.  The first shard's
+  ``ppermute`` fill is zeros at negative absolute positions, which the
+  encoder masks to behave exactly like the offline zero left-pad
+  (``mask_invalid``) — so sharded outputs equal the single-device
+  encode EXACTLY (tested on the 8-device CPU mesh).
+
+The halo recompute is the whole cost: ``window/S`` redundant work,
+negligible once per-device shards are long — which is precisely the
+regime sequence parallelism is for.  Communication is one
+neighbor-to-neighbor ICI hop of ``B·halo·in_dim`` elements.
+
+This composes with data parallelism: shard batch over one mesh axis
+and time over another (``P('data', 'seq', None)``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.conformer import ConformerConfig, conformer_encode
+
+
+def receptive_field_steps(config: ConformerConfig) -> int:
+    """Compound receptive field of the block stack, in encoder steps
+    (matches ConformerStream's window bound)."""
+    return config.num_blocks * (
+        config.left_context * config.chunk_size + config.conv_kernel - 1
+    )
+
+
+def halo_steps(config: ConformerConfig) -> int:
+    """Receptive field rounded up to whole attention chunks (shards must
+    start on chunk boundaries for the mask pattern to be preserved)."""
+    return -(-receptive_field_steps(config) // config.chunk_size) * (
+        config.chunk_size
+    )
+
+
+def sequence_parallel_encode(
+    params: dict,
+    config: ConformerConfig,
+    xs: jax.Array,  # (B, T, in_dim) — already downsampled features
+    mesh: Mesh,
+    axis: str = "seq",
+    lengths: jax.Array | None = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Encode ``xs`` with its time axis sharded over ``mesh[axis]``.
+
+    Returns the (B, T, D) encoder output, time-sharded over ``axis``
+    (same values as the unsharded ``conformer_encode`` — the caller can
+    keep it sharded for downstream sequence-sharded consumers or let
+    XLA gather it).  Requires ``T % (n·chunk_size) == 0`` and per-shard
+    length ≥ the halo; pad the recording to the chunk grid first (the
+    offline encode needs that too) and pass ``lengths`` to mask the pad.
+    """
+    n = mesh.shape[axis]
+    B, T, _ = xs.shape
+    halo = halo_steps(config)
+    if T % (n * config.chunk_size):
+        raise ValueError(
+            f"T={T} must be a multiple of n·chunk_size={n * config.chunk_size}"
+        )
+    S = T // n
+    if S < halo:
+        raise ValueError(
+            f"per-shard steps {S} < halo {halo}: use fewer shards "
+            f"(or this recording is too short for sequence parallelism)"
+        )
+
+    def body(x_local, lengths_local):
+        # x_local: (B, S, in_dim) — this device's contiguous time shard
+        idx = jax.lax.axis_index(axis)
+        # ship my tail to my right neighbor; the first shard receives
+        # zeros (no source), masked out by negative absolute positions
+        prev_tail = jax.lax.ppermute(
+            x_local[:, -halo:],
+            axis,
+            perm=[(i, i + 1) for i in range(n - 1)],
+        )
+        window = jnp.concatenate([prev_tail, x_local], axis=1)
+        offset = idx * S - halo
+        out, _ = conformer_encode(
+            params,
+            config,
+            window,
+            lengths=lengths_local,
+            position_offset=offset,
+            compute_dtype=compute_dtype,
+            mask_invalid=True,
+        )
+        return out[:, halo:]
+
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None)),
+        out_specs=P(None, axis, None),
+    )(jax.device_put(xs, NamedSharding(mesh, P(None, axis, None))), lengths)

@@ -250,7 +250,8 @@ class StreamingConformerSession:
         self.targets_list = list(targets_list)
         self.ccfg = config.conformer or ConformerConfig()
         self.stream = ConformerStream(
-            params["encoder"]["conformer"], self.ccfg
+            params["encoder"]["conformer"], self.ccfg,
+            compute_dtype=config.compute_dtype,
         )
         import jax.numpy as jnp
 

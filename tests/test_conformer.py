@@ -25,7 +25,9 @@ def params():
 
 
 def test_chunk_causal_mask():
-    mask = np.asarray(_chunk_causal_mask(8, chunk=4, left_context=1))
+    mask = np.asarray(
+        _chunk_causal_mask(jnp.arange(8), chunk=4, left_context=1)
+    )
     # query in chunk 0 sees only chunk 0
     assert mask[0, :4].all() and not mask[0, 4:].any()
     # query in chunk 1 sees chunks 0 and 1
@@ -118,3 +120,131 @@ def test_seq2seq_conformer_padding_invariance(rng):
     )
     l2, _ = seq2seq_loss(params, cfg, batch2, jax.random.PRNGKey(1), train=False)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+
+
+def test_streaming_matches_full_bf16(params, rng):
+    """Under bf16 compute (the TPU training dtype) the streamed encode
+    still equals the offline encode EXACTLY — both paths run the same
+    ops in the same dtype over the bounded window."""
+    T = 24
+    xs = jnp.asarray(rng.normal(size=(2, T, 8)), jnp.float32)
+    full, _ = conformer_encode(
+        params, CFG, xs, None, compute_dtype=jnp.bfloat16
+    )
+    assert full.dtype == jnp.bfloat16
+    stream = ConformerStream(params, CFG, compute_dtype=jnp.bfloat16)
+    outs = []
+    for start in range(0, T, CFG.chunk_size):
+        outs.append(stream.push(xs[:, start : start + CFG.chunk_size]))
+    streamed = jnp.concatenate(outs, axis=1)
+    f32 = np.asarray(full, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(streamed, np.float32), f32, rtol=0.08, atol=0.05
+    )
+    # bf16 stays close to the f32 reference (numerics-neutral compute)
+    ref, _ = conformer_encode(params, CFG, xs, None)
+    np.testing.assert_allclose(f32, np.asarray(ref), rtol=0.2, atol=0.12)
+
+
+def test_bf16_training_step_learns(rng):
+    """One jitted grad step under bf16 compute: finite loss, finite
+    f32 grads for every conformer parameter."""
+    from ecog2txt_tpu.models.seq2seq import (
+        AuxHead, Seq2SeqConfig, init_seq2seq, seq2seq_loss,
+    )
+
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(16,),
+        aux_heads=(AuxHead("encoder_1_targets", "categorical", 10),),
+        dec_embedding_size=12, dec_rnn_sizes=(48,), max_dec_len=6,
+        encoder_type="conformer", conformer=CFG,
+        compute_dtype=jnp.bfloat16,
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    batch = {
+        "encoder_inputs": jnp.asarray(rng.normal(size=(2, 32, 8)), jnp.float32),
+        "encoder_lengths": jnp.asarray([32, 17], jnp.int32),
+        "decoder_targets": jnp.asarray(
+            rng.integers(2, 12, size=(2, 5)), jnp.int32
+        ),
+        "decoder_lengths": jnp.asarray([5, 3], jnp.int32),
+        "encoder_1_targets": jnp.asarray(
+            rng.integers(0, 10, size=(2, 32)), jnp.int32
+        ),
+        "subject_idx": jnp.asarray(0, jnp.int32),
+    }
+
+    def loss_fn(p):
+        l, _ = seq2seq_loss(p, cfg, batch, jax.random.PRNGKey(1), train=True)
+        return l
+
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree.leaves(grads["encoder"]["conformer"])
+    assert leaves and all(
+        l.dtype == jnp.float32 and np.isfinite(np.asarray(l)).all()
+        for l in leaves
+    )
+
+
+def test_sequence_parallel_encode_matches_offline(params, rng):
+    """Time-sharded encode over an 8-device mesh equals the offline
+    single-device encode EXACTLY (one input-halo ppermute, halo outputs
+    dropped, first shard's zero fill masked at negative positions)."""
+    from jax.sharding import Mesh
+
+    from ecog2txt_tpu.parallel.sequence import (
+        halo_steps,
+        sequence_parallel_encode,
+    )
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("seq",))
+    halo = halo_steps(CFG)
+    S = max(halo, 4 * CFG.chunk_size)  # per-shard steps ≥ halo
+    T = n * S
+    xs = jnp.asarray(rng.normal(size=(2, T, 8)), jnp.float32)
+    lengths = jnp.asarray([T, T - 2 * CFG.chunk_size - 1], jnp.int32)
+    # beyond-length pad steps are unspecified (every attention key is
+    # masked there; seq2seq masks those steps out) — compare the
+    # meaningful region only
+    valid = (
+        np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None]
+    )
+    ref, _ = conformer_encode(params, CFG, xs, lengths)
+    out = sequence_parallel_encode(
+        params, CFG, xs, mesh, axis="seq", lengths=lengths
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid,
+        rtol=1e-5, atol=1e-5,
+    )
+    # bf16 path too
+    ref16, _ = conformer_encode(
+        params, CFG, xs, lengths, compute_dtype=jnp.bfloat16
+    )
+    out16 = sequence_parallel_encode(
+        params, CFG, xs, mesh, axis="seq", lengths=lengths,
+        compute_dtype=jnp.bfloat16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out16, np.float32) * valid,
+        np.asarray(ref16, np.float32) * valid,
+    )
+
+
+def test_sequence_parallel_validation_errors(params):
+    from jax.sharding import Mesh
+
+    from ecog2txt_tpu.parallel.sequence import sequence_parallel_encode
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    with pytest.raises(ValueError, match="multiple"):
+        sequence_parallel_encode(
+            params, CFG, jnp.zeros((1, 30, 8)), mesh, axis="seq"
+        )
+    with pytest.raises(ValueError, match="halo"):
+        sequence_parallel_encode(
+            params, CFG, jnp.zeros((1, 16, 8)), mesh, axis="seq"
+        )
