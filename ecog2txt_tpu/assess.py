@@ -251,9 +251,15 @@ def results_updater(partial_path, comparisons, ranks, VERBOSE=True):
         baseline_results, comparison_results, baseline_suffix,
         comparison_suffix,
     ):
-        rank = ranks.pop(0)
         stats = comparisons[comparison_suffix][baseline_suffix]
         p = stats.get("p_value", stats.get("p value"))
+        if p is None:
+            raise KeyError(
+                f"no 'p_value' in stats for comparison "
+                f"({comparison_suffix!r} vs {baseline_suffix!r}): "
+                f"keys={sorted(stats)}"
+            )
+        rank = ranks.pop(0)
         stats["adjusted_p_value"] = p * rank
         stats["rank"] = rank
 

@@ -201,6 +201,29 @@ def _conv_module(
     return out, new_tail
 
 
+def apply_block(
+    block: dict,
+    x: jax.Array,  # (B, T, D) in the compute dtype
+    config: ConformerConfig,
+    lengths: jax.Array | None,
+    positions: jax.Array,
+    cd=jnp.float32,
+    tail: jax.Array | None = None,
+    valid: jax.Array | None = None,
+):
+    """One conformer block (½FFN → MHSA → conv → ½FFN → LN).  All blocks
+    are the same (B, T, D) → (B, T, D) map with different weights — the
+    homogeneity pipeline parallelism relies on (parallel/pipeline.py).
+    Returns (x, new_conv_tail)."""
+    x = x + 0.5 * _ffn(block["ffn1"], x, cd)
+    x = x + _attention(block["attn"], x, config, lengths, positions, cd)
+    conv_out, new_tail = _conv_module(block["conv"], x, tail, cd, valid)
+    x = x + conv_out
+    x = x + 0.5 * _ffn(block["ffn2"], x, cd)
+    x = _layernorm(block["ln_out"], x)
+    return x, new_tail
+
+
 def conformer_encode(
     params: dict,
     config: ConformerConfig,
@@ -230,13 +253,10 @@ def conformer_encode(
     valid = positions >= 0 if mask_invalid else None
     new_carry = []
     for bi, block in enumerate(params["blocks"]):
-        x = x + 0.5 * _ffn(block["ffn1"], x, cd)
-        x = x + _attention(block["attn"], x, config, lengths, positions, cd)
         tail = carry[bi] if carry is not None else None
-        conv_out, new_tail = _conv_module(block["conv"], x, tail, cd, valid)
-        x = x + conv_out
-        x = x + 0.5 * _ffn(block["ffn2"], x, cd)
-        x = _layernorm(block["ln_out"], x)
+        x, new_tail = apply_block(
+            block, x, config, lengths, positions, cd, tail, valid
+        )
         new_carry.append(new_tail)
     return x, new_carry
 
@@ -269,12 +289,41 @@ class ConformerStream:
         # round up to whole chunks, + the emitted chunk itself
         chunks_back = -(-receptive // config.chunk_size)
         self.window_steps = (chunks_back + 1) * config.chunk_size
+        self._step = None  # jitted fixed-shape window step (lazy: needs B)
         self.reset()
 
     def reset(self):
-        self._window: jax.Array | None = None  # (B, W, in_dim)
+        self._window: jax.Array | None = None  # (B, W, in_dim), fixed W
         self._pushed = 0
         self._valid = 0
+
+    def snapshot(self) -> tuple:
+        """Opaque state capture; pair with :meth:`restore` to make a
+        speculative push (e.g. a mid-stream flush-and-decode) side-effect
+        free."""
+        return (self._window, self._pushed, self._valid)
+
+    def restore(self, state: tuple) -> None:
+        self._window, self._pushed, self._valid = state
+
+    def _make_step(self, B: int, in_dim: int, dtype):
+        """One jitted call per push: roll the fixed-size window, encode,
+        emit the last chunk.  The window's left zero-fill sits at
+        negative absolute positions, which ``mask_invalid`` treats
+        exactly like the offline zero left-pad — so shapes are static
+        from the first push and XLA compiles ONCE."""
+        cfg = self.config
+        C = cfg.chunk_size
+
+        def step(window, chunk, lengths, offset):
+            window = jnp.concatenate([window[:, C:], chunk], axis=1)
+            out, _ = conformer_encode(
+                self.params, cfg, window, lengths, position_offset=offset,
+                compute_dtype=self.compute_dtype, mask_invalid=True,
+            )
+            return out[:, -C:], window
+
+        return jax.jit(step)
 
     def push(self, chunk: jax.Array, num_valid: int | None = None) -> jax.Array:
         """chunk: (B, chunk_size, in_dim) → (B, chunk_size, D) encoder
@@ -283,7 +332,8 @@ class ConformerStream:
         ``num_valid`` < chunk_size marks a FINAL partial chunk (padded to
         the chunk boundary): steps beyond it are masked out of attention,
         matching the offline encode's length masking exactly.  After a
-        partial push the stream must be reset before reuse."""
+        partial push, ``reset()`` (or ``restore()`` a prior
+        ``snapshot()``) before pushing again."""
         cfg = self.config
         if chunk.shape[1] != cfg.chunk_size:
             raise ValueError(
@@ -293,25 +343,20 @@ class ConformerStream:
             raise RuntimeError(
                 "push after a partial (final) chunk: reset() the stream"
             )
+        B, _, in_dim = chunk.shape
         if self._window is None:
-            self._window = chunk
-        else:
-            self._window = jnp.concatenate(
-                [self._window, chunk], axis=1
-            )[:, -self.window_steps :]
-        self._pushed += chunk.shape[1]
+            self._window = jnp.zeros(
+                (B, self.window_steps, in_dim), chunk.dtype
+            )
+        if self._step is None:
+            self._step = self._make_step(B, in_dim, chunk.dtype)
+        self._pushed += cfg.chunk_size
         self._valid += (
-            chunk.shape[1] if num_valid is None else int(num_valid)
+            cfg.chunk_size if num_valid is None else int(num_valid)
         )
-        offset = self._pushed - self._window.shape[1]
-        lengths = None
-        if self._valid < self._pushed:
-            # absolute valid-step count — _attention masks keys by their
-            # absolute positions
-            B = chunk.shape[0]
-            lengths = jnp.full((B,), self._valid, jnp.int32)
-        out, _ = conformer_encode(
-            self.params, cfg, self._window, lengths, position_offset=offset,
-            compute_dtype=self.compute_dtype,
-        )
-        return out[:, -chunk.shape[1] :]
+        # absolute valid-step count — _attention masks keys by their
+        # absolute positions (a no-op until a partial final chunk)
+        lengths = jnp.full((B,), self._valid, jnp.int32)
+        offset = jnp.asarray(self._pushed - self.window_steps, jnp.int32)
+        out, self._window = self._step(self._window, chunk, lengths, offset)
+        return out

@@ -71,16 +71,15 @@ def _node_to_python(node) -> Any:
 
 
 def _unwrap(obj: Any) -> Any:
-    """Descend through hickle's single-child wrapper groups."""
+    """Descend through hickle's single-child wrapper GROUPS (named
+    ``data``/``data_0``/``hickle``).  Lists are left alone — a genuine
+    top-level 1-element list must round-trip as a list."""
     while isinstance(obj, dict) and len(obj) == 1 and next(iter(obj)) in (
         "data",
         "data_0",
         "hickle",
     ):
         obj = next(iter(obj.values()))
-    if isinstance(obj, list) and len(obj) == 1:
-        # v3 wraps the top object in a 1-element data_0 list
-        return obj[0]
     return obj
 
 
@@ -89,7 +88,14 @@ def load_hkl(path: str) -> Any:
     import h5py
 
     with h5py.File(path, "r") as f:
-        obj = _node_to_python(f)
+        names = list(f.keys())
+        if names == ["data_0"]:
+            # hickle v3 wraps the top object as a root data_0 child;
+            # unwrap it HERE (by layout, not by value) so real
+            # singleton lists survive
+            obj = _node_to_python(f["data_0"])
+        else:
+            obj = _node_to_python(f)
     return _unwrap(obj)
 
 

@@ -193,11 +193,11 @@ def effect_of_tabularizer(summary_dict: dict, PRINT: bool = True) -> str:
     lines: list[str] = []
     labels: list[str] | None = None
     hline = r"\\\hline"
-    for iSubj, (subj_id, summary_entry) in enumerate(summary_dict.items()):
+    for subj_id, summary_entry in summary_dict.items():
         for experiment_dict in summary_entry.values():
             for comparisons in experiment_dict["comparisons"].values():
                 tentative = [suffix_to_label(s) for s in comparisons]
-                if iSubj == 0 and labels is None:
+                if labels is None:  # first non-empty comparisons set
                     labels = tentative
                     lines.append(
                         r"\begin{tabular}{r%s}" % ("|c" * (len(labels) + 1))

@@ -259,6 +259,7 @@ class StreamingConformerSession:
         self.samples_per_chunk = (
             config.decimation_factor * self.ccfg.chunk_size
         )
+        self._conv_jit = None  # built on first block (fixed shapes)
         self.reset()
 
     def reset(self) -> None:
@@ -277,7 +278,9 @@ class StreamingConformerSession:
 
     def _convolve(self, raw: np.ndarray):
         """(B, n·d, C) raw block → (B, n, F) conv features (inference:
-        no dropout)."""
+        no dropout).  Jitted once — the block shape is fixed at
+        ``samples_per_chunk``, so the whole per-chunk path (conv +
+        windowed encode) is two compiled calls."""
         import jax
         import jax.numpy as jnp
 
@@ -285,12 +288,18 @@ class StreamingConformerSession:
         B, T, C = raw.shape
         padded = np.zeros((B, T, Cp), np.float32)
         padded[..., :C] = raw[..., :Cp]
-        xs = jnp.moveaxis(jnp.asarray(padded), 0, 1)  # (T, B, C)
-        out = convolve_sequences(
-            self.params, self.config, xs, self._subject_idx,
-            jax.random.PRNGKey(0), train=False,
-        )
-        return jnp.moveaxis(out, 0, 1)  # (B, n, F)
+        if self._conv_jit is None:
+
+            def conv(xs_bm):
+                xs = jnp.moveaxis(xs_bm, 0, 1)  # (T, B, C)
+                out = convolve_sequences(
+                    self.params, self.config, xs, self._subject_idx,
+                    jax.random.PRNGKey(0), train=False,
+                )
+                return jnp.moveaxis(out, 0, 1)  # (B, n, F)
+
+            self._conv_jit = jax.jit(conv)
+        return self._conv_jit(jnp.asarray(padded))
 
     def push(self, chunk: np.ndarray) -> None:
         chunk = np.asarray(chunk, np.float32)
@@ -326,7 +335,12 @@ class StreamingConformerSession:
             )
             padded[:, :L] = raw
             feats = self._convolve(padded)
+            # speculative flush: the padded partial chunk must not leak
+            # into the live stream — decode() stays repeatable and
+            # push() can continue afterwards
+            state = self.stream.snapshot()
             out = self.stream.push(feats, num_valid=n_steps)
+            self.stream.restore(state)
             enc_outs.append(out[:, :n_steps])
             valid_steps += n_steps
         if not enc_outs:

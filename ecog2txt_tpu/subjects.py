@@ -141,8 +141,25 @@ class ECoGSubject:
     ):
         # extra ES_kwargs override manifest keys for this subject (the
         # reference's auto_attribute kwarg>manifest semantics applied to
-        # ECoGSubject ctor args, reference README.md:42, trainers.py:80)
+        # ECoGSubject ctor args, reference README.md:42, trainers.py:80).
+        # A key that neither exists in the manifest nor names a ctor arg
+        # is most likely a typo (e.g. 'pretrain_all_block') — it would
+        # silently do nothing, so warn.
         if overrides:
+            for key in overrides:
+                if key not in manifest:
+                    import difflib
+                    import warnings
+
+                    known = list(manifest) + [
+                        "pretrain_all_blocks", "target_specs", "DG_kwargs"
+                    ]
+                    hint = difflib.get_close_matches(key, known, n=1)
+                    warnings.warn(
+                        f"ES override {key!r} is not a manifest key"
+                        + (f" (did you mean {hint[0]!r}?)" if hint else ""),
+                        stacklevel=2,
+                    )
             manifest = manifest.updated(overrides)
         self.manifest = manifest
         self.subject_id = int(subject_id)

@@ -529,22 +529,25 @@ class MultiSubjectTrainer:
         ONCE and cached — host→device transfer would otherwise dominate
         every fit segment and assessment at corpus scale.
 
-        Under bf16 compute, float arrays (ECoG inputs, Gaussian aux
-        targets) are stored in bf16: halves corpus HBM + the per-step
-        batch-gather traffic, and is numerically identical to the fp32
-        store because the model casts them to the compute dtype at
-        first use anyway."""
+        Under bf16 compute the ECoG corpus (``encoder_inputs`` — the
+        dominant array) is stored in bf16: halves corpus HBM + the
+        per-step batch-gather traffic, and is numerically identical to
+        an fp32 store because the model casts the inputs to the compute
+        dtype at first use anyway.  Float aux TARGETS (Gaussian/MFCC
+        heads) stay fp32 — the regression loss compares predictions
+        against them directly, so a bf16 store would quantize the loss
+        itself, not just move a cast earlier."""
         if partition not in self._device_data:
             ds = self.packed_dataset(partition)
             cast = self.net_config.compute_dtype == jnp.bfloat16
 
-            def put(v):
-                if cast and v.dtype == np.float32:
+            def put(k, v):
+                if cast and k == "encoder_inputs" and v.dtype == np.float32:
                     return jnp.asarray(v, jnp.bfloat16)
                 return jnp.asarray(v)
 
             self._device_data[partition] = {
-                k: put(v) for k, v in ds.batch_dict().items()
+                k: put(k, v) for k, v in ds.batch_dict().items()
             }
         return self._device_data[partition]
 
@@ -752,7 +755,14 @@ class MultiSubjectTrainer:
                         subject_subset,
                     )
                     shard_dev = {
-                        k: jnp.asarray(v)
+                        k: (
+                            jnp.asarray(v, jnp.bfloat16)
+                            if k == "encoder_inputs"
+                            and v.dtype == np.float32
+                            and self.net_config.compute_dtype
+                            == jnp.bfloat16
+                            else jnp.asarray(v)
+                        )
                         for k, v in shard.batch_dict().items()
                     }
                     if self.mesh is not None:

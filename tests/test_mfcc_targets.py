@@ -79,3 +79,30 @@ def test_beam_comparable_to_greedy_on_trained_model(trainer):
         trainer._decode_fn()
     assert np.isfinite(beam) and np.isfinite(greedy)
     assert abs(beam - greedy) < 0.1
+
+
+def test_bf16_store_spares_regression_targets(tmp_path):
+    """Under bf16 compute the device-resident corpus stores ONLY the
+    encoder inputs in bf16; Gaussian (MFCC) regression targets stay f32
+    — a bf16 store would quantize the loss itself, not just move a
+    cast (code-review finding, round 2)."""
+    import jax.numpy as jnp
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY,
+        data_mapping={
+            "encoder_inputs": "ecog_sequence",
+            "encoder_1_targets": "audio_sequence",
+            "decoder_targets": "text_sequence",
+        },
+        audio_sequence_penalty_scale=0.1,
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"batch_size": 16, "max_dec_len": 10,
+                   "compute_dtype": "bfloat16"},
+        VERBOSE=False,
+    )
+    data = tr.device_data("training")
+    assert data["encoder_inputs"].dtype == jnp.bfloat16
+    assert data["encoder_1_targets"].dtype == jnp.float32

@@ -459,3 +459,30 @@ def test_trainer_results_plotter_property(trainer):
     assert trainer.results_plotter is rp  # cached
     trainer.results_plotter = "sentinel"
     assert trainer.results_plotter == "sentinel"
+
+
+def test_hkl_singleton_list_roundtrip(tmp_path):
+    """A genuine top-level 1-element list survives save/load (the v3
+    data_0 wrapper is detected by file layout, not by value)."""
+    from ecog2txt_tpu.plotting.hkl import load_hkl, save_hkl
+
+    arr = np.arange(4.0)
+    path = save_hkl(str(tmp_path / "single"), [arr])
+    back = load_hkl(path)
+    assert isinstance(back, list) and len(back) == 1
+    np.testing.assert_allclose(back[0], arr)
+
+
+def test_effect_of_tabularizer_skips_empty_subjects():
+    """A subject with no comparisons must not suppress the header or
+    trip the baseline-consistency assert for later subjects."""
+    from ecog2txt_tpu.plotting import effect_of_tabularizer
+
+    stats = {"p_value": 2e-4, "statistic": 7.0, "effect_size": 0.3}
+    summary = {
+        1: {"expA": {"comparisons": {}}},  # assessed but never compared
+        2: {"expA": {"comparisons": {"wer": {"_noise": dict(stats)}}}},
+    }
+    out = effect_of_tabularizer(summary, PRINT=False)
+    assert out.count(r"\ecnum{") == 1
+    assert r"\begin{tabular}" in out  # header emitted despite subject 1

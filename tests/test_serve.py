@@ -180,3 +180,52 @@ def test_predictor_matches_assessment_decode(trainer):
         L = int(ds.encoder_lengths[0, i])
         got = predictor(ds.encoder_inputs[0, i, :L])["sequences"][0]
         assert got == out["hypotheses"][i]
+
+
+def test_streaming_conformer_decode_is_repeatable():
+    """decode() mid-stream must not mutate the live stream: repeated
+    decode() calls agree, push() continues afterwards, and the final
+    endpoint still equals the offline decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+    from ecog2txt_tpu.models.seq2seq import (
+        Seq2SeqConfig, greedy_decode, init_seq2seq,
+    )
+    from ecog2txt_tpu.serve import StreamingConformerSession
+
+    ccfg = ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=4, left_context=1,
+    )
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(),
+        aux_heads=(), dec_embedding_size=12, dec_rnn_sizes=(48,),
+        max_dec_len=6, encoder_type="conformer", conformer=ccfg,
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    targets = ["<pad>", "<EOS>", "<OOV>"] + [f"w{i}_" for i in range(9)]
+    rng = np.random.default_rng(7)
+    L = 147
+    raw = rng.normal(size=(1, L, 8)).astype(np.float32)
+
+    session = StreamingConformerSession(params, cfg, targets)
+    session.push(raw[0, :22])  # 22 samples: 1 full chunk + remainder
+    mid1 = session.decode()
+    mid2 = session.decode()  # same partial utterance, same answer
+    np.testing.assert_array_equal(mid1["tokens"], mid2["tokens"])
+    # stream continues cleanly after the speculative flush
+    session.push(raw[0, 22:])
+    out = session.endpoint()
+    T = ((L + 3) // 4) * 4
+    inputs = np.zeros((1, T, 8), np.float32)
+    inputs[:, :L] = raw
+    offline_tokens = np.asarray(
+        greedy_decode(
+            params, cfg, jnp.asarray(inputs), jnp.asarray([L]),
+            jnp.asarray(0, jnp.int32), temperature=0.0,
+        )
+    )
+    np.testing.assert_array_equal(out["tokens"], offline_tokens)
