@@ -16,3 +16,7 @@ from .sequence import (  # noqa: F401
     receptive_field_steps,
     sequence_parallel_encode,
 )
+from .pipeline import (  # noqa: F401
+    pipeline_conformer_encode,
+    stack_block_params,
+)

