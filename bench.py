@@ -210,6 +210,34 @@ def main():
     conf_flops = train_step_flops(conf_config, T, dec_len=12)
     conf_mfu = mfu(conf_sent_per_sec, conf_flops)
 
+    # streaming serving (BASELINE configs[4]): per-chunk latency of the
+    # incremental raw-ECoG path (jitted conv + fixed-window encode).
+    # One chunk = decimation·chunk_size samples = 0.96 s of signal at
+    # 200 Hz, so real-time factor = 0.96 s / latency.
+    from ecog2txt_tpu.serve import StreamingConformerSession
+
+    sess = StreamingConformerSession(
+        conf_state.ema, conf_config, ["<pad>", "<EOS>", "<OOV>"]
+    )
+    chunk_np = np.asarray(
+        jax.random.normal(
+            jax.random.PRNGKey(9),
+            (sess.samples_per_chunk, conf_config.in_channels),
+            jnp.float32,
+        )
+    )
+    for _ in range(3):  # warmup/compile
+        sess.push(chunk_np)
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        sess.push(chunk_np)
+        float(jnp.sum(sess._enc_outs[-1]))  # forced round trip
+        lat.append(time.perf_counter() - t0)
+    stream_chunk_ms = sorted(lat)[len(lat) // 2] * 1e3
+    chunk_seconds = sess.samples_per_chunk / 200.0
+    stream_rtf = chunk_seconds / (stream_chunk_ms / 1e3)
+
     print(
         json.dumps(
             {
@@ -230,6 +258,8 @@ def main():
                     conf_sent_per_sec, 2
                 ),
                 "conformer_mfu": round(conf_mfu, 4),
+                "stream_chunk_ms": round(stream_chunk_ms, 2),
+                "stream_realtime_factor": round(stream_rtf, 1),
                 "peak_tflops": TPU_V5E_BF16_PEAK_FLOPS / 1e12,
                 "platform": jax.devices()[0].platform,
             }
