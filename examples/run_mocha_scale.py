@@ -14,8 +14,13 @@ one v5e chip (warm XLA cache), train+val WER 0.000 from epoch ~50.
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 REFERENCE_LAYERS = {
     # mocha-1_word_sequence.yaml:56-69
