@@ -46,6 +46,9 @@ def main() -> None:
             "max_dec_len": 10,
             "learning_rate": 3e-3,
             "data_parallel": True,
+            # SHARED checkpoint dir: all processes call save on the same
+            # path; Orbax coordinates the multi-controller write
+            "checkpoint_dir": os.path.join(workdir, "ckpts"),
             "distributed": {
                 "coordinator_address": f"localhost:{port}",
                 "num_processes": num_processes,
@@ -66,11 +69,26 @@ def main() -> None:
     loss = float(
         jnp.sum(jax.tree.leaves(tr.state.params)[0].astype(jnp.float32))
     )
+    # multi-controller checkpointing: every process calls save on the
+    # SAME shared path, then restores and must see identical params
+    path = tr.save_checkpoint()
+    before = jax.tree.map(
+        lambda a: jnp.asarray(a).astype(jnp.float32), tr.state.params
+    )
+    tr.restore()
+    restored_ok = all(
+        bool(jnp.array_equal(a, jnp.asarray(b).astype(jnp.float32)))
+        for a, b in zip(
+            jax.tree.leaves(before), jax.tree.leaves(tr.state.params)
+        )
+    )
     out = {
         "process_id": process_id,
         "devices": len(jax.devices()),
         "param_sum": loss,
         "epoch": int(tr.state.epoch),
+        "ckpt_path": path,
+        "restored_ok": restored_ok,
     }
     with open(os.path.join(workdir, f"result_p{process_id}.json"), "w") as f:
         json.dump(out, f)

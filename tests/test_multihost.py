@@ -54,3 +54,7 @@ def test_two_process_dp_training(tmp_path):
     assert results[0]["param_sum"] == pytest.approx(
         results[1]["param_sum"], rel=0, abs=0
     )
+    # multi-controller checkpointing: both processes saved the SAME
+    # shared checkpoint and restored identical params from it
+    assert all(r["restored_ok"] for r in results)
+    assert results[0]["ckpt_path"] == results[1]["ckpt_path"]
