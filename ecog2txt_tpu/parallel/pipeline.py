@@ -60,17 +60,28 @@ def pipeline_conformer_encode(
     microbatches: int | None = None,
     lengths: jax.Array | None = None,
     compute_dtype=jnp.float32,
+    stacked_params=None,
 ) -> jax.Array:
     """Encode with the block stack pipelined over ``mesh[axis]``.
 
     ``microbatches`` defaults to the stage count (a full pipe).  The
     batch must divide evenly into microbatches.  Returns the (B, T, D)
     encoder output, replicated (same values as ``conformer_encode``).
+
+    Repeated calls should pass ``stacked_params`` — the output of
+    :func:`stack_block_params` placed with ``NamedSharding(mesh,
+    P(axis))`` — so each chip keeps only its stage's weights resident;
+    without it, every call re-stacks and re-shards the full parameter
+    set (fine for a one-off, wasteful per batch).
     """
     S = mesh.shape[axis]
     M = microbatches or S
     B, T, _ = xs.shape
-    stacked = stack_block_params(params, S)  # validates the stage split
+    if stacked_params is None:
+        stacked_params = jax.device_put(
+            stack_block_params(params, S),  # validates the stage split
+            NamedSharding(mesh, P(axis)),
+        )
     if B % M:
         raise ValueError(f"batch {B} does not split into {M} microbatches")
     b = B // M
@@ -123,9 +134,5 @@ def pipeline_conformer_encode(
         mesh=mesh,
         in_specs=(P(axis), P(), P()),
         out_specs=P(),
-    )(
-        jax.device_put(stacked, NamedSharding(mesh, P(axis))),
-        x_mb,
-        len_mb,
-    )
+    )(stacked_params, x_mb, len_mb)
     return out_mb.reshape(B, T, D)

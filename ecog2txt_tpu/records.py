@@ -356,23 +356,37 @@ def _skip_field(buf: bytes, pos: int, wire: int) -> int:
 
 
 def _decode_feature(buf: bytes) -> np.ndarray | list[bytes]:
+    """Feature message → decoded value list.  A list field serialized as
+    multiple occurrences (legal protobuf merge encoding) concatenates —
+    the same semantics the native reader falls back to this decoder
+    for."""
+    parts: list = []
+    kind = None
     pos = 0
     while pos < len(buf):
         tag, pos = _read_varint(buf, pos)
         field, wire = tag >> 3, tag & 7
-        if wire != 2:
+        if wire != 2 or field not in (1, 2, 3):
             pos = _skip_field(buf, pos, wire)
             continue
         n, pos = _read_varint(buf, pos)
         inner = buf[pos : pos + n]
         pos += n
+        if kind is None:
+            kind = field
+        elif field != kind:  # conflicting kinds: keep the first
+            continue
         if field == 1:
-            return _decode_bytes_list(inner)
-        if field == 2:
-            return _decode_float_list(inner)
-        if field == 3:
-            return _decode_int64_list(inner)
-    return np.zeros(0, dtype=np.float32)
+            parts.append(_decode_bytes_list(inner))
+        elif field == 2:
+            parts.append(_decode_float_list(inner))
+        else:
+            parts.append(_decode_int64_list(inner))
+    if not parts:
+        return np.zeros(0, dtype=np.float32)
+    if kind == 1:
+        return [b for p in parts for b in p]
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
 
 def parse_example(payload: bytes) -> dict[str, np.ndarray | list[bytes]]:
@@ -504,6 +518,12 @@ def read_examples_native(
                 voff.ctypes.data_as(u64p), vlen.ctypes.data_as(u64p),
                 _MAX_FEATURES,
             )
+            if nfeat in (-2, -3):
+                # valid but outside the indexer's fast shape (>_MAX_
+                # FEATURES features, or a list field split across
+                # occurrences): full Python decode for this record
+                yield parse_example(bytes(mm[off : off + length]))
+                continue
             if nfeat < 0:
                 raise IOError(f"{path}: malformed Example in record {r}")
             out: dict[str, Any] = {}

@@ -41,10 +41,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=120)
     args = ap.parse_args()
 
-    import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.models.seq2seq import greedy_decode
     from ecog2txt_tpu.serve import StreamingConformerSession
     from ecog2txt_tpu.tokenizers import target_inds_to_sequences
     from ecog2txt_tpu.train import MultiSubjectTrainer
@@ -90,10 +91,6 @@ def main():
         T = int(ds.encoder_lengths[0][i])
         raw = np.asarray(ds.encoder_inputs[0][i][:T], np.float32)
         # offline decode of the same single trial
-        import jax.numpy as jnp
-
-        from ecog2txt_tpu.models.seq2seq import greedy_decode
-
         offline = greedy_decode(
             trainer.state.ema,
             trainer.net_config,

@@ -107,7 +107,9 @@ long fastio_tfrecord_index(const uint8_t* buf, size_t n, uint64_t* out_offsets,
   while (pos + 12 <= n && count < max_records) {
     uint64_t length;
     std::memcpy(&length, buf + pos, 8);
-    if (pos + 12 + length + 4 > n) return -1;
+    // overflow-safe bound: a corrupt huge length must not wrap
+    size_t avail = n - pos - 12;
+    if (length > avail || avail - length < 4) return -1;
     out_offsets[count] = pos + 12;
     out_lengths[count] = length;
     pos += 12 + length + 4;
@@ -128,7 +130,9 @@ long fastio_tfrecord_index2(const uint8_t* buf, size_t n, int verify,
   while (pos + 12 <= n && count < max_records) {
     uint64_t length;
     std::memcpy(&length, buf + pos, 8);
-    if (pos + 12 + length + 4 > n) return -1;
+    // overflow-safe bound: a corrupt huge length must not wrap
+    size_t avail = n - pos - 12;
+    if (length > avail || avail - length < 4) return -1;
     if (verify) {
       uint32_t hdr_crc, pay_crc;
       std::memcpy(&hdr_crc, buf + pos + 8, 4);
@@ -188,8 +192,11 @@ size_t skip_field(const uint8_t* buf, size_t n, size_t pos, uint32_t wire) {
 // record the key's (offset, length) within payload, the value kind
 // (1 = bytes_list, 2 = float_list, 3 = int64_list) and the (offset,
 // length) of the value LIST BODY (the serialized BytesList/FloatList/
-// Int64List message).  Returns the feature count, or -1 on malformed
-// input / capacity overflow.
+// Int64List message).  Returns the feature count; -1 on malformed
+// input; -2 when the Example has more than max_features features; -3
+// when a Feature's list field is split across multiple occurrences
+// (legal protobuf merge encoding this indexer cannot represent) —
+// callers fall back to a full decoder for -2/-3.
 long fastio_example_index(const uint8_t* payload, size_t n,
                           uint64_t* keys_off, uint64_t* keys_len,
                           int32_t* kinds, uint64_t* vals_off,
@@ -256,6 +263,7 @@ long fastio_example_index(const uint8_t* payload, size_t n,
             uint64_t blen;
             fpos = read_varint(payload, fe, fpos, &blen);
             if (fpos == SIZE_MAX || fpos + blen > fe) return -1;
+            if (kind != 0) return -3;  // split/merged list field
             kind = static_cast<int32_t>(vfield);
             voff = fpos;
             vlen = blen;
@@ -266,7 +274,7 @@ long fastio_example_index(const uint8_t* payload, size_t n,
         }
       }
       if (klen) {
-        if (count >= max_features) return -1;
+        if (count >= max_features) return -2;
         keys_off[count] = koff;
         keys_len[count] = klen;
         kinds[count] = kind;

@@ -171,3 +171,60 @@ def test_native_reader_detects_corruption(tmp_path):
         list(records.read_examples_native(path, verify=False))
     except IOError as e:
         assert "CRC" not in str(e)
+
+
+def test_native_reader_robustness_edges(tmp_path, rng):
+    """Native-loader edges: a corrupt huge length field fails cleanly
+    even with verify=False (overflow-safe framing bound); >256-feature
+    Examples and split list fields fall back to the Python decoder with
+    identical results."""
+    if records._load_native() is None:
+        pytest.skip("native toolchain unavailable")
+    # corrupt 8-byte length -> clean IOError, not an OOB read
+    path = str(tmp_path / "huge.tfrecord")
+    with records.TFRecordWriter(path) as w:
+        w.write(records.encode_example(
+            {"a": rng.normal(size=(2048,)).astype(np.float32)}
+        ))
+    data = bytearray(open(path, "rb").read())
+    data[0:8] = (0xFFFFFFFFFFFFFFF0).to_bytes(8, "little")
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(IOError, match="framing"):
+        list(records.read_examples_native(path, verify=False))
+    # >_MAX_FEATURES features: native indexer defers to parse_example
+    many = {f"f{i:03d}": [float(i)] for i in range(300)}
+    many["ecog_sequence"] = rng.normal(size=(4096,)).astype(
+        np.float32).tolist()
+    path2 = str(tmp_path / "many.tfrecord")
+    with records.TFRecordWriter(path2) as w:
+        w.write(records.encode_example(many))
+    out = list(records.read_examples_native(path2))[0]
+    assert len(out) == 301
+    assert out["f123"][0] == pytest.approx(123.0)
+    # a Feature whose float_list is split across two occurrences (legal
+    # protobuf merge encoding): both decoders concatenate identically
+    def float_list_msg(vals):  # FloatList{ value (packed) = vals }
+        return records._length_delimited(
+            1, np.asarray(vals, "<f4").tobytes()
+        )
+
+    feature_msg = (  # Feature with float_list serialized TWICE
+        records._length_delimited(2, float_list_msg([1.0, 2.0]))
+        + records._length_delimited(2, float_list_msg([3.0]))
+    )
+    entry_msg = (  # map entry: key = 1, value(Feature) = 2
+        records._length_delimited(1, b"split")
+        + records._length_delimited(2, feature_msg)
+    )
+    payload = records._length_delimited(  # Example.features = 1
+        1, records._length_delimited(1, entry_msg)
+    )
+    py = records.parse_example(payload)
+    np.testing.assert_allclose(py["split"], [1.0, 2.0, 3.0])
+    path3 = str(tmp_path / "split.tfrecord")
+    with records.TFRecordWriter(path3) as w:
+        w.write(payload)
+    # pad the record size over the native-dispatch threshold by reading
+    # the native generator directly
+    nat = list(records.read_examples_native(path3))[0]
+    np.testing.assert_allclose(nat["split"], [1.0, 2.0, 3.0])
