@@ -824,7 +824,9 @@ class MultiSubjectTrainer:
                     f"val WER {snapshot['validation']['word_error_rate']:.3f}"
                 )
             if checkpoint_every_assessment:
-                self.save_checkpoint(epoch)
+                # async: serialization/IO overlaps the next segment
+                self.save_checkpoint(epoch, wait=False)
+        self._wait_for_checkpoint()
         self.assessments = history
         return history
 
@@ -1013,22 +1015,43 @@ class MultiSubjectTrainer:
         ]
         return max(epochs) if epochs else None
 
-    def save_checkpoint(self, epoch: int | None = None) -> str:
+    def save_checkpoint(
+        self, epoch: int | None = None, wait: bool = True
+    ) -> str:
+        """Write an Orbax checkpoint for ``epoch`` (default: current).
+
+        ``wait=False`` saves ASYNCHRONOUSLY: the device arrays are
+        snapshotted immediately but serialization/IO overlaps the next
+        training segment (the production pattern — checkpoint stalls do
+        not eat step time).  Any later save/restore/assess first waits
+        for the in-flight write."""
         import orbax.checkpoint as ocp
 
+        self._wait_for_checkpoint()
         epoch = epoch if epoch is not None else int(self.state.epoch)
         path = self._ckpt_path(epoch)
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(
-                os.path.abspath(path),
-                {
-                    "params": self.state.params,
-                    "ema": self.state.ema,
-                    "epoch": np.asarray(epoch, np.int32),
-                },
-                force=True,
-            )
+        tree = {
+            "params": self.state.params,
+            "ema": self.state.ema,
+            "epoch": np.asarray(epoch, np.int32),
+        }
+        if wait:
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(os.path.abspath(path), tree, force=True)
+            return path
+        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        ckptr.save(os.path.abspath(path), args=ocp.args.StandardSave(tree),
+                   force=True)
+        self._async_ckptr = ckptr  # finalized by _wait_for_checkpoint
         return path
+
+    def _wait_for_checkpoint(self) -> None:
+        """Block until any in-flight async checkpoint write completes."""
+        ckptr = getattr(self, "_async_ckptr", None)
+        if ckptr is not None:
+            ckptr.wait_until_finished()
+            ckptr.close()
+            self._async_ckptr = None
 
     def restore(self, epoch: int | None = None) -> None:
         """Restore (params, EMA, epoch) from the Orbax checkpoint at
@@ -1043,6 +1066,7 @@ class MultiSubjectTrainer:
 
         from .utils.introspect import _shape_tree
 
+        self._wait_for_checkpoint()
         epoch = epoch if epoch is not None else self.restore_epoch
         if epoch is None:
             raise FileNotFoundError(

@@ -62,6 +62,7 @@ def test_attend_masks_invalid_steps(rng):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_loss_and_grads_with_attention(rng):
     params = init_seq2seq(jax.random.PRNGKey(0), CFG)
     batch = make_batch(rng)

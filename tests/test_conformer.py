@@ -146,6 +146,7 @@ def test_streaming_matches_full_bf16(params, rng):
     np.testing.assert_allclose(f32, np.asarray(ref), rtol=0.2, atol=0.12)
 
 
+@pytest.mark.slow
 def test_bf16_training_step_learns(rng):
     """One jitted grad step under bf16 compute: finite loss, finite
     f32 grads for every conformer parameter."""
@@ -188,6 +189,7 @@ def test_bf16_training_step_learns(rng):
     )
 
 
+@pytest.mark.slow
 def test_sequence_parallel_encode_matches_offline(params, rng):
     """Time-sharded encode over an 8-device mesh equals the offline
     single-device encode EXACTLY (one input-halo ppermute, halo outputs
@@ -251,6 +253,7 @@ def test_sequence_parallel_validation_errors(params):
         )
 
 
+@pytest.mark.slow
 def test_pipeline_parallel_encode_matches_offline(params, rng):
     """GPipe-style block pipeline over a pp mesh axis == offline encode
     (one stage's weights per device, ppermute ring, psum gather)."""

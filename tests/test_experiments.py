@@ -46,6 +46,7 @@ def test_restricted_to_trials(trainer):
     assert int(sub.packed_dataset("validation").num_trials[0]) == 10
 
 
+@pytest.mark.slow
 def test_perf_vs_training_size_archive(trainer):
     path = perf_vs_training_size(
         trainer, num_folds=2, fractions=(0.3, 1.0), num_epochs=4,
@@ -63,6 +64,7 @@ def test_perf_vs_training_size_archive(trainer):
     assert res.validation_blocks == [5]
 
 
+@pytest.mark.slow
 def test_grid_search_archive(trainer):
     path = grid_search(
         trainer,

@@ -111,6 +111,7 @@ def test_trainer_data_parallel_end_to_end(tmp_path):
     assert wers[-1] < wers[0] - 0.05, f"no learning under dp: {wers}"
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util
 

@@ -394,6 +394,9 @@ def test_all_grid_search_projections(tmp_path):
     )
     figs = all_grid_search_projections(path5, ["a", "b", "c"])
     assert len(figs) == 2 and len(figs[0].axes) == 4
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
 
 
 def test_ith_param_range():

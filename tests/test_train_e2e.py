@@ -231,6 +231,7 @@ def test_divergence_detection_and_rollback(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_assess_saved_model_rebuilds_architecture(tmp_path):
     """Assessing a checkpoint whose layer_sizes differ from the
     constructed trainer rebuilds the net from checkpoint shapes and
@@ -363,6 +364,7 @@ def test_restricted_clone_inherits_generator_overrides(tmp_path):
     assert sweep.learning_rate == pytest.approx(1e-4)
 
 
+@pytest.mark.slow
 def test_streaming_sharded_training(tmp_path):
     """max_device_trials < corpus: host-sharded streaming path trains
     and matches epoch accounting."""
@@ -382,3 +384,30 @@ def test_streaming_sharded_training(tmp_path):
     assert int(tr.state.epoch) == 20
     wers = [h["training"]["word_error_rate"] for h in history.values()]
     assert wers[-1] < wers[0]  # learns through the sharded path
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint(wait=False) overlaps IO with the caller; any
+    later restore first waits for the in-flight write and reads back
+    identical params."""
+    import jax
+    import jax.numpy as jnp
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1], SN_kwargs={"batch_size": 16, "max_dec_len": 10},
+        VERBOSE=False,
+    )
+    tr.fit(num_epochs=2, assess=False)
+    before = jax.tree.map(jnp.asarray, tr.state.params)
+    path = tr.save_checkpoint(wait=False)
+    assert tr._async_ckptr is not None
+    tr.restore()  # waits for the async write, then reads it
+    assert tr._async_ckptr is None
+    for a, b in zip(
+        jax.tree.leaves(before), jax.tree.leaves(tr.state.params)
+    ):
+        assert jnp.array_equal(a, jnp.asarray(b))
+    assert int(tr.state.epoch) == 2 and path.endswith("ckpt-2")

@@ -121,6 +121,7 @@ def test_frozen_core_stays_frozen(trainer):
     assert np.abs(sub_after[0] - sub_before[0]).sum() > 0  # subnet moved
 
 
+@pytest.mark.slow
 def test_sequential_transfer_learn_runs(tmp_path_factory):
     root = tmp_path_factory.mktemp("seq_xfer")
     mp = make_demo_experiment(
