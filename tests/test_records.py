@@ -228,3 +228,49 @@ def test_native_reader_robustness_edges(tmp_path, rng):
     # the native generator directly
     nat = list(records.read_examples_native(path3))[0]
     np.testing.assert_allclose(nat["split"], [1.0, 2.0, 3.0])
+
+
+def test_codec_property_roundtrip(tmp_path):
+    """Property-based round-trip: arbitrary feature dicts survive
+    encode → TFRecord framing → both decoders identically."""
+    from hypothesis import given, settings, strategies as st
+
+    if records._load_native() is None:
+        pytest.skip("native toolchain unavailable")
+
+    keys = st.text(
+        st.characters(min_codepoint=33, max_codepoint=0x24F), min_size=1,
+        max_size=24,
+    )
+    floats = st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        max_size=40,
+    ).map(lambda v: np.asarray(v, np.float32))
+    ints = st.lists(
+        st.integers(-(2**63), 2**63 - 1), max_size=40
+    ).map(lambda v: np.asarray(v, np.int64))
+    blobs = st.lists(st.binary(max_size=32), max_size=8)
+    features = st.dictionaries(
+        keys, st.one_of(floats, ints, blobs), min_size=1, max_size=8
+    )
+
+    path = str(tmp_path / "prop.tfrecord")
+
+    @settings(max_examples=60, deadline=None)
+    @given(features)
+    def check(feats):
+        payload = records.encode_example(feats)
+        with records.TFRecordWriter(path) as w:
+            w.write(payload)
+        py = records.parse_example(payload)
+        nat = list(records.read_examples_native(path))[0]
+        assert set(py) == set(nat) == set(feats)
+        for k, v in feats.items():
+            if isinstance(v, list):  # bytes features
+                assert py[k] == v and nat[k] == v
+            else:
+                np.testing.assert_array_equal(py[k], v)
+                np.testing.assert_array_equal(nat[k], v)
+                assert nat[k].dtype == v.dtype
+
+    check()
