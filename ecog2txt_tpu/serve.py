@@ -238,7 +238,10 @@ class StreamingConformerSession:
         config: Seq2SeqConfig,
         targets_list: Sequence[str],
         subject_idx: int = 0,
+        phoneme_list: Sequence[str] | None = None,
     ):
+        """``phoneme_list``: class list of a CTC aux head, enabling
+        :meth:`partial` (live phoneme/word hypotheses mid-utterance)."""
         if config.encoder_type != "conformer":
             raise ValueError(
                 "StreamingConformerSession requires encoder_type='conformer'"
@@ -260,6 +263,11 @@ class StreamingConformerSession:
             config.decimation_factor * self.ccfg.chunk_size
         )
         self._conv_jit = None  # built on first block (fixed shapes)
+        self.phoneme_list = list(phoneme_list) if phoneme_list else None
+        self._ctc_head = next(
+            (h.name for h in config.aux_heads if h.distribution == "CTC"),
+            None,
+        )
         self.reset()
 
     def reset(self) -> None:
@@ -370,6 +378,61 @@ class StreamingConformerSession:
             "encoder_outputs": np.asarray(enc_bm),
             "sequences": target_inds_to_sequences(tokens, self.targets_list),
         }
+
+    def partial(self, lexicon=None, beam_width: int = 8) -> dict:
+        """LIVE hypothesis from the CTC aux head over the encoder steps
+        emitted SO FAR — no decoder pass, no stream mutation, so it can
+        run after every chunk while the utterance is still arriving
+        (the seq2seq decoder needs the endpoint pooling; the CTC head
+        is a pointwise map, so partials are natural).
+
+        Greedy best-path by default; pass a
+        :class:`models.ctc.LexiconTrie` to rescore into words.  Returns
+        {'phonemes': [[str]], 'words': [[str]] | None, 'num_steps': n}.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .models.ctc import ctc_greedy_decode, ctc_word_beam_search
+
+        if self._ctc_head is None:
+            raise ValueError(
+                "partial() needs a CTC-distribution aux head in the config"
+            )
+        if not self._enc_outs:
+            return {"phonemes": [[]], "words": None, "num_steps": 0}
+        enc_bm = jnp.concatenate(self._enc_outs, axis=1)  # (B, T', D)
+        head = self.params["aux"][self._ctc_head]
+        h = jnp.moveaxis(enc_bm, 0, 1)  # (T', B, D)
+        cd = self.config.compute_dtype
+        for mlp in head["mlp"]:
+            h = jax.nn.relu(
+                jnp.dot(h.astype(cd), mlp["w"].astype(cd))
+                + mlp["b"].astype(cd)
+            )
+        logits = (
+            jnp.dot(h.astype(cd), head["out"]["w"].astype(cd))
+            + head["out"]["b"].astype(cd)
+        ).astype(jnp.float32)
+        B = enc_bm.shape[0]
+        lengths = np.full((B,), self._enc_steps, np.int32)
+        ids = ctc_greedy_decode(logits, lengths)
+        out: dict = {"num_steps": self._enc_steps, "words": None}
+        if self.phoneme_list is not None:
+            out["phonemes"] = [
+                [self.phoneme_list[i] for i in seq] for seq in ids
+            ]
+        else:
+            out["phonemes"] = ids
+        if lexicon is not None:
+            logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+            out["words"] = [
+                ctc_word_beam_search(
+                    logp[: lengths[b], b], lexicon, beam_width=beam_width
+                )
+                for b in range(B)
+            ]
+        return out
 
     def endpoint(self) -> dict:
         out = self.decode()

@@ -229,3 +229,65 @@ def test_streaming_conformer_decode_is_repeatable():
         )
     )
     np.testing.assert_array_equal(out["tokens"], offline_tokens)
+
+
+def test_streaming_partial_ctc_hypotheses():
+    """partial() emits live CTC hypotheses mid-utterance without
+    touching the stream; the endpoint partial equals the offline CTC
+    greedy decode of the full encode."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+    from ecog2txt_tpu.models.ctc import ctc_greedy_decode
+    from ecog2txt_tpu.models.seq2seq import (
+        AuxHead, Seq2SeqConfig, encode, init_seq2seq,
+    )
+    from ecog2txt_tpu.serve import StreamingConformerSession
+
+    ccfg = ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=4, left_context=1,
+    )
+    phonemes = [f"p{i}" for i in range(9)]  # + trailing blank = 10
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(16,),
+        aux_heads=(AuxHead("encoder_1_targets", "CTC", 10),),
+        dec_embedding_size=12, dec_rnn_sizes=(48,), max_dec_len=6,
+        encoder_type="conformer", conformer=ccfg,
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    targets = ["<pad>", "<EOS>", "<OOV>"] + [f"w{i}_" for i in range(9)]
+    session = StreamingConformerSession(
+        params, cfg, targets, phoneme_list=phonemes
+    )
+    rng = np.random.default_rng(11)
+    L = 96  # 6 full chunks (d*chunk = 16)
+    raw = rng.normal(size=(L, 8)).astype(np.float32)
+
+    assert session.partial()["num_steps"] == 0
+    steps_seen = []
+    for start in range(0, L, 32):
+        session.push(raw[start : start + 32])
+        p = session.partial()
+        steps_seen.append(p["num_steps"])
+        assert all(ph in phonemes for ph in p["phonemes"][0])
+    assert steps_seen == [8, 16, 24]  # grows with arrival, stream intact
+
+    # endpoint partial == offline CTC greedy over the full encode
+    enc_out, _, enc_lengths = encode(
+        params, cfg, jnp.asarray(raw)[None], jnp.asarray([L]),
+        jnp.asarray(0, jnp.int32), jax.random.PRNGKey(0), train=False,
+    )
+    h = enc_out
+    head = params["aux"]["encoder_1_targets"]
+    for mlp in head["mlp"]:
+        h = jax.nn.relu(jnp.dot(h, mlp["w"]) + mlp["b"])
+    logits = jnp.dot(h, head["out"]["w"]) + head["out"]["b"]
+    offline = ctc_greedy_decode(logits, np.asarray(enc_lengths))[0]
+    streamed = session.partial()["phonemes"][0]
+    assert streamed == [phonemes[i] for i in offline]
+    # partial() never mutated the stream: full decode still works
+    out = session.endpoint()
+    assert isinstance(out["sequences"][0], str)
