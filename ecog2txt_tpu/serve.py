@@ -264,10 +264,18 @@ class StreamingConformerSession:
         )
         self._conv_jit = None  # built on first block (fixed shapes)
         self.phoneme_list = list(phoneme_list) if phoneme_list else None
-        self._ctc_head = next(
-            (h.name for h in config.aux_heads if h.distribution == "CTC"),
-            None,
+        ctc = next(
+            (h for h in config.aux_heads if h.distribution == "CTC"), None
         )
+        self._ctc_head = ctc.name if ctc is not None else None
+        if self.phoneme_list is not None and ctc is not None:
+            # out_dim counts the phoneme classes + the trailing blank
+            if len(self.phoneme_list) != ctc.out_dim - 1:
+                raise ValueError(
+                    f"phoneme_list has {len(self.phoneme_list)} entries; "
+                    f"CTC head {ctc.name!r} expects {ctc.out_dim - 1} "
+                    f"(out_dim {ctc.out_dim} minus the blank)"
+                )
         self.reset()
 
     def reset(self) -> None:
@@ -276,6 +284,8 @@ class StreamingConformerSession:
         self._raw_samples = 0
         self._enc_outs: list = []  # (B, chunk, D) emitted blocks
         self._enc_steps = 0  # valid encoder steps emitted
+        self._ctc_paths: list = []  # per-block argmax paths (partial())
+        self._ctc_logps: list = []  # per-block log-probs (lexicon path)
 
     @property
     def num_samples(self) -> int:
@@ -379,21 +389,42 @@ class StreamingConformerSession:
             "sequences": target_inds_to_sequences(tokens, self.targets_list),
         }
 
+    def _ctc_block(self, enc_block):
+        """(B, n, D) encoder block → per-step (argmax path (n, B) int,
+        log-probs (n, B, K+1) f32) through the CTC aux head — the SAME
+        numerics as the training head (``_dense``: f32 accumulation)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .models.seq2seq import _dense
+
+        head = self.params["aux"][self._ctc_head]
+        cd = self.config.compute_dtype
+        h = jnp.moveaxis(enc_block, 0, 1)  # (n, B, D)
+        for mlp in head["mlp"]:
+            h = jax.nn.relu(_dense(mlp, h, cd))
+        logits = _dense(head["out"], h, cd).astype(jnp.float32)
+        return (
+            np.asarray(jnp.argmax(logits, axis=-1)),
+            np.asarray(jax.nn.log_softmax(logits, axis=-1)),
+        )
+
     def partial(self, lexicon=None, beam_width: int = 8) -> dict:
         """LIVE hypothesis from the CTC aux head over the encoder steps
         emitted SO FAR — no decoder pass, no stream mutation, so it can
         run after every chunk while the utterance is still arriving
         (the seq2seq decoder needs the endpoint pooling; the CTC head
-        is a pointwise map, so partials are natural).
+        is a pointwise map, so partials are natural).  Each call runs
+        the head only on blocks NEW since the last call (cached —
+        per-chunk cost stays O(chunk), not O(history)).
 
         Greedy best-path by default; pass a
         :class:`models.ctc.LexiconTrie` to rescore into words.  Returns
-        {'phonemes': [[str]], 'words': [[str]] | None, 'num_steps': n}.
+        {'phonemes': [[str]] (int ids when no phoneme_list), 'words':
+        [[str]] | None, 'num_steps': n}; before any full chunk the
+        lists are empty (one per batch row once the batch is known).
         """
-        import jax
-        import jax.numpy as jnp
-
-        from .models.ctc import ctc_greedy_decode, ctc_word_beam_search
+        from .models.ctc import collapse_alignment, ctc_word_beam_search
 
         if self._ctc_head is None:
             raise ValueError(
@@ -401,34 +432,34 @@ class StreamingConformerSession:
             )
         if not self._enc_outs:
             return {"phonemes": [[]], "words": None, "num_steps": 0}
-        enc_bm = jnp.concatenate(self._enc_outs, axis=1)  # (B, T', D)
-        head = self.params["aux"][self._ctc_head]
-        h = jnp.moveaxis(enc_bm, 0, 1)  # (T', B, D)
-        cd = self.config.compute_dtype
-        for mlp in head["mlp"]:
-            h = jax.nn.relu(
-                jnp.dot(h.astype(cd), mlp["w"].astype(cd))
-                + mlp["b"].astype(cd)
-            )
-        logits = (
-            jnp.dot(h.astype(cd), head["out"]["w"].astype(cd))
-            + head["out"]["b"].astype(cd)
-        ).astype(jnp.float32)
-        B = enc_bm.shape[0]
-        lengths = np.full((B,), self._enc_steps, np.int32)
-        ids = ctc_greedy_decode(logits, lengths)
+        for block in self._enc_outs[len(self._ctc_paths) :]:
+            path, logp = self._ctc_block(block)
+            self._ctc_paths.append(path)
+            self._ctc_logps.append(logp)
+        path = np.concatenate(self._ctc_paths, axis=0)[: self._enc_steps]
+        B = path.shape[1]
+        blank = (
+            self.params["aux"][self._ctc_head]["out"]["b"].shape[-1] - 1
+        )
         out: dict = {"num_steps": self._enc_steps, "words": None}
-        if self.phoneme_list is not None:
-            out["phonemes"] = [
-                [self.phoneme_list[i] for i in seq] for seq in ids
+        phonemes = []
+        for b in range(B):
+            seq = [
+                int(i) for i in collapse_alignment(path[:, b]) if i != blank
             ]
-        else:
-            out["phonemes"] = ids
+            phonemes.append(
+                [self.phoneme_list[i] for i in seq]
+                if self.phoneme_list is not None
+                else seq
+            )
+        out["phonemes"] = phonemes
         if lexicon is not None:
-            logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+            logp = np.concatenate(self._ctc_logps, axis=0)[
+                : self._enc_steps
+            ]
             out["words"] = [
                 ctc_word_beam_search(
-                    logp[: lengths[b], b], lexicon, beam_width=beam_width
+                    logp[:, b], lexicon, beam_width=beam_width
                 )
                 for b in range(B)
             ]

@@ -804,6 +804,9 @@ class MultiSubjectTrainer:
             # before surfacing, so training state is never left NaN
             if not np.isfinite(tm.get("loss_total", 0.0)):
                 recovered = ""
+                # an async periodic save may still be in flight — wait
+                # so the newest checkpoint is visible to the rollback
+                self._wait_for_checkpoint()
                 if self.restore_epoch is not None:
                     self.restore()
                     recovered = (

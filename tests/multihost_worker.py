@@ -70,8 +70,10 @@ def main() -> None:
         jnp.sum(jax.tree.leaves(tr.state.params)[0].astype(jnp.float32))
     )
     # multi-controller checkpointing: every process calls save on the
-    # SAME shared path, then restores and must see identical params
-    path = tr.save_checkpoint()
+    # SAME shared path, then restores and must see identical params.
+    # ASYNC save — restore() waits for the in-flight multi-controller
+    # write, covering the checkpoint_every_assessment path too.
+    path = tr.save_checkpoint(wait=False)
     before = jax.tree.map(
         lambda a: jnp.asarray(a).astype(jnp.float32), tr.state.params
     )
