@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--sentences", type=int, default=8)
     ap.add_argument("--packet", type=int, default=57)
     ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument(
+        "--ctc", action="store_true",
+        help="add a CTC phoneme head and print LIVE partial hypotheses "
+             "while each sentence streams",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -51,7 +56,8 @@ def main():
     from ecog2txt_tpu.train import MultiSubjectTrainer
 
     manifest = make_demo_experiment(
-        os.path.join(args.workdir, "exp"), subject_ids=(1,)
+        os.path.join(args.workdir, "exp"), subject_ids=(1,),
+        **({"phoneme_sequence_distribution": "CTC"} if args.ctc else {}),
     )
     trainer = MultiSubjectTrainer(
         manifest,
@@ -74,11 +80,17 @@ def main():
     dec_list = trainer.target_subject.data_manifests[
         "decoder_targets"
     ].feature_list
+    phoneme_list = None
+    if args.ctc:
+        phoneme_list = trainer.target_subject.data_manifests[
+            "encoder_1_targets"
+        ].feature_list
     session = StreamingConformerSession(
         trainer.state.ema,
         trainer.net_config,
         dec_list,
         subject_idx=len(trainer.ecog_subjects) - 1,
+        phoneme_list=phoneme_list,
     )
 
     n = min(args.sentences, int(ds.num_trials.sum()))
@@ -102,6 +114,12 @@ def main():
         t0 = time.perf_counter()
         for start in range(0, T, args.packet):  # ragged packet arrival
             session.push(raw[start : start + args.packet])
+            if args.ctc and session._enc_steps:
+                p = session.partial()  # LIVE phonemes mid-utterance
+                print(
+                    f"      …{session.num_samples:4d} samples: "
+                    + " ".join(p["phonemes"][0][-8:])
+                )
         out = session.endpoint()
         rtfs.append((T / sr) / (time.perf_counter() - t0))
         hyp = out["sequences"][0]
