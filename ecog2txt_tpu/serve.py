@@ -389,10 +389,13 @@ class StreamingConformerSession:
             "sequences": target_inds_to_sequences(tokens, self.targets_list),
         }
 
-    def _ctc_block(self, enc_block):
-        """(B, n, D) encoder block → per-step (argmax path (n, B) int,
-        log-probs (n, B, K+1) f32) through the CTC aux head — the SAME
-        numerics as the training head (``_dense``: f32 accumulation)."""
+    def _ctc_block(self, enc_block, want_logp: bool):
+        """(B, n, D) encoder block → per-step argmax path (n, B) int
+        (plus (n, B, K+1) f32 log-probs when ``want_logp``) through the
+        CTC aux head — the SAME numerics as the training head
+        (``_dense``: f32 accumulation).  The log-probs are only pulled
+        to host when the lexicon path needs them: device→host transfers
+        are the expensive part of a streaming hot loop."""
         import jax
         import jax.numpy as jnp
 
@@ -404,10 +407,10 @@ class StreamingConformerSession:
         for mlp in head["mlp"]:
             h = jax.nn.relu(_dense(mlp, h, cd))
         logits = _dense(head["out"], h, cd).astype(jnp.float32)
-        return (
-            np.asarray(jnp.argmax(logits, axis=-1)),
-            np.asarray(jax.nn.log_softmax(logits, axis=-1)),
-        )
+        path = np.asarray(jnp.argmax(logits, axis=-1))
+        if not want_logp:
+            return path, None
+        return path, np.asarray(jax.nn.log_softmax(logits, axis=-1))
 
     def partial(self, lexicon=None, beam_width: int = 8) -> dict:
         """LIVE hypothesis from the CTC aux head over the encoder steps
@@ -433,9 +436,15 @@ class StreamingConformerSession:
         if not self._enc_outs:
             return {"phonemes": [[]], "words": None, "num_steps": 0}
         for block in self._enc_outs[len(self._ctc_paths) :]:
-            path, logp = self._ctc_block(block)
+            path, _ = self._ctc_block(block, want_logp=False)
             self._ctc_paths.append(path)
-            self._ctc_logps.append(logp)
+        if lexicon is not None:
+            # log-probs cached lazily — only the lexicon path pays for
+            # the device→host transfer (re-runs the head for any blocks
+            # first seen by a greedy-only call)
+            for block in self._enc_outs[len(self._ctc_logps) :]:
+                _, logp = self._ctc_block(block, want_logp=True)
+                self._ctc_logps.append(logp)
         path = np.concatenate(self._ctc_paths, axis=0)[: self._enc_steps]
         B = path.shape[1]
         blank = (

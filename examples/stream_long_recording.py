@@ -14,7 +14,10 @@ arriving in arbitrary-sized packets) through
   matching the offline decode of that sentence (asserted).
 
 Usage:  python examples/stream_long_recording.py /tmp/stream \
-            [--sentences 8] [--packet 57]
+            [--sentences 8] [--packet 57] [--ctc]
+
+``--ctc`` adds a CTC phoneme head and prints LIVE partial hypotheses
+(outside the timed region) whenever a new encoder chunk lands.
 """
 
 import argparse
@@ -111,17 +114,24 @@ def main():
             jnp.asarray(len(trainer.ecog_subjects) - 1, jnp.int32),
             temperature=0.0,
         )[0]
-        t0 = time.perf_counter()
+        push_time = 0.0
+        last_steps = 0
         for start in range(0, T, args.packet):  # ragged packet arrival
+            t0 = time.perf_counter()
             session.push(raw[start : start + args.packet])
-            if args.ctc and session._enc_steps:
-                p = session.partial()  # LIVE phonemes mid-utterance
-                print(
-                    f"      …{session.num_samples:4d} samples: "
-                    + " ".join(p["phonemes"][0][-8:])
-                )
+            push_time += time.perf_counter() - t0
+            if args.ctc:
+                p = session.partial()  # LIVE phonemes (untimed)
+                if p["num_steps"] > last_steps:  # a new chunk landed
+                    last_steps = p["num_steps"]
+                    print(
+                        f"      …{session.num_samples:4d} samples: "
+                        + " ".join(p["phonemes"][0][-8:])
+                    )
+        t0 = time.perf_counter()
         out = session.endpoint()
-        rtfs.append((T / sr) / (time.perf_counter() - t0))
+        push_time += time.perf_counter() - t0
+        rtfs.append((T / sr) / push_time)
         hyp = out["sequences"][0]
         ref = target_inds_to_sequences(np.asarray(offline)[None], dec_list)[0]
         ok = np.array_equal(out["tokens"][0], np.asarray(offline))

@@ -288,6 +288,13 @@ def test_streaming_partial_ctc_hypotheses():
     offline = ctc_greedy_decode(logits, np.asarray(enc_lengths))[0]
     streamed = session.partial()["phonemes"][0]
     assert streamed == [phonemes[i] for i in offline]
+    # lexicon path: log-probs are cached LAZILY (greedy-only calls
+    # skipped them) and the rescoring returns word lists
+    from ecog2txt_tpu.models.ctc import LexiconTrie
+
+    trie = LexiconTrie({"aa": [0, 0], "ab": [0, 1], "b": [1]})
+    words = session.partial(lexicon=trie)["words"]
+    assert isinstance(words[0], list)
     # partial() never mutated the stream: full decode still works
     out = session.endpoint()
     assert isinstance(out["sequences"][0], str)
