@@ -34,6 +34,70 @@ def test_chunk_causal_mask():
     assert mask[5].all()
 
 
+def test_banded_matches_dense_oracle(params, rng):
+    """The banded O(T·window) attention computes EXACTLY the function
+    the dense (T, T) oracle computes — ragged lengths, T not a multiple
+    of the chunk, traced offsets (VERDICT r2 next-round #1)."""
+    dense_cfg = CFG._replace(attention_impl="dense")
+    for T, lengths in [
+        (16, None),
+        (19, [19, 11]),       # trailing partial chunk
+        (40, [40, 23]),
+        (4, [3, 4]),          # single (short) chunk
+    ]:
+        xs = jnp.asarray(rng.normal(size=(2, T, 8)), jnp.float32)
+        ln = None if lengths is None else jnp.asarray(lengths, jnp.int32)
+        out_b, _ = conformer_encode(params, CFG, xs, ln)
+        out_d, _ = conformer_encode(params, dense_cfg, xs, ln)
+        valid = (
+            np.ones((2, T, 1), bool)
+            if lengths is None
+            else np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b) * valid, np.asarray(out_d) * valid,
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_banded_matches_dense_with_offset(params, rng):
+    """Chunk-aligned position offsets (the streaming/SP regime) keep the
+    two implementations identical, including the negative-position
+    left-fill of a stream window."""
+    dense_cfg = CFG._replace(attention_impl="dense")
+    T = 24
+    xs = jnp.asarray(rng.normal(size=(1, T, 8)), jnp.float32)
+    for offset in (-8, 0, 8, 400):
+        ln = jnp.asarray([offset + T - 1], jnp.int32)
+        kw = dict(
+            lengths=ln, position_offset=jnp.asarray(offset, jnp.int32),
+            mask_invalid=True,
+        )
+        out_b, _ = conformer_encode(params, CFG, xs, **kw)
+        out_d, _ = conformer_encode(params, dense_cfg, xs, **kw)
+        # compare only valid steps (0 <= abs position < length)
+        pos = offset + np.arange(T)
+        valid = ((pos >= 0) & (pos < int(ln[0])))[None, :, None]
+        np.testing.assert_allclose(
+            np.asarray(out_b) * valid, np.asarray(out_d) * valid,
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_banded_long_recording_grad(params, rng):
+    """Gradient flows through the banded path (training usage) and stays
+    finite on a longer-than-window sequence."""
+    xs = jnp.asarray(rng.normal(size=(1, 64, 8)), jnp.float32)
+
+    def loss(p):
+        out, _ = conformer_encode(p, CFG, xs, jnp.asarray([60], jnp.int32))
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_output_shape_and_finite(params, rng):
     xs = jnp.asarray(rng.normal(size=(2, 16, 8)), jnp.float32)
     out, carry = conformer_encode(params, CFG, xs, jnp.asarray([16, 10]))
