@@ -45,12 +45,18 @@ class ConformerConfig(NamedTuple):
     conv_kernel: int = 8
     chunk_size: int = 16  # attention chunk (in downsampled steps)
     left_context: int = 1  # chunks of look-back
-    # 'banded' computes only the (1+left_context)·chunk_size key window
-    # each query can actually see — O(T·window) time AND memory, the
-    # long-continuous-recordings path.  'dense' materializes the full
-    # (T, T) score matrix; kept as the parity oracle (identical outputs,
-    # tested).
+    # 'banded' computes only a bounded key window per query block —
+    # O(T·window) time AND memory, the long-continuous-recordings path.
+    # 'dense' materializes the full (T, T) score matrix; kept as the
+    # parity oracle (identical outputs, tested).
     attention_impl: str = "banded"
+    # banded tiling: queries are processed in blocks of this many chunks
+    # against a (query_block_chunks + left_context)-chunk key window.
+    # None → auto-size the block so query tiles are ~128 rows (the MXU
+    # tile edge): tiny per-chunk GEMMs (16×32) measured 27% slower than
+    # dense at T'=112; 128-row blocks recover dense-path efficiency
+    # while staying O(T).
+    query_block_chunks: int | None = None
 
 
 def _glorot(rng, shape):
@@ -188,77 +194,102 @@ def _attention_banded(
 ):
     """Chunk-causal attention computed on the band only.
 
-    Queries reshape to (N, C) chunks; each chunk's keys are gathered as
-    a (1+left_context)·C window of itself plus the previous
-    ``left_context`` chunks, so scores are (B, H, N, C, W) — O(T·W) time
-    and memory instead of O(T²).  Exactly the function
-    :func:`_attention_dense` computes (VERDICT r2 weak #1): chunk ids
-    come from ABSOLUTE positions (every caller passes a
-    chunk-aligned ``position_offset`` — ConformerStream windows start on
-    chunk boundaries, sequence-parallel halos are whole chunks), keys
-    before the local window or at negative/over-length absolute
-    positions are masked, and a trailing partial chunk is zero-padded
-    with its pad keys masked.  This is the offline encode for long
-    continuous recordings (BASELINE configs[4]): an 8k-step recording
-    needs an 8k×32-wide band, not an 8k×8k matrix."""
+    Query chunks group into blocks of ``Q = query_block_chunks``; each
+    block attends to a ``(Q + left_context)``-chunk key window, so
+    scores are (B, H, NB, Q·C, W) — O(T·window) time and memory instead
+    of O(T²).  Exactly the function :func:`_attention_dense` computes
+    (VERDICT r2 weak #1): chunk ids come from ABSOLUTE positions (every
+    caller passes a chunk-aligned ``position_offset`` — ConformerStream
+    windows start on chunk boundaries, sequence-parallel halos are
+    whole chunks), a static intra-tile band mask applies chunk
+    causality within the block, keys before the local window or at
+    negative/over-length absolute positions are masked, and trailing
+    padding keys carry a masked sentinel.  This is the offline encode
+    for long continuous recordings (BASELINE configs[4]): an 8k-step
+    recording needs an 8k-long band, not an 8k×8k matrix.
+
+    Layout rationale (measured on-chip, RESULTS.md r3): window k/v are
+    built from CONTIGUOUS reshapes only — the block's own keys are a
+    free reshape and the ``L`` leading chunks come from one
+    front-padded reshape+slice.  An earlier strided-interleave
+    construction (``k_chunks[:, j::Q]`` per window slot) made the
+    banded path 27-57% slower than dense at short T; slicing
+    contiguously closes that gap."""
     B, T, D = x.shape
     H = config.num_heads
     Dh = D // H
     C = config.chunk_size
     L = config.left_context
+    Q = getattr(config, "query_block_chunks", None) or max(1, 128 // C)
+    Q = min(Q, -(-T // C))  # no block larger than the sequence
     xn = _layernorm(p["ln"], x)
     qkv = jnp.dot(xn, p["wqkv"].astype(cd)).reshape(B, T, 3, H, Dh)
     q = _rotary(qkv[:, :, 0], positions)
     k = _rotary(qkv[:, :, 1], positions)
     v = qkv[:, :, 2]
-    pad = (-T) % C
+    pad = (-T) % (Q * C)
     if pad:
         zeros = jnp.zeros((B, pad, H, Dh), q.dtype)
         q = jnp.concatenate([q, zeros], axis=1)
         k = jnp.concatenate([k, zeros], axis=1)
         v = jnp.concatenate([v, zeros], axis=1)
-    N = (T + pad) // C
-    W = (L + 1) * C
-    qc = q.reshape(B, N, C, H, Dh)
-    # key/value windows: front-pad L zero chunks, stack the L+1 shifted
-    # views — (B, N, W, H, Dh).  L is small and static; the stack is a
-    # cheap relayout XLA fuses, not a gather.
-    kp = jnp.concatenate([jnp.zeros((B, L * C, H, Dh), k.dtype), k], axis=1)
-    vp = jnp.concatenate([jnp.zeros((B, L * C, H, Dh), v.dtype), v], axis=1)
-    kcs = kp.reshape(B, N + L, C, H, Dh)
-    vcs = vp.reshape(B, N + L, C, H, Dh)
-    kw = jnp.concatenate(
-        [kcs[:, j : j + N] for j in range(L + 1)], axis=2
-    )  # (B, N, W, H, Dh)
-    vw = jnp.concatenate([vcs[:, j : j + N] for j in range(L + 1)], axis=2)
+    Tp = T + pad
+    NB = Tp // (Q * C)  # query blocks
+    W = (Q + L) * C  # key window per block
+    qb = q.reshape(B, NB, Q * C, H, Dh)
+
+    def windows(a):
+        # (B, Tp, H, Dh) → (B, NB, W, H, Dh): the L·C keys preceding
+        # each block (front-pad + reshape + slice, all contiguous)
+        # concatenated with the block's own keys (free reshape)
+        blocks = a.reshape(B, NB, Q * C, H, Dh)
+        front = jnp.concatenate(
+            [jnp.zeros((B, L * C, H, Dh), a.dtype), a[:, : Tp - L * C or None]],
+            axis=1,
+        )[:, : NB * Q * C]
+        prev = front.reshape(B, NB, Q * C, H, Dh)[:, :, : L * C]
+        return jnp.concatenate([prev, blocks], axis=2)
+
+    kw = windows(k)
+    vw = windows(v)
     # key absolute positions per window slot, sentinel -1 where the slot
-    # is fabricated (before the local window, or trailing-chunk padding)
-    # — the kp>=0 test then masks exactly what the dense path masks
-    kpos = jnp.concatenate(
-        [
-            jnp.full((L * C,), -1, positions.dtype),
-            positions,
-            jnp.full((pad,), -1, positions.dtype),
-        ]
-    ).reshape(N + L, C)
+    # is fabricated (before the local window, or trailing padding) —
+    # the kp>=0 test then masks exactly what the dense path masks
+    pos_ext = jnp.concatenate(
+        [positions, jnp.full((pad,), -1, positions.dtype)]
+    )
+    front = jnp.concatenate(
+        [jnp.full((L * C,), -1, positions.dtype), pos_ext[: Tp - L * C or None]]
+    )[: NB * Q * C]
     kposw = jnp.concatenate(
-        [kpos[j : j + N] for j in range(L + 1)], axis=1
-    )  # (N, W)
-    logits = jnp.einsum("bnchd,bnwhd->bhncw", qc, kw).astype(
+        [
+            front.reshape(NB, Q * C)[:, : L * C],
+            pos_ext.reshape(NB, Q * C),
+        ],
+        axis=1,
+    )  # (NB, W)
+    logits = jnp.einsum("bnchd,bnwhd->bhncw", qb, kw).astype(
         jnp.float32
     ) / np.sqrt(Dh)
-    mask = kposw >= 0  # (N, W)
+    # static intra-tile band: query local chunk qi sees window chunk kj
+    # iff qi <= kj <= qi + L (key global chunk = block·Q − L + kj, so
+    # causality k_chunk <= q_chunk ⇔ kj <= qi + L, and the look-back
+    # bound k_chunk >= q_chunk − L ⇔ kj >= qi)
+    qi = np.arange(Q * C)[:, None] // C
+    kj = np.arange(W)[None, :] // C
+    band = jnp.asarray((kj >= qi) & (kj <= qi + L))  # (Q·C, W)
+    mask = band[None, :, :] & (kposw[:, None, :] >= 0)  # (NB, Q·C, W)
     if lengths is not None:
         mask = mask[None] & (
-            kposw[None, :, :] < lengths[:, None, None]
-        )  # (B, N, W)
-        mask = mask[:, None, :, None, :]  # (B, 1, N, 1, W)
+            kposw[None, :, None, :] < lengths[:, None, None, None]
+        )  # (B, NB, Q·C, W)
+        mask = mask[:, None]  # (B, 1, NB, Q·C, W)
     else:
-        mask = mask[None, None, :, None, :]
+        mask = mask[None, None]
     logits = jnp.where(mask, logits, -1e9)
     attn = jax.nn.softmax(logits, axis=-1).astype(cd)
     out = jnp.einsum("bhncw,bnwhd->bnchd", attn, vw).reshape(
-        B, N * C, D
+        B, Tp, D
     )[:, :T]
     return jnp.dot(out, p["wo"].astype(cd))
 

@@ -318,8 +318,17 @@ def encode(
     subject_idx: jax.Array,
     rng: jax.Array,
     train: bool = False,
+    sp: tuple | None = None,
+    pp: tuple | None = None,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array], jax.Array]:
     """Full encoder: reversal → conv → biLSTM stack.
+
+    ``sp=(mesh, axis)`` shards the conformer encode's TIME axis over
+    ``mesh[axis]`` (parallel/sequence.py halo design; differentiable —
+    the sp TRAINING path).  ``pp=(mesh, axis, microbatches)`` pipelines
+    the conformer block stack over ``mesh[axis]`` (parallel/pipeline.py
+    GPipe ring; differentiable).  Both require
+    ``encoder_type='conformer'``.
 
     Returns (enc_outputs (T', B, 2H), final (h, c) (B, 2H),
     enc_lengths (B,))."""
@@ -355,10 +364,37 @@ def encode(
         # valid steps (bridged/tanh-projected in _decoder_init_state)
         ccfg = config.conformer or ConformerConfig()
         xs_bm = jnp.moveaxis(xs, 0, 1)  # (B, T', F)
-        out_bm, _ = conformer_encode(
-            params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths,
-            compute_dtype=config.compute_dtype,
-        )
+        if sp is not None:
+            # time-sharded encode (one input-halo ppermute); pad the
+            # step axis to the shard×chunk grid — pad steps sit beyond
+            # every length and are masked/dropped
+            from ..parallel.sequence import sequence_parallel_encode
+
+            mesh, axis = sp
+            Tq = xs_bm.shape[1]
+            mult = mesh.shape[axis] * ccfg.chunk_size
+            padT = (-Tq) % mult
+            if padT:
+                xs_bm = jnp.pad(xs_bm, ((0, 0), (0, padT), (0, 0)))
+            out_bm = sequence_parallel_encode(
+                params["encoder"]["conformer"], ccfg, xs_bm, mesh,
+                axis=axis, lengths=enc_lengths,
+                compute_dtype=config.compute_dtype,
+            )[:, :Tq]
+        elif pp is not None:
+            from ..parallel.pipeline import pipeline_conformer_encode
+
+            mesh, axis, microbatches = pp
+            out_bm = pipeline_conformer_encode(
+                params["encoder"]["conformer"], ccfg, xs_bm, mesh,
+                axis=axis, microbatches=microbatches,
+                lengths=enc_lengths, compute_dtype=config.compute_dtype,
+            )
+        else:
+            out_bm, _ = conformer_encode(
+                params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths,
+                compute_dtype=config.compute_dtype,
+            )
         T_out = out_bm.shape[1]
         step_mask = (
             jnp.arange(T_out)[None, :] < enc_lengths[:, None]
@@ -523,8 +559,11 @@ def seq2seq_loss(
     rng: jax.Array,
     train: bool = True,
     penalty_scales: dict[str, float] | None = None,
+    sp: tuple | None = None,
+    pp: tuple | None = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Total loss + metrics.
+    """Total loss + metrics.  ``sp``/``pp``: model-parallel encoder
+    options, see :func:`encode`.
 
     ``batch``: 'encoder_inputs' (B,T,C), 'encoder_lengths' (B,),
     'decoder_targets' (B,L) EOS-terminated, 'decoder_lengths' (B,),
@@ -545,6 +584,8 @@ def seq2seq_loss(
         batch["subject_idx"],
         rng_enc,
         train,
+        sp=sp,
+        pp=pp,
     )
     T_out = enc_out.shape[0]
     step_mask = (

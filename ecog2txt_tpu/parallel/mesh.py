@@ -33,12 +33,20 @@ def make_mesh(
     n_data: int | None = None,
     n_model: int = 1,
     devices: Any = None,
+    n_seq: int = 1,
 ) -> Mesh:
-    """(data, model) mesh over the available devices."""
+    """(data, model[, seq]) mesh over the available devices.  The
+    ``seq`` axis (when >1) carries sequence parallelism — the conformer
+    encode's time axis (parallel/sequence.py)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    devices = devices[: n_data * n_model]
+        n_data = len(devices) // (n_model * n_seq)
+    devices = devices[: n_data * n_model * n_seq]
+    if n_seq > 1:
+        return Mesh(
+            np.asarray(devices).reshape(n_data, n_model, n_seq),
+            ("data", "model", "seq"),
+        )
     return Mesh(
         np.asarray(devices).reshape(n_data, n_model), ("data", "model")
     )

@@ -110,9 +110,16 @@ def sequence_parallel_encode(
 
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
+    sharding = NamedSharding(mesh, P(None, axis, None))
+    if isinstance(xs, jax.core.Tracer):
+        # inside jit (the sp TRAINING step): constrain instead of
+        # device_put so the call composes with the surrounding program
+        xs = jax.lax.with_sharding_constraint(xs, sharding)
+    else:
+        xs = jax.device_put(xs, sharding)
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis, None), P(None)),
         out_specs=P(None, axis, None),
-    )(jax.device_put(xs, NamedSharding(mesh, P(None, axis, None))), lengths)
+    )(xs, lengths)

@@ -45,6 +45,7 @@ import optax
 from . import DATA_PARTITIONS, EOS_token, TOKEN_TYPES, pad_token
 from .assess import confusion_matrix, sequence_accuracy, wer_vector
 from .config import Manifest, load_experiment_manifest
+from .models.conformer import ConformerConfig
 from .models.seq2seq import (
     AuxHead,
     Seq2SeqConfig,
@@ -81,6 +82,7 @@ def make_segment_runner(
     penalty_scales: dict[str, float],
     ema_decay: float,
     mesh=None,
+    sp=None,
 ) -> Callable:
     """Build the scanned multi-step runner.  ``data`` is the stacked
     (S, N, ...) batch dict; schedule arrays pick (subject, trials) per
@@ -115,7 +117,7 @@ def make_segment_runner(
         def loss_fn(params):
             return seq2seq_loss(
                 params, config, batch, rng, train=True,
-                penalty_scales=penalty_scales,
+                penalty_scales=penalty_scales, sp=sp,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -440,6 +442,18 @@ class MultiSubjectTrainer:
                     "encoder_type", self.SN_kwargs.get("encoder_type"), "lstm"
                 )
             ),
+            # conformer hyperparameters: manifest key 'conformer' or
+            # SN_kwargs['conformer'] as a dict of ConformerConfig
+            # fields; None → the defaults in models/conformer.py
+            conformer=(
+                ConformerConfig(**conformer_kwargs)
+                if (
+                    conformer_kwargs := manifest.resolve(
+                        "conformer", self.SN_kwargs.get("conformer"), None
+                    )
+                )
+                else None
+            ),
             # False | True (chunked-grid kernels) | 'dma' (single-launch)
             use_pallas_lstm=self.SN_kwargs.get("use_pallas_lstm", False),
             # 'bfloat16' for MXU-native matmuls (fp32 accumulation
@@ -481,12 +495,34 @@ class MultiSubjectTrainer:
             )
         )
         # data-parallel mesh over all visible devices (SN_kwargs:
-        # data_parallel=True); params replicated, batches sharded
+        # data_parallel=True); params replicated, batches sharded.
+        # SN_kwargs sequence_parallel=K adds a 'seq' mesh axis of K
+        # devices carrying the conformer encode's time axis — the
+        # TRAINING-path sequence parallelism (long recordings whose
+        # step count exceeds one chip's budget); composes with dp.
         self.mesh = None
-        if self.SN_kwargs.get("data_parallel"):
+        self.sp = None
+        n_seq = int(self.SN_kwargs.get("sequence_parallel") or 0)
+        if n_seq > 1 and self.net_config.encoder_type != "conformer":
+            raise ValueError(
+                "sequence_parallel requires encoder_type='conformer' "
+                "(the biLSTM recurrence cannot shard over time)"
+            )
+        if self.SN_kwargs.get("data_parallel") or n_seq > 1:
             from .parallel import make_mesh
 
-            self.mesh = make_mesh(n_model=1)
+            if n_seq > 1:
+                n_data = (
+                    len(jax.devices()) // n_seq
+                    if self.SN_kwargs.get("data_parallel")
+                    else 1
+                )
+                self.mesh = make_mesh(
+                    n_data=max(n_data, 1), n_model=1, n_seq=n_seq
+                )
+                self.sp = (self.mesh, "seq")
+            else:
+                self.mesh = make_mesh(n_model=1)
 
         rng = jax.random.PRNGKey(self.seed)
         params = init_seq2seq(rng, self.net_config)
@@ -704,7 +740,7 @@ class MultiSubjectTrainer:
                 optimizer,
                 make_segment_runner(
                     self.net_config, optimizer, self.penalty_scales,
-                    self.EMA_decay, mesh=self.mesh,
+                    self.EMA_decay, mesh=self.mesh, sp=self.sp,
                 ),
             )
         optimizer, runner = self._runner_cache[cache_key]

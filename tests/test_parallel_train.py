@@ -1,0 +1,147 @@
+"""Training-path tests for the model-parallel encoders (VERDICT r2 #2):
+gradients through sequence-parallel and pipeline-parallel conformer
+encodes match the single-device training step, and sp-training is
+reachable from MultiSubjectTrainer via SN_kwargs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ecog2txt_tpu.models.conformer import ConformerConfig
+from ecog2txt_tpu.models.seq2seq import (
+    AuxHead,
+    Seq2SeqConfig,
+    init_seq2seq,
+    seq2seq_loss,
+)
+
+CCFG = ConformerConfig(
+    num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+    conv_kernel=4, chunk_size=4, left_context=1,
+)
+
+
+def _cfg_and_batch(rng, T=64):
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=2, rnn_sizes=(24,), aux_proj_sizes=(16,),
+        aux_heads=(AuxHead("encoder_1_targets", "categorical", 10),),
+        dec_embedding_size=12, dec_rnn_sizes=(48,), max_dec_len=6,
+        encoder_type="conformer", conformer=CCFG,
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    batch = {
+        "encoder_inputs": jnp.asarray(
+            rng.normal(size=(4, T, 8)), jnp.float32
+        ),
+        "encoder_lengths": jnp.asarray([T, T - 7, T, T // 2], jnp.int32),
+        "decoder_targets": jnp.asarray(
+            rng.integers(2, 12, size=(4, 5)), jnp.int32
+        ),
+        "decoder_lengths": jnp.asarray([5, 3, 5, 2], jnp.int32),
+        "encoder_1_targets": jnp.asarray(
+            rng.integers(0, 10, size=(4, T)), jnp.int32
+        ),
+        "subject_idx": jnp.asarray(0, jnp.int32),
+    }
+    return cfg, params, batch
+
+
+def _grads(cfg, params, batch, **loss_kwargs):
+    def loss_fn(p):
+        l, _ = seq2seq_loss(
+            p, cfg, batch, jax.random.PRNGKey(1), train=True, **loss_kwargs
+        )
+        return l
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def _assert_tree_close(a, b, rtol=1e-3, atol=1e-5):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=rtol, atol=atol
+        )
+
+
+@pytest.mark.slow
+def test_sp_training_grads_match_single_device(rng):
+    """Full seq2seq training-step gradients with the conformer encode
+    time-sharded over a 2-device 'seq' axis == the unsharded step
+    (same rng → identical dropout; CPU reduction-order tolerances)."""
+    cfg, params, batch = _cfg_and_batch(rng)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+    l_ref, g_ref = _grads(cfg, params, batch)
+    l_sp, g_sp = _grads(cfg, params, batch, sp=(mesh, "seq"))
+    np.testing.assert_allclose(float(l_ref), float(l_sp), rtol=1e-5)
+    _assert_tree_close(g_ref, g_sp)
+
+
+@pytest.mark.slow
+def test_pp_training_grads_match_single_device(rng):
+    """Gradients through the GPipe block pipeline (microbatch forward +
+    transposed-ring backward, per-stage weight grads) == unsharded."""
+    cfg, params, batch = _cfg_and_batch(rng)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    l_ref, g_ref = _grads(cfg, params, batch)
+    l_pp, g_pp = _grads(cfg, params, batch, pp=(mesh, "pp", 2))
+    np.testing.assert_allclose(float(l_ref), float(l_pp), rtol=1e-5)
+    _assert_tree_close(g_ref, g_pp)
+
+
+def test_sp_requires_conformer(tmp_path):
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    manifest = make_demo_experiment(str(tmp_path / "exp"))
+    with pytest.raises(ValueError, match="conformer"):
+        MultiSubjectTrainer(
+            manifest, [1], SN_kwargs={"sequence_parallel": 2}
+        )
+
+
+@pytest.mark.slow
+def test_trainer_sequence_parallel_fit(tmp_path, rng):
+    """SN_kwargs['sequence_parallel']=2 trains through the time-sharded
+    encode: the jitted segment runs, the loss is finite and decreases,
+    and the mesh carries a 'seq' axis."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    manifest = make_demo_experiment(str(tmp_path / "exp"))
+    trainer = MultiSubjectTrainer(
+        manifest,
+        [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "sequence_parallel": 2,
+            # small receptive field: demo trials downsample to ~24
+            # steps, so the per-shard halo must stay ≤ 12
+            "conformer": dict(
+                num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+                conv_kernel=2, chunk_size=2, left_context=1,
+            ),
+            "N_epochs": 30,
+            "batch_size": 8,
+            "learning_rate": 3e-3,
+        },
+    )
+    assert trainer.sp is not None and "seq" in trainer.mesh.shape
+
+    def probe_loss():
+        data = trainer.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, _ = seq2seq_loss(
+            trainer.state.params, trainer.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss)
+
+    loss0 = probe_loss()
+    trainer.fit(assess=False)
+    loss1 = probe_loss()
+    assert np.isfinite(loss1)
+    assert loss1 < loss0
