@@ -210,6 +210,57 @@ def main():
     conf_flops = train_step_flops(conf_config, T, dec_len=12)
     conf_mfu = mfu(conf_sent_per_sec, conf_flops)
 
+    # long-continuous-recording TRAINING (BASELINE configs[4]): fwd+bwd
+    # through the conformer encoder at T=8192 downsampled steps (~8.3
+    # minutes of signal at 16.5 Hz) — only possible with the banded
+    # O(T·window) attention (dense would need an 8192² score matrix per
+    # head and OOMs at T≥1024 on this chip, RESULTS.md r3)
+    from ecog2txt_tpu.models.conformer import conformer_encode
+
+    ccfg = conf_config.conformer
+    T_long, B_long = 8192, 16
+    long_in = jax.random.normal(
+        jax.random.PRNGKey(11), (B_long, T_long, 100), jnp.bfloat16
+    )
+    long_len = jnp.full((B_long,), T_long, jnp.int32)
+    enc_params = conf_state.ema["encoder"]["conformer"]
+
+    def long_loss(p, x):
+        out, _ = conformer_encode(
+            p, ccfg, x, long_len, compute_dtype=jnp.bfloat16
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    long_grad = jax.grad(long_loss)
+
+    @jax.jit
+    def long_step(p, x):
+        def body(carry, _):
+            xp = x * (1 + 1e-30 * carry)  # defeat loop-invariant hoisting
+            g = long_grad(p, xp)
+            s = sum(jnp.sum(l) for l in jax.tree.leaves(g))
+            return carry + s * 1e-30, s
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=4)
+        return c
+
+    float(long_step(enc_params, long_in))  # compile+warm
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(long_step(enc_params, long_in))
+        reps.append((time.perf_counter() - t0) / 4)
+    long_dt = sorted(reps)[len(reps) // 2]
+    long_tokens_per_sec = B_long * T_long / long_dt
+    # encoder-only model FLOPs/token (band attention counted, fwd ×3)
+    D, F = ccfg.model_dim, ccfg.ffn_dim
+    kv = (ccfg.left_context + 1) * ccfg.chunk_size
+    enc_flops_tok = 3.0 * (
+        2.0 * 100 * D
+        + ccfg.num_blocks * (8.0 * D * F + 12.0 * D * D + 4.0 * kv * D)
+    )
+    long_mfu = long_tokens_per_sec * enc_flops_tok / TPU_V5E_BF16_PEAK_FLOPS
+
     # streaming serving (BASELINE configs[4]): per-chunk latency of the
     # incremental raw-ECoG path (jitted conv + fixed-window encode).
     # One chunk = decimation·chunk_size samples = 0.96 s of signal at
@@ -260,6 +311,10 @@ def main():
                 "conformer_mfu": round(conf_mfu, 4),
                 "stream_chunk_ms": round(stream_chunk_ms, 2),
                 "stream_realtime_factor": round(stream_rtf, 1),
+                "long8k_train_tokens_per_sec": round(
+                    long_tokens_per_sec, 0
+                ),
+                "long8k_encoder_mfu": round(long_mfu, 4),
                 "peak_tflops": TPU_V5E_BF16_PEAK_FLOPS / 1e12,
                 "platform": jax.devices()[0].platform,
             }

@@ -78,7 +78,7 @@ class Seq2SeqConfig:
     temperature: float = 0.0  # 0 → greedy argmax
     BIDIRECTIONAL: bool = True
     # fused VMEM-resident recurrence (TPU): False | True (chunked-grid
-    # kernels) | 'dma' (single-launch manual-DMA kernels)
+    # Pallas kernels, ops/pallas_lstm.py)
     use_pallas_lstm: Any = False
     encoder_type: str = "lstm"  # 'lstm' | 'conformer'
     conformer: ConformerConfig | None = None  # used when encoder_type=conformer

@@ -144,19 +144,23 @@ def lstm_scan(
         # + state resident in VMEM.  Under bf16 compute, the streamed
         # tensors (xw in, h/c residuals out, dgates in the backward)
         # are bf16 too — the kernels are HBM-bandwidth-bound, so this
-        # halves their step time.  ``use_pallas='dma'`` selects the
-        # single-launch manual-DMA variant (ops/pallas_lstm_dma.py):
-        # time streamed inside ONE grid step per batch tile, removing
-        # the per-time-chunk grid overhead of the default
-        # (ops/pallas_lstm.py) chunked-grid kernels.
-        if use_pallas == "dma":
-            from .pallas_lstm_dma import (
-                fused_lstm_recurrence_dma as fused_recurrence,
-            )
-        else:
-            from .pallas_lstm import (
-                fused_lstm_recurrence as fused_recurrence,
-            )
+        # halves their step time.
+        #
+        # Lessons from a pruned sibling family (round 2, 1.1 kLoC of
+        # single-launch manual-DMA kernels, dropped in round 3 — see
+        # RESULTS.md): (a) streaming time inside ONE grid step with
+        # hand-written HBM↔VMEM DMA measured EQUAL to this chunked-grid
+        # design — Mosaic's automatic pipelining already hides the DMA,
+        # so the per-time-chunk grid overhead is not the wall; (b)
+        # fusing BOTH biLSTM directions into one launch (halving kernel
+        # launches) also measured equal — the wall is the serial
+        # per-step recurrence latency (~8 µs/step), which no amount of
+        # launch/DMA restructuring removes; (c) manual DMA requires the
+        # sliced dim to be 128-lane aligned, forcing inert lane padding
+        # (H→512, 4H→1664) that complicates every index calculation.
+        from .pallas_lstm import (
+            fused_lstm_recurrence as fused_recurrence,
+        )
 
         mask = (
             h_dropout_mask
@@ -224,11 +228,10 @@ def bidirectional_lstm(
     final state concatenates both directions' last-valid states — sized
     for the reference's decoder (2×400 → 800, SURVEY §2.8).
 
-    With ``use_pallas='dma'`` both directions run in ONE fused kernel
-    (ops/pallas_lstm_dma.fused_bilstm_recurrence_dma): the two serial
-    chains are independent, so interleaving them per step hides each
-    chain's matmul/VPU latency behind the other's compute — a
-    bidirectional layer costs roughly one unidirectional launch.
+    (A round-2 variant fused both directions into ONE kernel launch,
+    interleaving the two independent serial chains per step; it
+    measured EQUAL to the two-launch path below and doubled the scoped
+    VMEM stack — pruned in round 3, lessons recorded in lstm_scan.)
     """
     mask_f, mask_b = h_dropout_masks if h_dropout_masks else (None, None)
     if use_pallas is True:
@@ -269,47 +272,6 @@ def bidirectional_lstm(
         return jnp.concatenate([out_f, out_b], axis=-1), (
             jnp.concatenate([h_f, h_b], axis=-1),
             jnp.concatenate([c_f, c_b], axis=-1),
-        )
-    if use_pallas == "dma":
-        from .pallas_lstm_dma import fused_bilstm_recurrence_dma
-
-        T, B, _ = xs.shape
-        H = params_fwd["wh"].shape[0]
-        xs_rev = reverse_padded(xs, lengths)
-
-        def proj(p, x):
-            return (
-                jnp.dot(
-                    x.astype(compute_dtype),
-                    p["wx"].astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                + p["b"]
-            )
-
-        xw2 = jnp.stack(
-            [proj(params_fwd, xs), proj(params_bwd, xs_rev)], axis=1
-        )  # (T, 2, B, 4H)
-        if compute_dtype == jnp.bfloat16:
-            xw2 = xw2.astype(jnp.bfloat16)
-        wh2 = jnp.stack([params_fwd["wh"], params_bwd["wh"]], axis=0)
-        ones = jnp.ones((B, H), jnp.float32)
-        mask2 = jnp.stack(
-            [
-                mask_f if mask_f is not None else ones,
-                mask_b if mask_b is not None else ones,
-            ],
-            axis=0,
-        )
-        zeros = jnp.zeros((2, B, H), jnp.float32)
-        h_seq2, hT2, cT2 = fused_bilstm_recurrence_dma(
-            xw2, wh2, lengths, zeros, zeros, mask2, pallas_interpret
-        )
-        out_b = reverse_padded(h_seq2[:, 1], lengths)
-        outputs = jnp.concatenate([h_seq2[:, 0], out_b], axis=-1)
-        return outputs, (
-            jnp.concatenate([hT2[0], hT2[1]], axis=-1),
-            jnp.concatenate([cT2[0], cT2[1]], axis=-1),
         )
     out_f, (h_f, c_f) = lstm_scan(
         params_fwd, xs, lengths, None, mask_f, compute_dtype,

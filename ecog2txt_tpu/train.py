@@ -454,7 +454,7 @@ class MultiSubjectTrainer:
                 )
                 else None
             ),
-            # False | True (chunked-grid kernels) | 'dma' (single-launch)
+            # False | True (chunked-grid Pallas kernels)
             use_pallas_lstm=self.SN_kwargs.get("use_pallas_lstm", False),
             # 'bfloat16' for MXU-native matmuls (fp32 accumulation
             # everywhere; params stay fp32) — the TPU setting
@@ -919,19 +919,25 @@ class MultiSubjectTrainer:
     ) -> dict[str, dict]:
         """Greedy-decode each partition with the (EMA) weights; returns
         per-partition WER / accuracy / confusions (the reference's
-        assessments dict, trainers.py:591-610)."""
+        assessments dict, trainers.py:591-610).
+
+        All decode calls are DISPATCHED first and transferred after: a
+        synchronous per-call round trip costs ~19 ms of tunnel/dispatch
+        latency on top of ~24 ms device time at reference scale
+        (measured r3, RESULTS.md) — pipelining the dispatches hides it,
+        so an assessment sweep runs at device speed."""
         if params is None:
             params = self.state.ema if use_ema else self.state.params
         decode = self._decode_fn()
         dec_list = self.target_subject.data_manifests[
             "decoder_targets"
         ].feature_list
-        out: dict[str, dict] = {}
+        # phase 1: dispatch every (partition, subject) decode — results
+        # stay on device so the host never blocks between launches
+        pending: dict[str, list] = {p: [] for p in partitions}
         for partition in partitions:
             ds = self.packed_dataset(partition)
             dev = self.device_data(partition)
-            all_refs, all_hyps = [], []
-            true_ids, pred_ids = [], []
             for s in range(ds.num_subjects):
                 n = int(ds.num_trials[s])
                 if n == 0:
@@ -942,14 +948,22 @@ class MultiSubjectTrainer:
                     jax.random.PRNGKey(self.seed),
                     s * 7 + list(DATA_PARTITIONS).index(partition),
                 )
-                tokens = decode(
+                tokens_dev = decode(
                     params,
                     dev["encoder_inputs"][s],
                     dev["encoder_lengths"][s],
                     jnp.asarray(s, jnp.int32),
                     rng,
                 )
-                tokens = np.asarray(tokens)[:n]
+                pending[partition].append((s, n, tokens_dev))
+        # phase 2: transfer + score
+        out: dict[str, dict] = {}
+        for partition in partitions:
+            ds = self.packed_dataset(partition)
+            all_refs, all_hyps = [], []
+            true_ids, pred_ids = [], []
+            for s, n, tokens_dev in pending[partition]:
+                tokens = np.asarray(tokens_dev)[:n]
                 hyps = target_inds_to_sequences(tokens, dec_list)
                 refs = target_inds_to_sequences(
                     ds.decoder_targets[s][:n], dec_list

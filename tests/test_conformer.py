@@ -98,6 +98,35 @@ def test_banded_long_recording_grad(params, rng):
     assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+@pytest.mark.slow
+def test_long_recording_offline_encode(params, rng):
+    """8k-step offline encode — the VERDICT r2 'done' criterion for the
+    banded path: no (T, T) materialization (O(T·window) memory), and
+    the bounded receptive field means the last chunk equals a windowed
+    re-encode at the right absolute offset (the ConformerStream
+    invariant, exercised here at a length where the dense oracle would
+    need a 8192² score matrix per head)."""
+    T = 8192
+    C = CFG.chunk_size
+    xs = jnp.asarray(rng.normal(size=(1, T, 8)), jnp.float32)
+    out, _ = conformer_encode(params, CFG, xs, jnp.asarray([T], jnp.int32))
+    assert out.shape == (1, T, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # windowed recompute of the tail: receptive field bounds mean the
+    # final chunk depends only on the last `window` steps
+    stream = ConformerStream(params, CFG)
+    W = stream.window_steps
+    tail_in = xs[:, T - W :]
+    tail_out, _ = conformer_encode(
+        params, CFG, tail_in, jnp.asarray([T], jnp.int32),
+        position_offset=T - W, mask_invalid=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tail_out[:, -C:]), np.asarray(out[:, -C:]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_output_shape_and_finite(params, rng):
     xs = jnp.asarray(rng.normal(size=(2, 16, 8)), jnp.float32)
     out, carry = conformer_encode(params, CFG, xs, jnp.asarray([16, 10]))
