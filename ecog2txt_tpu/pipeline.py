@@ -67,76 +67,69 @@ class PackedDataset:
         return out
 
 
-def pack_partition(
-    subjects: Sequence[ECoGSubject],
-    partition: str,
-    pad_channels_to: int | None = None,
-    pad_time_multiple: int | None = None,
-    max_samples: int | None = None,
-) -> PackedDataset:
-    """Parse + pad one partition for all subjects.
+def _trial_from_example(
+    example: dict, manifests: dict, cap: int, aux_keys: dict
+) -> dict:
+    """example (per-manifest parsed tensors) → packed-trial dict,
+    clipping to ``cap`` samples and collapsing CTC alignments.  Updates
+    ``aux_keys`` (name → distribution) as new aux tensors appear."""
+    enc = example["encoder_inputs"]
+    if len(enc) > cap:
+        enc = enc[:cap]
+    trial = {"encoder_inputs": enc}
+    for key, manifest in manifests.items():
+        if key in ("encoder_inputs", "decoder_targets"):
+            continue
+        value = example.get(key)
+        if value is None:
+            continue
+        aux_keys[key] = manifest.distribution
+        if manifest.distribution == "CTC":
+            # alignment-free target: collapse frame-aligned labels to
+            # the label sequence (models/ctc.py)
+            from .models.ctc import collapse_alignment
 
-    ``pad_time_multiple`` defaults to the decimation factor; trials
-    longer than ``max_samples`` (default: each generator's cap, reference
-    data_generators.py:298-313) are clipped with the same semantics.
-    """
-    per_subject: list[dict[str, Any]] = []
-    C_max = 0
-    T_max = 0
-    L_max = 1
-    N_max = 1
+            trial[key] = collapse_alignment(value)
+        else:
+            trial[key] = value[: len(enc)]
+    trial["decoder_targets"] = example["decoder_targets"]
+    return trial
+
+
+@dataclass
+class PackDims:
+    """Global padding dimensions shared by every shard of a partition
+    (so the jitted train segment compiles once)."""
+
+    N_max: int
+    T_max: int
+    C_max: int
+    L_max: int
+    aux_keys: dict[str, str]  # name → distribution
+    aux_ctc_len: dict[str, int]
+    aux_gauss_dim: dict[str, int]
+
+
+def _measure_dims(
+    per_subject: list[dict],
+    pad_channels_to: int | None,
+    pad_time_multiple: int | None,
+) -> PackDims:
+    C_max = T_max = 0
+    L_max = N_max = 1
     aux_keys: dict[str, str] = {}
-
-    for subject in subjects:
-        manifests = subject.data_manifests
-        cap = max_samples or subject.data_generator.max_samples
-        trials = []
-        for example in subject.iterate_examples(partition):
-            enc = example["encoder_inputs"]
-            if len(enc) > cap:
-                enc = enc[:cap]
-            trial = {"encoder_inputs": enc}
-            for key, manifest in manifests.items():
-                if key in ("encoder_inputs", "decoder_targets"):
-                    continue
-                value = example.get(key)
-                if value is None:
-                    continue
-                aux_keys[key] = manifest.distribution
-                if manifest.distribution == "CTC":
-                    # alignment-free target: collapse frame-aligned
-                    # labels to the label sequence (models/ctc.py)
-                    from .models.ctc import collapse_alignment
-
-                    trial[key] = collapse_alignment(value)
-                else:
-                    trial[key] = value[: len(enc)]
-            trial["decoder_targets"] = example["decoder_targets"]
-            trials.append(trial)
-        per_subject.append({"trials": trials, "manifests": manifests})
-        for t in trials:
+    aux_ctc: dict[str, int] = {}
+    aux_gauss: dict[str, int] = {}
+    for ps in per_subject:
+        for t in ps["trials"]:
             T_max = max(T_max, len(t["encoder_inputs"]))
             C_max = max(C_max, t["encoder_inputs"].shape[1])
             L_max = max(L_max, len(t["decoder_targets"]))
-        N_max = max(N_max, len(trials))
-
-    if pad_channels_to is not None:
-        C_max = max(C_max, pad_channels_to)
-    decim = pad_time_multiple or 1
-    T_max = _round_up(max(T_max, decim), decim)
-
-    S = len(subjects)
-    enc = np.zeros((S, N_max, T_max, C_max), np.float32)
-    enc_len = np.zeros((S, N_max), np.int32)
-    dec = np.zeros((S, N_max, L_max), np.int32)
-    dec_len = np.zeros((S, N_max), np.int32)
-    mask = np.zeros((S, N_max), bool)
-    aux: dict[str, np.ndarray] = {}
-    refs: list[list[list[str]]] = []
-
+        N_max = max(N_max, len(ps["trials"]))
+        aux_keys.update(ps.get("aux_keys", {}))
     for key, dist in aux_keys.items():
         if dist == "CTC":
-            L_aux = max(
+            aux_ctc[key] = max(
                 (
                     len(t[key])
                     for ps in per_subject
@@ -145,12 +138,8 @@ def pack_partition(
                 ),
                 default=1,
             )
-            aux[key] = np.zeros((S, N_max, L_aux), np.int32)
-            aux[f"{key}_lengths"] = np.zeros((S, N_max), np.int32)
-        elif dist == "categorical":
-            aux[key] = np.zeros((S, N_max, T_max), np.int32)
-        else:
-            F = max(
+        elif dist != "categorical":
+            aux_gauss[key] = max(
                 (
                     t[key].shape[1]
                     for ps in per_subject
@@ -159,9 +148,40 @@ def pack_partition(
                 ),
                 default=1,
             )
-            aux[key] = np.zeros((S, N_max, T_max, F), np.float32)
+    if pad_channels_to is not None:
+        C_max = max(C_max, pad_channels_to)
+    decim = pad_time_multiple or 1
+    T_max = _round_up(max(T_max, decim), decim)
+    return PackDims(N_max, T_max, C_max, L_max, aux_keys, aux_ctc, aux_gauss)
 
-    for s, (subject, ps) in enumerate(zip(subjects, per_subject)):
+
+def _pack_trials(
+    per_subject: list[dict], dims: PackDims
+) -> PackedDataset:
+    """Fill the padded (S, N, ...) arrays from per-subject trial lists.
+    ``per_subject[s]`` = {'trials': [...], 'manifests': ..., optional
+    'offset': first trial's row index (lazy shards)}."""
+    S = len(per_subject)
+    N_max = dims.N_max
+    enc = np.zeros((S, N_max, dims.T_max, dims.C_max), np.float32)
+    enc_len = np.zeros((S, N_max), np.int32)
+    dec = np.zeros((S, N_max, dims.L_max), np.int32)
+    dec_len = np.zeros((S, N_max), np.int32)
+    mask = np.zeros((S, N_max), bool)
+    aux: dict[str, np.ndarray] = {}
+    refs: list[list[list[str]]] = []
+    for key, dist in dims.aux_keys.items():
+        if dist == "CTC":
+            aux[key] = np.zeros((S, N_max, dims.aux_ctc_len[key]), np.int32)
+            aux[f"{key}_lengths"] = np.zeros((S, N_max), np.int32)
+        elif dist == "categorical":
+            aux[key] = np.zeros((S, N_max, dims.T_max), np.int32)
+        else:
+            aux[key] = np.zeros(
+                (S, N_max, dims.T_max, dims.aux_gauss_dim[key]), np.float32
+            )
+
+    for s, ps in enumerate(per_subject):
         manifests = ps["manifests"]
         dec_manifest = manifests["decoder_targets"]
         pad_id = int(dec_manifest.padding_value)
@@ -179,7 +199,7 @@ def pack_partition(
                 if key not in trial:
                     continue
                 v = trial[key]
-                if aux_keys.get(key) == "CTC":
+                if dims.aux_keys.get(key) == "CTC":
                     aux[key][s, n, : len(v)] = v
                     aux[f"{key}_lengths"][s, n] = len(v)
                 elif v.ndim == 1:
@@ -187,10 +207,10 @@ def pack_partition(
                     # the zero tail never enters the loss (seq2seq_loss
                     # reverses the valid prefix by encoder_lengths and
                     # masks by step)
-                    L = min(len(v), T_max)
+                    L = min(len(v), dims.T_max)
                     aux[key][s, n, :L] = v[:L]
                 else:
-                    L = min(len(v), T_max)
+                    L = min(len(v), dims.T_max)
                     aux[key][s, n, :L, : v.shape[1]] = v[:L]
             if dec_manifest.feature_list is not None:
                 tokens = [
@@ -200,6 +220,7 @@ def pack_partition(
             else:
                 tokens = [str(i) for i in trial["decoder_targets"]]
             subject_refs.append(tokens)
+        subject_refs += [[]] * (N_max - len(subject_refs))
         refs.append(subject_refs)
 
     return PackedDataset(
@@ -211,6 +232,229 @@ def pack_partition(
         trial_mask=mask,
         references=refs,
     )
+
+
+def pack_partition(
+    subjects: Sequence[ECoGSubject],
+    partition: str,
+    pad_channels_to: int | None = None,
+    pad_time_multiple: int | None = None,
+    max_samples: int | None = None,
+) -> PackedDataset:
+    """Parse + pad one partition for all subjects.
+
+    ``pad_time_multiple`` defaults to the decimation factor; trials
+    longer than ``max_samples`` (default: each generator's cap, reference
+    data_generators.py:298-313) are clipped with the same semantics.
+    """
+    per_subject: list[dict[str, Any]] = []
+    for subject in subjects:
+        manifests = subject.data_manifests
+        cap = max_samples or subject.data_generator.max_samples
+        aux_keys: dict[str, str] = {}
+        trials = [
+            _trial_from_example(example, manifests, cap, aux_keys)
+            for example in subject.iterate_examples(partition)
+        ]
+        per_subject.append(
+            {"trials": trials, "manifests": manifests, "aux_keys": aux_keys}
+        )
+    dims = _measure_dims(per_subject, pad_channels_to, pad_time_multiple)
+    packed = _pack_trials(per_subject, dims)
+    # full pack keeps exact (non-padded) reference lists
+    packed.references = [
+        refs[: int(n)]
+        for refs, n in zip(packed.references, packed.num_trials)
+    ]
+    return packed
+
+
+class LazyShardedDataset:
+    """Shard-at-a-time loader over TFRecords: host memory stays
+    O(shard), never O(corpus) (VERDICT r2 #4).
+
+    Construction makes ONE streaming pass over the partition's records
+    to learn the global padding dims and retain only the SMALL per-
+    trial tensors (decoder targets, CTC label sequences, reference
+    strings) plus each trial's (file, record#) address.  Iterating
+    yields :class:`PackedDataset` shards of ``shard_trials`` rows whose
+    heavy tensors (ECoG, frame-aligned aux) are re-read on demand
+    through :class:`records.RecordFile` — random access over the mmap'd
+    framing index, so a shard touches only its own bytes.
+
+    Every shard has identical shapes (global dims), so the jitted train
+    segment compiles once; shard k holds rows [k·shard, (k+1)·shard) of
+    EVERY subject, exactly like ``shard_dataset`` slicing a fully
+    packed partition (asserted equal in tests)."""
+
+    def __init__(
+        self,
+        subjects: Sequence[ECoGSubject],
+        partition: str,
+        shard_trials: int,
+        pad_channels_to: int | None = None,
+        pad_time_multiple: int | None = None,
+        max_samples: int | None = None,
+    ):
+        from .records import read_examples
+
+        self.subjects = list(subjects)
+        self.partition = partition
+        self.shard_trials = int(shard_trials)
+        self._meta: list[dict] = []  # per subject
+        per_subject_probe = []
+        for subject in self.subjects:
+            manifests = subject.data_manifests
+            cap = max_samples or subject.data_generator.max_samples
+            aux_keys: dict[str, str] = {}
+            small: list[dict] = []  # per trial: address + small tensors
+            probe_trials = []
+            for block in sorted(subject.block_ids(partition)):
+                path = subject.data_generator.tf_record_path(block)
+                for r, raw in enumerate(read_examples(path)):
+                    example = {
+                        key: manifest.parse(raw[manifest.sequence_type])
+                        for key, manifest in manifests.items()
+                        if raw.get(manifest.sequence_type) is not None
+                    }
+                    trial = _trial_from_example(
+                        example, manifests, cap, aux_keys
+                    )
+                    # measure, then DROP the heavy tensors
+                    probe_trials.append(
+                        {
+                            "encoder_inputs": trial["encoder_inputs"][:0],
+                            "decoder_targets": trial["decoder_targets"],
+                            **{
+                                k: trial[k]
+                                for k, d in aux_keys.items()
+                                if k in trial and d == "CTC"
+                            },
+                        }
+                    )
+                    t_shape = trial["encoder_inputs"].shape
+                    gauss = {
+                        k: trial[k].shape[1]
+                        for k, d in aux_keys.items()
+                        if k in trial and d not in ("CTC", "categorical")
+                        and trial[k].ndim == 2
+                    }
+                    small.append(
+                        {
+                            "path": path,
+                            "record": r,
+                            "T": int(t_shape[0]),
+                            "C": int(t_shape[1]),
+                            "gauss": gauss,
+                            "decoder_targets": trial["decoder_targets"],
+                            "ctc": {
+                                k: trial[k]
+                                for k, d in aux_keys.items()
+                                if k in trial and d == "CTC"
+                            },
+                        }
+                    )
+            self._meta.append(
+                {
+                    "manifests": manifests,
+                    "cap": cap,
+                    "aux_keys": aux_keys,
+                    "trials": small,
+                }
+            )
+            per_subject_probe.append(
+                {
+                    "trials": probe_trials,
+                    "manifests": manifests,
+                    "aux_keys": aux_keys,
+                }
+            )
+        dims = _measure_dims(
+            per_subject_probe, pad_channels_to, pad_time_multiple
+        )
+        # dims from the probe lack T/C (heavy tensors were dropped) and
+        # Gaussian feature dims — restore them from the recorded shapes
+        T_raw = max(
+            (t["T"] for m in self._meta for t in m["trials"]), default=0
+        )
+        decim = pad_time_multiple or 1
+        dims.T_max = _round_up(max(T_raw, decim), decim)
+        dims.C_max = max(
+            max(
+                (t["C"] for m in self._meta for t in m["trials"]),
+                default=0,
+            ),
+            pad_channels_to or 0,
+        )
+        for key in list(dims.aux_gauss_dim):
+            dims.aux_gauss_dim[key] = max(
+                (
+                    t["gauss"].get(key, 1)
+                    for m in self._meta
+                    for t in m["trials"]
+                ),
+                default=1,
+            )
+        dims.N_max = self.shard_trials
+        self.dims = dims
+        self._record_files: dict[str, Any] = {}
+
+    @property
+    def num_trials(self) -> np.ndarray:
+        return np.asarray([len(m["trials"]) for m in self._meta])
+
+    @property
+    def num_subjects(self) -> int:
+        return len(self._meta)
+
+    def __len__(self) -> int:
+        n = int(self.num_trials.max()) if len(self._meta) else 0
+        return max(-(-n // self.shard_trials), 1)
+
+    def _record_file(self, path: str):
+        from .records import RecordFile
+
+        rf = self._record_files.get(path)
+        if rf is None:
+            rf = self._record_files[path] = RecordFile(path)
+        return rf
+
+    def _materialize(self, start: int, end: int) -> PackedDataset:
+        per_subject = []
+        for meta in self._meta:
+            manifests = meta["manifests"]
+            trials = []
+            for info in meta["trials"][start:end]:
+                raw = self._record_file(info["path"]).example(info["record"])
+                example = {
+                    key: manifest.parse(raw[manifest.sequence_type])
+                    for key, manifest in manifests.items()
+                    if raw.get(manifest.sequence_type) is not None
+                }
+                trials.append(
+                    _trial_from_example(
+                        example, manifests, meta["cap"], dict(meta["aux_keys"])
+                    )
+                )
+            per_subject.append(
+                {
+                    "trials": trials,
+                    "manifests": manifests,
+                    "aux_keys": meta["aux_keys"],
+                }
+            )
+        return _pack_trials(per_subject, self.dims)
+
+    def __iter__(self):
+        for k in range(len(self)):
+            yield self._materialize(
+                k * self.shard_trials, (k + 1) * self.shard_trials
+            )
+
+    def close(self) -> None:
+        for rf in self._record_files.values():
+            rf.close()
+        self._record_files.clear()
 
 
 def restrict_trials(

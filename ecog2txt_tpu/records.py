@@ -455,7 +455,12 @@ def read_examples(path: str) -> Iterator[dict[str, Any]]:
         if first_len >= 4096:
             yield from read_examples_native(path, lib=lib)
             return
-    for payload in tfrecord_iterator(path):
+    # small-record fallback: CRC-verify whenever the native CRC32C is
+    # available (near-free); with no native lib at all, verification is
+    # skipped here — pure-python CRC over a whole file is slower than
+    # the decode itself (use tfrecord_iterator(path, verify=True) to
+    # force it).
+    for payload in tfrecord_iterator(path, verify=_load_native() is not None):
         yield parse_example(payload)
 
 
@@ -476,88 +481,177 @@ def read_examples_native(
             parse_example(p) for p in tfrecord_iterator(path, verify=verify)
         )
         return
-    import mmap
+    with RecordFile(path, verify=verify) as rf:
+        for i in range(len(rf)):
+            yield rf.example(i)
 
-    f = open(path, "rb")
-    try:
-        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-    except ValueError:  # zero-length file
-        f.close()
-        return
-    try:
-        buf = np.frombuffer(mm, dtype=np.uint8)
-        base = buf.ctypes.data
-        total = len(buf)
-        cap = total // 16 + 1  # every record is ≥ 16 framing bytes
-        offsets = np.empty(cap, dtype=np.uint64)
-        lengths = np.empty(cap, dtype=np.uint64)
-        u64p = ctypes.POINTER(ctypes.c_uint64)
-        count = lib.fastio_tfrecord_index2(
-            ctypes.c_void_p(base), total, int(verify),
-            offsets.ctypes.data_as(u64p), lengths.ctypes.data_as(u64p), cap,
-        )
-        if count < 0:
-            reason = {
-                -1: "corrupt framing",
-                -2: "header CRC mismatch",
-                -3: "payload CRC mismatch",
-            }[count]
-            raise IOError(f"{path}: {reason}")
-        koff = np.empty(_MAX_FEATURES, dtype=np.uint64)
-        klen = np.empty(_MAX_FEATURES, dtype=np.uint64)
-        kinds = np.empty(_MAX_FEATURES, dtype=np.int32)
-        voff = np.empty(_MAX_FEATURES, dtype=np.uint64)
-        vlen = np.empty(_MAX_FEATURES, dtype=np.uint64)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        for r in range(count):
-            off, length = int(offsets[r]), int(lengths[r])
-            nfeat = lib.fastio_example_index(
-                ctypes.c_void_p(base + off), length,
-                koff.ctypes.data_as(u64p), klen.ctypes.data_as(u64p),
-                kinds.ctypes.data_as(i32p),
-                voff.ctypes.data_as(u64p), vlen.ctypes.data_as(u64p),
-                _MAX_FEATURES,
+
+def _decode_example_native(lib, mm, base, off, length, path):
+    """Decode ONE Example record at (off, length) in an mmap'd file via
+    the native feature-table indexer; falls back to the Python decoder
+    for records outside the indexer's fast shape."""
+    koff = np.empty(_MAX_FEATURES, dtype=np.uint64)
+    klen = np.empty(_MAX_FEATURES, dtype=np.uint64)
+    kinds = np.empty(_MAX_FEATURES, dtype=np.int32)
+    voff = np.empty(_MAX_FEATURES, dtype=np.uint64)
+    vlen = np.empty(_MAX_FEATURES, dtype=np.uint64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    nfeat = lib.fastio_example_index(
+        ctypes.c_void_p(base + off), length,
+        koff.ctypes.data_as(u64p), klen.ctypes.data_as(u64p),
+        kinds.ctypes.data_as(i32p),
+        voff.ctypes.data_as(u64p), vlen.ctypes.data_as(u64p),
+        _MAX_FEATURES,
+    )
+    if nfeat in (-2, -3):
+        # valid but outside the indexer's fast shape (>_MAX_FEATURES
+        # features, or a list field split across occurrences): full
+        # Python decode for this record
+        return parse_example(bytes(mm[off : off + length]))
+    if nfeat < 0:
+        raise IOError(f"{path}: malformed Example record")
+    out: dict[str, Any] = {}
+    for k in range(nfeat):
+        a = off + int(koff[k])
+        key = bytes(mm[a : a + int(klen[k])]).decode("utf-8")
+        vo, vl = off + int(voff[k]), int(vlen[k])
+        kind = int(kinds[k])
+        if kind == 2:  # float_list: ≤ vl/4 packed floats
+            arr = np.empty(vl // 4 + 1, dtype=np.float32)
+            n = lib.fastio_decode_floats(
+                ctypes.c_void_p(base + vo), vl,
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                len(arr),
             )
-            if nfeat in (-2, -3):
-                # valid but outside the indexer's fast shape (>_MAX_
-                # FEATURES features, or a list field split across
-                # occurrences): full Python decode for this record
-                yield parse_example(bytes(mm[off : off + length]))
-                continue
-            if nfeat < 0:
-                raise IOError(f"{path}: malformed Example in record {r}")
-            out: dict[str, Any] = {}
-            for k in range(nfeat):
-                a = off + int(koff[k])
-                key = bytes(mm[a : a + int(klen[k])]).decode("utf-8")
-                vo, vl = off + int(voff[k]), int(vlen[k])
-                kind = int(kinds[k])
-                if kind == 2:  # float_list: ≤ vl/4 packed floats
-                    arr = np.empty(vl // 4 + 1, dtype=np.float32)
-                    n = lib.fastio_decode_floats(
-                        ctypes.c_void_p(base + vo), vl,
-                        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                        len(arr),
+            if n < 0:
+                raise IOError(f"{path}: bad float list {key!r}")
+            out[key] = arr[:n]
+        elif kind == 3:  # int64_list: ≤ vl packed varints
+            arr = np.empty(vl + 1, dtype=np.int64)
+            n = lib.fastio_decode_int64s(
+                ctypes.c_void_p(base + vo), vl,
+                arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(arr),
+            )
+            if n < 0:
+                raise IOError(f"{path}: bad int64 list {key!r}")
+            out[key] = arr[:n]
+        elif kind == 1:  # bytes_list: decoded in Python (small)
+            out[key] = _decode_bytes_list(bytes(mm[vo : vo + vl]))
+        else:  # empty Feature{} — match the Python decoder
+            out[key] = np.zeros(0, dtype=np.float32)
+    return out
+
+
+class RecordFile:
+    """Random-access TFRecord file: ONE framing (+CRC) index pass up
+    front, then :meth:`example`(i) decodes a single record on demand.
+
+    This is the primitive under the lazy host data pipeline (VERDICT r2
+    #4): payloads live in an mmap and are only touched when decoded, so
+    holding a RecordFile open costs O(index) host memory — a shard
+    loader can re-read exactly the trials it needs at native speed
+    instead of materializing the whole corpus.
+
+    Uses the native fastio indexer/decoder when available; otherwise a
+    Python framing walk + Python Example decode (identical results,
+    tested)."""
+
+    def __init__(self, path: str, verify: bool = True):
+        self._path = path
+        self._lib = _load_native()
+        self._f = open(path, "rb")
+        try:
+            import mmap as _mmap
+
+            self._mm = _mmap.mmap(
+                self._f.fileno(), 0, access=_mmap.ACCESS_READ
+            )
+        except ValueError:  # zero-length file
+            self._mm = None
+            self._offsets = np.zeros(0, np.uint64)
+            self._lengths = np.zeros(0, np.uint64)
+            return
+        self._buf = np.frombuffer(self._mm, dtype=np.uint8)
+        self._base = self._buf.ctypes.data
+        total = len(self._buf)
+        if self._lib is not None:
+            cap = total // 16 + 1  # every record is ≥ 16 framing bytes
+            offsets = np.empty(cap, dtype=np.uint64)
+            lengths = np.empty(cap, dtype=np.uint64)
+            u64p = ctypes.POINTER(ctypes.c_uint64)
+            count = self._lib.fastio_tfrecord_index2(
+                ctypes.c_void_p(self._base), total, int(verify),
+                offsets.ctypes.data_as(u64p),
+                lengths.ctypes.data_as(u64p), cap,
+            )
+            if count < 0:
+                reason = {
+                    -1: "corrupt framing",
+                    -2: "header CRC mismatch",
+                    -3: "payload CRC mismatch",
+                }.get(count, f"indexer error {count}")
+                raise IOError(f"{path}: {reason}")
+            self._offsets = offsets[:count]
+            self._lengths = lengths[:count]
+        else:
+            offs, lens = [], []
+            data, pos, n = self._mm, 0, total
+            while pos < n:
+                if pos + 12 > n:
+                    raise IOError(
+                        f"truncated record header at byte {pos} of {path}"
                     )
-                    if n < 0:
-                        raise IOError(f"{path}: bad float list {key!r}")
-                    out[key] = arr[:n]
-                elif kind == 3:  # int64_list: ≤ vl packed varints
-                    arr = np.empty(vl + 1, dtype=np.int64)
-                    n = lib.fastio_decode_int64s(
-                        ctypes.c_void_p(base + vo), vl,
-                        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                        len(arr),
+                (length,) = struct.unpack_from("<Q", data, pos)
+                end = pos + 12 + length
+                if end + 4 > n:
+                    raise IOError(
+                        f"truncated record payload at byte {pos} of {path}"
                     )
-                    if n < 0:
-                        raise IOError(f"{path}: bad int64 list {key!r}")
-                    out[key] = arr[:n]
-                elif kind == 1:  # bytes_list: decoded in Python (small)
-                    out[key] = _decode_bytes_list(bytes(mm[vo : vo + vl]))
-                else:  # empty Feature{} — match the Python decoder
-                    out[key] = np.zeros(0, dtype=np.float32)
-            yield out
-    finally:
-        del buf
-        mm.close()
-        f.close()
+                if verify:
+                    (hdr_crc,) = struct.unpack_from("<I", data, pos + 8)
+                    (pay_crc,) = struct.unpack_from("<I", data, end)
+                    if masked_crc32c(data[pos : pos + 8]) != hdr_crc:
+                        raise IOError(
+                            f"header CRC mismatch at byte {pos} of {path}"
+                        )
+                    if masked_crc32c(data[pos + 12 : end]) != pay_crc:
+                        raise IOError(
+                            f"payload CRC mismatch at byte {pos} of {path}"
+                        )
+                offs.append(pos + 12)
+                lens.append(length)
+                pos = end + 4
+            self._offsets = np.asarray(offs, np.uint64)
+            self._lengths = np.asarray(lens, np.uint64)
+
+    def __len__(self) -> int:
+        return len(self._offsets)
+
+    def payload(self, i: int) -> bytes:
+        off, length = int(self._offsets[i]), int(self._lengths[i])
+        return bytes(self._mm[off : off + length])
+
+    def example(self, i: int) -> dict[str, Any]:
+        """Decode record ``i`` into the read_examples dict structure."""
+        off, length = int(self._offsets[i]), int(self._lengths[i])
+        if self._lib is not None:
+            return _decode_example_native(
+                self._lib, self._mm, self._base, off, length, self._path
+            )
+        return parse_example(self.payload(i))
+
+    def close(self) -> None:
+        if getattr(self, "_mm", None) is not None:
+            del self._buf
+            self._mm.close()
+            self._mm = None
+        if not self._f.closed:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

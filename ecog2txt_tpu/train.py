@@ -706,11 +706,41 @@ class MultiSubjectTrainer:
             )
         num_epochs = num_epochs or self.N_epochs
         self.write_tf_records_maybe()
-        train_data = self.packed_dataset("training")
+        # lazy host pipeline (SN_kwargs max_host_trials): the corpus is
+        # never fully materialized in host RAM — shards of that many
+        # trials are re-read from the records' framing index on demand
+        # (pipeline.LazyShardedDataset over records.RecordFile).
+        # Composes with max_device_trials: the shard size is the
+        # smaller of the two budgets.
+        max_host = self.SN_kwargs.get("max_host_trials")
+        lazy_shards = None
+        if max_host:
+            if self._trial_subset:
+                raise NotImplementedError(
+                    "max_host_trials with restricted trial subsets "
+                    "(perf-vs-size sweeps) is not supported"
+                )
+            from .pipeline import LazyShardedDataset
+
+            max_dev_b = self.SN_kwargs.get("max_device_trials")
+            shard_trials = min(
+                int(max_host), int(max_dev_b or max_host)
+            )
+            lazy_shards = LazyShardedDataset(
+                self.ecog_subjects,
+                "training",
+                shard_trials,
+                pad_channels_to=self.net_config.in_channels,
+                pad_time_multiple=self.net_config.decimation_factor,
+            )
+            train_counts = lazy_shards.num_trials
+        else:
+            train_data = self.packed_dataset("training")
+            train_counts = train_data.num_trials
         steps_per_epoch = int(
             sum(
                 -(-int(n) // self.batch_size)
-                for n in train_data.num_trials
+                for n in train_counts
                 if n > 0
             )
         )
@@ -751,15 +781,22 @@ class MultiSubjectTrainer:
         # host-sharded streaming when the corpus exceeds the device
         # budget (SN_kwargs max_device_trials): shards upload one at a
         # time; within a segment each shard trains `segment` epochs in
-        # turn (block-sequential sampling — documented tradeoff)
+        # turn (block-sequential sampling — documented tradeoff).  With
+        # max_host_trials the shards come from the lazy record-backed
+        # loader instead of slices of a resident corpus — same shapes,
+        # same schedule, host memory O(shard).
         max_dev = self.SN_kwargs.get("max_device_trials")
-        streaming = bool(max_dev) and train_data.encoder_inputs.shape[
-            1
-        ] > int(max_dev)
+        streaming = lazy_shards is not None or (
+            bool(max_dev)
+            and train_data.encoder_inputs.shape[1] > int(max_dev)
+        )
         if streaming:
-            from .pipeline import shard_dataset
+            if lazy_shards is not None:
+                shards = lazy_shards  # re-iterable; materializes per pass
+            else:
+                from .pipeline import shard_dataset
 
-            shards = shard_dataset(train_data, int(max_dev))
+                shards = shard_dataset(train_data, int(max_dev))
             if self.mesh is not None:
                 from .parallel import replicate
 
@@ -866,6 +903,8 @@ class MultiSubjectTrainer:
                 # async: serialization/IO overlaps the next segment
                 self.save_checkpoint(epoch, wait=False)
         self._wait_for_checkpoint()
+        if lazy_shards is not None:
+            lazy_shards.close()
         self.assessments = history
         return history
 
