@@ -112,92 +112,128 @@ def _logsumexp2(a: float, b: float) -> float:
     return m + math.log(math.exp(a - m) + math.exp(b - m))
 
 
+class CTCWordBeamState:
+    """Carryable lexicon-constrained CTC prefix-beam state.
+
+    The per-step transition is identical to the classic from-scratch
+    search, so ``advance`` over a stream of chunks produces EXACTLY the
+    beams of one ``advance`` over the concatenation (the search is a
+    per-step recurrence; pruning happens after every step either way —
+    tested).  This is the incremental entry point a streaming
+    ``partial()`` needs (VERDICT r2 #5): per-call cost is O(new steps),
+    not O(history).
+
+    Beam key: (words emitted, partial phoneme tuple, last phoneme id) →
+    [trie node, log p ending in blank/boundary, log p ending
+    non-blank].  ``last`` is PART OF THE KEY: two beams reaching the
+    same (words, partial) via different final phonemes must not merge,
+    or the repeat-needs-blank gate would apply with the wrong phoneme
+    at the next extension (e.g. across a word boundary)."""
+
+    def __init__(
+        self,
+        trie: LexiconTrie,
+        beam_width: int = 16,
+        word_insertion_bonus: float = 0.0,
+    ):
+        self.trie = trie
+        self.beam_width = beam_width
+        self.bonus = word_insertion_bonus
+        NEG = -math.inf
+        self.beams: dict[tuple, list] = {((), (), -1): [trie.root, 0.0, NEG]}
+        self.num_steps = 0
+
+    def advance(self, log_probs: np.ndarray) -> "CTCWordBeamState":
+        """Consume (T_new, K+1) posterior rows; returns self."""
+        trie = self.trie
+        blank = log_probs.shape[1] - 1
+        NEG = -math.inf
+        beams = self.beams
+        for t in range(log_probs.shape[0]):
+            lp = log_probs[t]
+            new: dict[tuple, list] = {}
+
+            def add(key, node, pb, pnb):
+                if key in new:
+                    entry = new[key]
+                    entry[1] = _logsumexp2(entry[1], pb)
+                    entry[2] = _logsumexp2(entry[2], pnb)
+                else:
+                    new[key] = [node, pb, pnb]
+
+            for (words, partial, last), (node, pb, pnb) in beams.items():
+                total = _logsumexp2(pb, pnb)
+                # 1) blank: prefix unchanged
+                add((words, partial, last), node, total + lp[blank], NEG)
+                # 2) repeat last non-blank phoneme: stays in the same
+                # prefix (contributes to the non-blank mass only)
+                if last >= 0 and pnb != NEG:
+                    add((words, partial, last), node, NEG, pnb + lp[last])
+                # 3) extend with a phoneme allowed by the trie
+                for p in trie.children(node):
+                    child = node[p]
+                    # repeated phone needs an intervening blank to extend
+                    src = total if p != last else pb
+                    if src == NEG:
+                        continue
+                    npnb = src + lp[p]
+                    new_partial = partial + (p,)
+                    # continue mid-word
+                    add((words, new_partial, p), child, NEG, npnb)
+                    # or close out any word completed at this node
+                    for word in child["words"]:
+                        add(
+                            (words + (word,), (), p),
+                            trie.root,
+                            NEG,
+                            npnb + self.bonus,
+                        )
+            # prune
+            scored = sorted(
+                new.items(),
+                key=lambda kv: -_logsumexp2(kv[1][1], kv[1][2]),
+            )
+            beams = dict(scored[: self.beam_width])
+        self.beams = beams
+        self.num_steps += log_probs.shape[0]
+        return self
+
+    def best(self) -> list[str]:
+        """Best completed-word hypothesis so far (does not mutate —
+        callable after every chunk)."""
+        NEG = -math.inf
+        # ignore dangling partials; beams differing only in `last`
+        # describe the same word sequence, so merge their mass first
+        by_words: dict[tuple, float] = {}
+        for (words, partial, _last), (node, pb, pnb) in self.beams.items():
+            if partial:
+                continue
+            score = _logsumexp2(pb, pnb)
+            by_words[words] = _logsumexp2(by_words.get(words, NEG), score)
+        if by_words:
+            return list(max(by_words.items(), key=lambda kv: kv[1])[0])
+        if self.beams:
+            (words, _, _), _ = max(
+                self.beams.items(),
+                key=lambda kv: _logsumexp2(kv[1][1], kv[1][2]),
+            )
+            return list(words)
+        return []
+
+
 def ctc_word_beam_search(
     log_probs: np.ndarray,  # (T, K+1) posteriors for ONE utterance
     trie: LexiconTrie,
     beam_width: int = 16,
     word_insertion_bonus: float = 0.0,
 ) -> list[str]:
-    """Lexicon-constrained CTC prefix beam search → best word sequence.
-
-    Beam state: (words emitted so far, current trie node mid-word).
-    Standard blank/non-blank probability split per prefix; completing a
-    word (reaching a trie node with entries) spawns a word boundary.
-    """
-    blank = log_probs.shape[1] - 1
-    NEG = -math.inf
-    # beams: key (words tuple, partial phoneme tuple, last phoneme id) →
-    # [node, log p ending in blank/boundary, log p ending non-blank].
-    # ``last`` is PART OF THE KEY: two beams reaching the same (words,
-    # partial) via different final phonemes must not merge, or the
-    # repeat-needs-blank gate below would apply with the wrong phoneme
-    # at the next extension (e.g. across a word boundary).
-    Beam = tuple  # (words, partial phonemes, last phoneme id)
-    beams: dict[Beam, list] = {((), (), -1): [trie.root, 0.0, NEG]}
-
-    for t in range(log_probs.shape[0]):
-        lp = log_probs[t]
-        new: dict[Beam, list] = {}
-
-        def add(key, node, pb, pnb):
-            if key in new:
-                entry = new[key]
-                entry[1] = _logsumexp2(entry[1], pb)
-                entry[2] = _logsumexp2(entry[2], pnb)
-            else:
-                new[key] = [node, pb, pnb]
-
-        for (words, partial, last), (node, pb, pnb) in beams.items():
-            total = _logsumexp2(pb, pnb)
-            # 1) blank: prefix unchanged
-            add((words, partial, last), node, total + lp[blank], NEG)
-            # 2) repeat last non-blank phoneme: stays in the same prefix
-            # (contributes to the non-blank mass only)
-            if last >= 0 and pnb != NEG:
-                add((words, partial, last), node, NEG, pnb + lp[last])
-            # 3) extend with a phoneme allowed by the trie
-            for p in trie.children(node):
-                child = node[p]
-                # repeated phone needs an intervening blank to extend
-                src = total if p != last else pb
-                if src == NEG:
-                    continue
-                npnb = src + lp[p]
-                new_partial = partial + (p,)
-                # continue mid-word
-                add((words, new_partial, p), child, NEG, npnb)
-                # or close out any word completed at this node
-                for word in child["words"]:
-                    add(
-                        (words + (word,), (), p),
-                        trie.root,
-                        NEG,
-                        npnb + word_insertion_bonus,
-                    )
-        # prune
-        scored = sorted(
-            new.items(),
-            key=lambda kv: -_logsumexp2(kv[1][1], kv[1][2]),
-        )
-        beams = dict(scored[:beam_width])
-
-    # best completed-word hypothesis (ignore dangling partials);
-    # beams differing only in `last` describe the same word sequence, so
-    # merge their mass before ranking
-    by_words: dict[tuple, float] = {}
-    for (words, partial, _last), (node, pb, pnb) in beams.items():
-        if partial:
-            continue
-        score = _logsumexp2(pb, pnb)
-        by_words[words] = _logsumexp2(by_words.get(words, NEG), score)
-    if by_words:
-        return list(max(by_words.items(), key=lambda kv: kv[1])[0])
-    if beams:
-        (words, _, _), _ = max(
-            beams.items(), key=lambda kv: _logsumexp2(kv[1][1], kv[1][2])
-        )
-        return list(words)
-    return []
+    """Lexicon-constrained CTC prefix beam search → best word sequence
+    (the from-scratch oracle; one-shot :class:`CTCWordBeamState`)."""
+    return (
+        CTCWordBeamState(trie, beam_width, word_insertion_bonus)
+        .advance(log_probs)
+        .best()
+    )
 
 
 def build_lexicon(

@@ -286,6 +286,10 @@ class StreamingConformerSession:
         self._enc_steps = 0  # valid encoder steps emitted
         self._ctc_paths: list = []  # per-block argmax paths (partial())
         self._ctc_logps: list = []  # per-block log-probs (lexicon path)
+        # (id(lexicon), beam_width) → {'pos': steps consumed,
+        # 'states': per-batch-row CTCWordBeamState} — carried across
+        # partial() calls so per-chunk beam cost is O(chunk)
+        self._ctc_beams: dict = {}
 
     @property
     def num_samples(self) -> int:
@@ -422,12 +426,17 @@ class StreamingConformerSession:
         per-chunk cost stays O(chunk), not O(history)).
 
         Greedy best-path by default; pass a
-        :class:`models.ctc.LexiconTrie` to rescore into words.  Returns
+        :class:`models.ctc.LexiconTrie` to rescore into words.  The
+        lexicon beam state is CARRIED across calls
+        (:class:`models.ctc.CTCWordBeamState`) — each call advances the
+        prefix beams over the new steps only, so per-chunk latency
+        stays flat over a long recording while the hypotheses equal the
+        from-scratch search on the full history (tested).  Returns
         {'phonemes': [[str]] (int ids when no phoneme_list), 'words':
         [[str]] | None, 'num_steps': n}; before any full chunk the
         lists are empty (one per batch row once the batch is known).
         """
-        from .models.ctc import collapse_alignment, ctc_word_beam_search
+        from .models.ctc import CTCWordBeamState, collapse_alignment
 
         if self._ctc_head is None:
             raise ValueError(
@@ -466,12 +475,22 @@ class StreamingConformerSession:
             logp = np.concatenate(self._ctc_logps, axis=0)[
                 : self._enc_steps
             ]
-            out["words"] = [
-                ctc_word_beam_search(
-                    logp[:, b], lexicon, beam_width=beam_width
-                )
-                for b in range(B)
-            ]
+            key = (id(lexicon), beam_width)
+            entry = self._ctc_beams.get(key)
+            if entry is None:
+                entry = self._ctc_beams[key] = {
+                    "pos": 0,
+                    "states": [
+                        CTCWordBeamState(lexicon, beam_width=beam_width)
+                        for _ in range(B)
+                    ],
+                }
+            pos = entry["pos"]
+            if self._enc_steps > pos:
+                for b, state in enumerate(entry["states"]):
+                    state.advance(logp[pos : self._enc_steps, b])
+                entry["pos"] = self._enc_steps
+            out["words"] = [state.best() for state in entry["states"]]
         return out
 
     def endpoint(self) -> dict:

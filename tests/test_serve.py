@@ -295,6 +295,17 @@ def test_streaming_partial_ctc_hypotheses():
     trie = LexiconTrie({"aa": [0, 0], "ab": [0, 1], "b": [1]})
     words = session.partial(lexicon=trie)["words"]
     assert isinstance(words[0], list)
+    # incremental beam state consumed exactly the emitted steps, and its
+    # hypothesis equals the from-scratch search over the full history
+    from ecog2txt_tpu.models.ctc import ctc_word_beam_search
+
+    entry = session._ctc_beams[(id(trie), 8)]
+    assert entry["pos"] == session._enc_steps
+    logp = np.concatenate(session._ctc_logps, axis=0)[: session._enc_steps]
+    assert words[0] == ctc_word_beam_search(logp[:, 0], trie, beam_width=8)
+    # a second call with no new steps advances nothing and agrees
+    assert session.partial(lexicon=trie)["words"] == words
+    assert entry["states"][0].num_steps == session._enc_steps
     # partial() never mutated the stream: full decode still works
     out = session.endpoint()
     assert isinstance(out["sequences"][0], str)
