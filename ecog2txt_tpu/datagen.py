@@ -86,7 +86,15 @@ class ECoGDataGenerator(ABC):
         self.USE_MFCC_DELTAS = bool(res("USE_MFCC_DELTAS", False))
         self.mfcc_winlen = float(res("mfcc_winlen", 0.02))
         self._tf_record_partial_path = res("tf_record_partial_path")
-        self.bad_electrodes_path = res("bad_electrodes_path")
+        # default falls back to text_dir/bad_electrodes like the
+        # reference (data_generators.py:205-215); the file is only
+        # consulted if it exists
+        from . import text_dir as _text_dir
+
+        self.bad_electrodes_path = res(
+            "bad_electrodes_path",
+            os.path.join(_text_dir, "bad_electrodes"),
+        )
         # explicit bad/good electrode overrides (reference allows direct
         # manifest/kwarg override, data_generators.py:173-197)
         self._bad_electrodes = kwargs.get("bad_electrodes")
@@ -510,7 +518,17 @@ class SyntheticDataGenerator(ECoGDataGenerator):
                 scale=1.0, size=ecog.shape
             ).astype(np.float32)
             rate, signal = self._get_wav_data(sentence)
-            phonemes = self._aligned_phonemes(words)
+            if self.token_type == "phoneme_sequence":
+                # phoneme_sequence as the DECODER target: the trial's
+                # phoneme token sequence (one token per phoneme), not
+                # the per-sample alignment the aux heads consume
+                phonemes = [
+                    p
+                    for w in words
+                    for p in (word_to_phonemes(w) or ["<OOV>"])
+                ]
+            else:
+                phonemes = self._aligned_phonemes(words)
             yield {
                 "ecog_sequence": ecog.astype(np.float32),
                 "text_sequence": self._sentence_tokenize(sentence),
@@ -542,6 +560,210 @@ class SyntheticDataGenerator(ECoGDataGenerator):
                 for p in word_to_phonemes(word):
                     unique.setdefault(p)
         return with_special_tokens(list(unique))
+
+
+@register_data_generator("ArrayDataGenerator", "FileDataGenerator")
+class ArrayDataGenerator(ECoGDataGenerator):
+    """File-backed generator: a directory of per-trial ``.npz``/``.mat``
+    files — the zero-subclassing on-ramp for real lab data (VERDICT r2
+    #8; the reference manifests name lab-PRIVATE generator classes,
+    mocha-1_word_sequence.yaml:2-4, so any outside user previously had
+    to implement the 3-method contract from scratch).
+
+    Manifest/kwarg key ``trial_dir`` points at the root.  Layout::
+
+        <trial_dir>/B<block>/<anything>.npz     (sorted within a block)
+        <trial_dir>/B<block>_<anything>.npz     (flat alternative)
+
+    Per-file keys (``.mat`` files use the same names):
+
+    * ``ecog`` (T, C) float — REQUIRED.  ``C`` may be the final
+      per-channel feature count, or the FULL electrode count
+      (``prod(grid_size)``; doubled for ``USE_FIELD_POTENTIALS``), in
+      which case the grid's referencing (bad-electrode exclusion,
+      layout ordering, bipolar differencing) is applied here.
+    * ``text`` — the sentence as a string (tokenized per the
+      experiment's ``token_type``) or an already-tokenized list.
+    * ``audio`` 1-D waveform + ``audio_rate`` scalar → featurized
+      through the MFCC chain; or precomputed frames under
+      ``audio_features`` (T, F).  Optional.
+    * ``phonemes`` (T,) per-sample string labels.  Optional.
+    """
+
+    def __init__(
+        self,
+        manifest: Manifest,
+        subject_id: int | str,
+        trial_dir: str | None = None,
+        **kwargs: Any,
+    ):
+        super().__init__(manifest, subject_id, **kwargs)
+        self.trial_dir = manifest.resolve("trial_dir", trial_dir, None)
+        if not self.trial_dir:
+            raise ValueError(
+                "ArrayDataGenerator needs 'trial_dir' (manifest or kwarg)"
+            )
+
+    # -- file discovery -----------------------------------------------------
+
+    def _block_files(self, block: int) -> list[str]:
+        exts = (".npz", ".mat")
+        subdir = os.path.join(self.trial_dir, f"B{block}")
+        if os.path.isdir(subdir):
+            return sorted(
+                os.path.join(subdir, f)
+                for f in os.listdir(subdir)
+                if f.endswith(exts)
+            )
+        prefix = f"B{block}_"
+        if not os.path.isdir(self.trial_dir):
+            return []
+        return sorted(
+            os.path.join(self.trial_dir, f)
+            for f in os.listdir(self.trial_dir)
+            if f.startswith(prefix) and f.endswith(exts)
+        )
+
+    def _all_blocks(self) -> list[int]:
+        blocks: set[int] = set()
+        if not os.path.isdir(self.trial_dir):
+            return []
+        for name in os.listdir(self.trial_dir):
+            if name.startswith("B"):
+                stem = name[1:].split("_")[0].split(".")[0]
+                if stem.isdigit():
+                    blocks.add(int(stem))
+        return sorted(blocks)
+
+    @staticmethod
+    def _load_file(path: str) -> dict[str, Any]:
+        if path.endswith(".mat"):
+            from scipy.io import loadmat
+
+            mat = loadmat(path, squeeze_me=True)
+            return {
+                k: v for k, v in mat.items() if not k.startswith("__")
+            }
+        with np.load(path, allow_pickle=True) as z:
+            return {k: z[k] for k in z.files}
+
+    # -- channel referencing ------------------------------------------------
+
+    def _select_channels(self, ecog: np.ndarray) -> np.ndarray:
+        """Apply grid referencing when the file carries full-electrode
+        columns; pass through when it already matches the channel
+        count.  Pass-through wins if the two counts coincide (possible
+        in bipolar mode on square grids) — store pre-referenced data or
+        pick a grid where they differ to disambiguate."""
+        C = ecog.shape[1]
+        if C == self.num_ECoG_channels:
+            return ecog
+        grid = self.grid
+        m = grid.num_electrodes
+        if self.REFERENCE_BIPOLAR:
+            if C != m:
+                raise ValueError(
+                    f"{C} columns: bipolar referencing needs the full "
+                    f"{m} electrode columns (or {self.num_ECoG_channels} "
+                    "pre-referenced channels)"
+                )
+            pairs = grid.bipolar_to_elec_map
+            return np.stack(
+                [
+                    ecog[:, pairs[i][0]] - ecog[:, pairs[i][1]]
+                    for i in grid.good_channels
+                ],
+                axis=1,
+            )
+        expected = 2 * m if self.USE_FIELD_POTENTIALS else m
+        if C != expected:
+            raise ValueError(
+                f"ecog has {C} columns; expected "
+                f"{self.num_ECoG_channels} (per-channel) or {expected} "
+                "(full electrode grid)"
+            )
+        return ecog[:, grid.good_channels]
+
+    # -- subclass contract --------------------------------------------------
+
+    def _query(self, block_set: Iterable[int]) -> int:
+        return sum(len(self._block_files(b)) for b in block_set)
+
+    def _get_wav_data(self, index: str) -> tuple[float, np.ndarray]:
+        """``index`` is a trial file path."""
+        data = self._load_file(index)
+        if "audio" in data:
+            rate = float(np.asarray(data.get("audio_rate", 16000)))
+            return rate, np.asarray(data["audio"], np.float32).ravel()
+        return self.sampling_rate, np.zeros(0, np.float32)
+
+    def _ecog_token_generator(self, block: int) -> Iterator[dict[str, Any]]:
+        for path in self._block_files(block):
+            data = self._load_file(path)
+            if "ecog" not in data:
+                raise KeyError(f"{path}: missing required 'ecog' array")
+            ecog = self._select_channels(
+                np.asarray(data["ecog"], np.float32)
+            )
+            text = data.get("text")
+            if text is None:
+                tokens: list[str] = []
+            elif isinstance(text, str) or (
+                isinstance(text, np.ndarray) and text.ndim == 0
+            ):
+                tokens = self._sentence_tokenize(str(text))
+            else:
+                tokens = [
+                    t.decode("utf-8") if isinstance(t, bytes) else str(t)
+                    for t in np.asarray(text).ravel()
+                ]
+            if "audio_features" in data:
+                audio = np.asarray(data["audio_features"], np.float32)
+            elif "audio" in data:
+                rate, signal = self._get_wav_data(path)
+                audio = self._get_MFCC_features(rate, signal)
+            else:
+                audio = np.zeros((0, self.num_MFCC_features), np.float32)
+            phonemes = None
+            if "phonemes" in data:
+                phonemes = [
+                    p.decode("utf-8") if isinstance(p, bytes) else str(p)
+                    for p in np.asarray(data["phonemes"]).ravel()
+                ]
+            yield {
+                "ecog_sequence": ecog,
+                "text_sequence": tokens,
+                "audio_sequence": audio,
+                "phoneme_sequence": phonemes,
+            }
+
+
+def export_trials_to_arrays(
+    generator: ECoGDataGenerator,
+    out_dir: str,
+    blocks: Iterable[int] | None = None,
+) -> int:
+    """Export a generator's trials as per-trial ``.npz`` files in the
+    :class:`ArrayDataGenerator` layout (``<out_dir>/B<block>/NNNN.npz``
+    with already-tokenized text and featurized audio) — round-trip
+    helper and migration path.  Returns the number of trials written."""
+    count = 0
+    for block in blocks if blocks is not None else generator._all_blocks():
+        block_dir = os.path.join(out_dir, f"B{block}")
+        os.makedirs(block_dir, exist_ok=True)
+        for i, trial in enumerate(generator._ecog_token_generator(block)):
+            arrays = {"ecog": np.asarray(trial["ecog_sequence"], np.float32)}
+            if trial.get("text_sequence") is not None:
+                arrays["text"] = np.asarray(trial["text_sequence"])
+            if trial.get("audio_sequence") is not None:
+                arrays["audio_features"] = np.asarray(
+                    trial["audio_sequence"], np.float32
+                )
+            if trial.get("phoneme_sequence") is not None:
+                arrays["phonemes"] = np.asarray(trial["phoneme_sequence"])
+            np.savez(os.path.join(block_dir, f"{i:04d}.npz"), **arrays)
+            count += 1
+    return count
 
 
 def filter_to_common_targets(inputs_A, targets_A, inputs_B, targets_B):

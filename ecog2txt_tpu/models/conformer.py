@@ -432,12 +432,13 @@ class ConformerStream:
     def restore(self, state: tuple) -> None:
         self._window, self._pushed, self._valid = state
 
-    def _make_step(self, B: int, in_dim: int, dtype):
+    def _make_step(self):
         """One jitted call per push: roll the fixed-size window, encode,
         emit the last chunk.  The window's left zero-fill sits at
         negative absolute positions, which ``mask_invalid`` treats
         exactly like the offline zero left-pad — so shapes are static
-        from the first push and XLA compiles ONCE."""
+        from the first push and XLA compiles ONCE (shape changes
+        retrace via jit; no per-shape caching needed here)."""
         cfg = self.config
         C = cfg.chunk_size
 
@@ -475,7 +476,7 @@ class ConformerStream:
                 (B, self.window_steps, in_dim), chunk.dtype
             )
         if self._step is None:
-            self._step = self._make_step(B, in_dim, chunk.dtype)
+            self._step = self._make_step()
         self._pushed += cfg.chunk_size
         self._valid += (
             cfg.chunk_size if num_valid is None else int(num_valid)

@@ -375,32 +375,55 @@ class ResultsPlotter:
         return anim
 
     def plot_network_schematic(self, partition: str = "validation"):
-        """Schematic figure from internal activations — convolved inputs
-        and encoder hidden states for one trial (reference
-        plotters.py:1259-1405 builds these from the activation probe)."""
+        """Schematic figure from the FULL internal-activation probe —
+        model-order (reversed) raw inputs, convolved inputs, aligned
+        aux target(s), encoder hidden states, and the final state for
+        one trial (all the panels of reference plotters.py:1259-1405,
+        fed by trainers.py:757-833)."""
         plt = _mpl()
         acts = self.trainer.get_internal_activations(
             partition, self._subject_index()
         )
-        ds = self.trainer.packed_dataset(partition)
-        s = self._subject_index()
         trial = 0
-        T_in = int(ds.encoder_lengths[s, trial])
-        fig, axes = plt.subplots(3, 1, figsize=(8, 8), sharex=False)
+        aux_names = list(acts["aux_targets"])
+        n_rows = 4 + len(aux_names)
+        fig, axes = plt.subplots(
+            n_rows, 1, figsize=(8, 2.2 * n_rows), sharex=False
+        )
+        T_in = int(
+            self.trainer.packed_dataset(partition).encoder_lengths[
+                self._subject_index(), trial
+            ]
+        )
+        n_enc = int(acts["encoder_lengths"][trial])
         axes[0].imshow(
-            ds.encoder_inputs[s, trial, :T_in].T,
+            acts["model_order_inputs"][trial, :T_in].T,
             aspect="auto", cmap="magma", origin="lower",
         )
-        axes[0].set_ylabel("input channels")
-        n_enc = int(acts["encoder_lengths"][trial])
+        axes[0].set_ylabel("inputs\n(model order)")
         axes[1].imshow(
+            acts["convolved_inputs"][trial, :n_enc].T,
+            aspect="auto", cmap="magma", origin="lower",
+        )
+        axes[1].set_ylabel("convolved")
+        for i, name in enumerate(aux_names):
+            v = acts["aux_targets"][name][trial, :n_enc]
+            ax = axes[2 + i]
+            if v.ndim == 2:  # Gaussian (MFCC) target heatmap
+                ax.imshow(
+                    v.T, aspect="auto", cmap="viridis", origin="lower"
+                )
+            else:  # categorical label track
+                ax.step(np.arange(len(v)), v, where="mid")
+            ax.set_ylabel(f"target\n{name}")
+        axes[-2].imshow(
             acts["encoder_outputs"][trial, :n_enc].T,
             aspect="auto", cmap="coolwarm", origin="lower",
         )
-        axes[1].set_ylabel("encoder units")
-        axes[2].plot(acts["final_state_h"][trial])
-        axes[2].set_ylabel("final state")
-        axes[2].set_xlabel("unit")
+        axes[-2].set_ylabel("encoder units")
+        axes[-1].plot(acts["final_state_h"][trial])
+        axes[-1].set_ylabel("final state")
+        axes[-1].set_xlabel("unit")
         return self._save(fig, "network_schematic")
 
     def plot_sentence_repeats(

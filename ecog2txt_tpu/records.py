@@ -591,6 +591,7 @@ class RecordFile:
                     -1: "corrupt framing",
                     -2: "header CRC mismatch",
                     -3: "payload CRC mismatch",
+                    -4: "index capacity exhausted",
                 }.get(count, f"indexer error {count}")
                 raise IOError(f"{path}: {reason}")
             self._offsets = offsets[:count]

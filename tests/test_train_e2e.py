@@ -111,9 +111,35 @@ def test_encoder_embedding_shape(trainer):
 
 
 def test_internal_activations(trainer):
+    """The FULL probe (reference trainers.py:757-833): model-order
+    (reversed) inputs, convolved inputs, and the reversed+decimated aux
+    targets, alongside encoder outputs/final state."""
     acts = trainer.get_internal_activations("validation")
     assert acts["encoder_outputs"].shape[0] == 10
     assert acts["final_state_h"].shape == (10, 64)
+    ds = trainer.packed_dataset("validation")
+    s = ds.num_subjects - 1
+    cfg = trainer.net_config
+    T, C = ds.encoder_inputs.shape[2:]
+    # reversed raw inputs: valid prefix flipped, padding untouched
+    assert acts["model_order_inputs"].shape == (10, T, C)
+    L = int(ds.encoder_lengths[s, 0])
+    np.testing.assert_allclose(
+        acts["model_order_inputs"][0, :L],
+        ds.encoder_inputs[s, 0, :L][::-1],
+    )
+    # convolved inputs at the decimated rate, conv width features
+    T_out = acts["encoder_outputs"].shape[1]
+    assert acts["convolved_inputs"].shape == (
+        10, T_out, cfg.conv_sizes[-1],
+    )
+    # aux target aligned to encoder steps: reversed + decimated
+    aux = acts["aux_targets"]["encoder_1_targets"]
+    assert aux.shape == (10, T_out)
+    d = cfg.decimation_factor
+    raw = ds.aux_targets["encoder_1_targets"][s, 0]
+    expect = np.concatenate([raw[:L][::-1], raw[L:]])[: T_out * d : d]
+    np.testing.assert_array_equal(aux[0], expect)
 
 
 def test_tf_record_to_numpy(trainer):
