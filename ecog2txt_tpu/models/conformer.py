@@ -45,11 +45,15 @@ class ConformerConfig(NamedTuple):
     conv_kernel: int = 8
     chunk_size: int = 16  # attention chunk (in downsampled steps)
     left_context: int = 1  # chunks of look-back
+    # 'auto' (default) picks per static sequence length: 'dense' below
+    # the measured on-chip crossover (T'≈512; dense is up to ~2.5%
+    # faster on short sequences and OOMs beyond ~1k), 'banded' above.
     # 'banded' computes only a bounded key window per query block —
-    # O(T·window) time AND memory, the long-continuous-recordings path.
-    # 'dense' materializes the full (T, T) score matrix; kept as the
-    # parity oracle (identical outputs, tested).
-    attention_impl: str = "banded"
+    # O(T·window) time AND memory, the long-continuous-recordings
+    # path; 'dense' materializes the full (T, T) score matrix.  All
+    # three compute the IDENTICAL function (parity-tested), so the
+    # switch is transparent to streaming/SP/PP.
+    attention_impl: str = "auto"
     # banded tiling: queries are processed in blocks of this many chunks
     # against a (query_block_chunks + left_context)-chunk key window.
     # None → auto-size the block so query tiles are ~128 rows (the MXU
@@ -294,8 +298,15 @@ def _attention_banded(
     return jnp.dot(out, p["wo"].astype(cd))
 
 
+# measured on-chip crossover (RESULTS.md r3): dense wins slightly below
+# ~512 steps, banded is flat in T and dense OOMs from ~1k
+_AUTO_DENSE_MAX_STEPS = 256
+
+
 def _attention(p, x, config: ConformerConfig, lengths, positions, cd):
-    impl = getattr(config, "attention_impl", "banded")
+    impl = getattr(config, "attention_impl", "auto")
+    if impl == "auto":
+        impl = "dense" if x.shape[1] <= _AUTO_DENSE_MAX_STEPS else "banded"
     fn = _attention_dense if impl == "dense" else _attention_banded
     return fn(p, x, config, lengths, positions, cd)
 

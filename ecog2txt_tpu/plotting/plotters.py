@@ -165,7 +165,14 @@ class ResultsPlotter:
         from ..tokenizers import target_inds_to_sequences
 
         refs = target_inds_to_sequences(ds.decoder_targets[s][:n], dec_list)
-        wers, masks = [], []
+        # decode only the REAL trials (not ragged padding rows), and
+        # dispatch every mask position before transferring any result —
+        # a synchronous per-position round trip pays ~19 ms of tunnel
+        # dispatch latency on top of device time (RESULTS.md r3)
+        lengths = jnp.asarray(ds.encoder_lengths[s][:n])
+        sidx = jnp.asarray(s, jnp.int32)
+        rng = jax.random.PRNGKey(self.trainer.seed)
+        pending, masks = [], []
         for r0 in range(0, rows - mask_extent[0] + 1, stride):
             for c0 in range(0, cols - mask_extent[1] + 1, stride):
                 sub = SubgridParams(
@@ -176,19 +183,20 @@ class ResultsPlotter:
                     self.trainer.net_config.in_channels, np.float32
                 )
                 keep_padded[: len(keep)] = keep
-                inputs = ds.encoder_inputs[s] * keep_padded[None, None, :]
-                tokens = np.asarray(
+                inputs = ds.encoder_inputs[s][:n] * keep_padded[None, None, :]
+                pending.append(
                     decode(
-                        self.trainer.state.ema,
-                        jnp.asarray(inputs),
-                        jnp.asarray(ds.encoder_lengths[s]),
-                        jnp.asarray(s, jnp.int32),
-                        jax.random.PRNGKey(self.trainer.seed),
+                        self.trainer.state.ema, jnp.asarray(inputs),
+                        lengths, sidx, rng,
                     )
-                )[:n]
-                hyps = target_inds_to_sequences(tokens, dec_list)
-                wers.append(float(np.mean(wer_vector(refs, hyps))))
+                )
                 masks.append(sub)
+        wers = []
+        for tokens_dev in pending:
+            hyps = target_inds_to_sequences(
+                np.asarray(tokens_dev)[:n], dec_list
+            )
+            wers.append(float(np.mean(wer_vector(refs, hyps))))
         return np.asarray(wers), masks
 
     def _occlusion_contribs(self, partition: str, **kwargs) -> np.ndarray:

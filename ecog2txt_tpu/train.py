@@ -83,6 +83,7 @@ def make_segment_runner(
     ema_decay: float,
     mesh=None,
     sp=None,
+    pp=None,
 ) -> Callable:
     """Build the scanned multi-step runner.  ``data`` is the stacked
     (S, N, ...) batch dict; schedule arrays pick (subject, trials) per
@@ -117,7 +118,7 @@ def make_segment_runner(
         def loss_fn(params):
             return seq2seq_loss(
                 params, config, batch, rng, train=True,
-                penalty_scales=penalty_scales, sp=sp,
+                penalty_scales=penalty_scales, sp=sp, pp=pp,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -507,12 +508,33 @@ class MultiSubjectTrainer:
         # step count exceeds one chip's budget); composes with dp.
         self.mesh = None
         self.sp = None
+        self.pp = None
         n_seq = int(self.SN_kwargs.get("sequence_parallel") or 0)
         if n_seq > 1 and self.net_config.encoder_type != "conformer":
             raise ValueError(
                 "sequence_parallel requires encoder_type='conformer' "
                 "(the biLSTM recurrence cannot shard over time)"
             )
+        # SN_kwargs pipeline_parallel=S trains with the conformer block
+        # stack pipelined over S devices (GPipe ring,
+        # parallel/pipeline.py); microbatch count via
+        # pipeline_microbatches (default S; batch_size must divide it)
+        n_pp = int(self.SN_kwargs.get("pipeline_parallel") or 0)
+        if n_pp > 1:
+            if self.net_config.encoder_type != "conformer":
+                raise ValueError(
+                    "pipeline_parallel requires encoder_type='conformer'"
+                )
+            if self.SN_kwargs.get("data_parallel") or n_seq > 1:
+                raise ValueError(
+                    "pipeline_parallel does not compose with "
+                    "data_parallel/sequence_parallel (pick one)"
+                )
+            from jax.sharding import Mesh
+
+            pp_mesh = Mesh(np.array(jax.devices()[:n_pp]), ("pp",))
+            M = int(self.SN_kwargs.get("pipeline_microbatches") or n_pp)
+            self.pp = (pp_mesh, "pp", M)
         if self.SN_kwargs.get("data_parallel") or n_seq > 1:
             from .parallel import make_mesh
 
@@ -764,6 +786,7 @@ class MultiSubjectTrainer:
             self.EMA_decay,
             tuple(sorted(self.penalty_scales.items())),
             None if self.mesh is None else tuple(self.mesh.shape.items()),
+            None if self.pp is None else (self.pp[1], self.pp[2]),
         )
         if not hasattr(self, "_runner_cache"):
             self._runner_cache = {}
@@ -776,6 +799,7 @@ class MultiSubjectTrainer:
                 make_segment_runner(
                     self.net_config, optimizer, self.penalty_scales,
                     self.EMA_decay, mesh=self.mesh, sp=self.sp,
+                    pp=self.pp,
                 ),
             )
         optimizer, runner = self._runner_cache[cache_key]

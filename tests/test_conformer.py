@@ -13,9 +13,14 @@ from ecog2txt_tpu.models.conformer import (
     init_conformer,
 )
 
+# attention_impl pinned to 'banded' so every streaming/SP/PP/parity
+# test in this file exercises the banded path (the 'auto' default would
+# pick dense at these small T); _attention computes the same function
+# either way (asserted below).
 CFG = ConformerConfig(
     num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
     conv_kernel=4, chunk_size=4, left_context=1,
+    attention_impl="banded",
 )
 
 
@@ -58,6 +63,37 @@ def test_banded_matches_dense_oracle(params, rng):
             np.asarray(out_b) * valid, np.asarray(out_d) * valid,
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_auto_impl_dispatch(params, rng):
+    """'auto' picks dense below the crossover and banded above, and all
+    three impls agree."""
+    from ecog2txt_tpu.models.conformer import (
+        _AUTO_DENSE_MAX_STEPS, _attention_banded, _attention_dense,
+    )
+    import ecog2txt_tpu.models.conformer as conf
+
+    auto_cfg = CFG._replace(attention_impl="auto")
+    seen = []
+    orig_d, orig_b = _attention_dense, _attention_banded
+    conf._attention_dense = lambda *a: seen.append("dense") or orig_d(*a)
+    conf._attention_banded = lambda *a: seen.append("banded") or orig_b(*a)
+    try:
+        xs = jnp.asarray(rng.normal(size=(1, 16, 8)), jnp.float32)
+        out_a, _ = conformer_encode(params, auto_cfg, xs, None)
+        assert set(seen) == {"dense"}  # short T → dense
+        seen.clear()
+        long_xs = jnp.asarray(
+            rng.normal(size=(1, _AUTO_DENSE_MAX_STEPS + 4, 8)), jnp.float32
+        )
+        conformer_encode(params, auto_cfg, long_xs, None)
+        assert set(seen) == {"banded"}  # long T → banded
+    finally:
+        conf._attention_dense, conf._attention_banded = orig_d, orig_b
+    out_b, _ = conformer_encode(params, CFG, xs, None)
+    np.testing.assert_allclose(
+        np.asarray(out_a), np.asarray(out_b), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_banded_matches_dense_with_offset(params, rng):

@@ -91,6 +91,65 @@ def test_pp_training_grads_match_single_device(rng):
     _assert_tree_close(g_ref, g_pp)
 
 
+@pytest.mark.slow
+def test_trainer_pipeline_parallel_fit(tmp_path, rng):
+    """SN_kwargs['pipeline_parallel']=2 trains through the GPipe block
+    ring: the jitted segment runs, and the loss decreases."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    manifest = make_demo_experiment(str(tmp_path / "exp"))
+    trainer = MultiSubjectTrainer(
+        manifest,
+        [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "pipeline_parallel": 2,
+            "pipeline_microbatches": 2,
+            "conformer": dict(
+                num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+                conv_kernel=2, chunk_size=2, left_context=1,
+            ),
+            "N_epochs": 30,
+            "batch_size": 8,
+            "learning_rate": 3e-3,
+        },
+    )
+    assert trainer.pp is not None and trainer.pp[1] == "pp"
+
+    def probe_loss():
+        data = trainer.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, _ = seq2seq_loss(
+            trainer.state.params, trainer.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss)
+
+    loss0 = probe_loss()
+    trainer.fit(assess=False)
+    loss1 = probe_loss()
+    assert np.isfinite(loss1)
+    assert loss1 < loss0
+
+
+def test_pp_does_not_compose_with_dp(tmp_path):
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    manifest = make_demo_experiment(str(tmp_path / "exp"))
+    with pytest.raises(ValueError, match="compose"):
+        MultiSubjectTrainer(
+            manifest, [1],
+            SN_kwargs={
+                "encoder_type": "conformer",
+                "pipeline_parallel": 2,
+                "data_parallel": True,
+            },
+        )
+
+
 def test_sp_requires_conformer(tmp_path):
     from ecog2txt_tpu.demo import make_demo_experiment
     from ecog2txt_tpu.train import MultiSubjectTrainer
