@@ -328,10 +328,16 @@ def _conv_module(
     if tail is None:
         tail = jnp.zeros((B, K - 1, D), h.dtype)
     h_padded = jnp.concatenate([tail, h], axis=1)  # (B, T+K-1, D)
-    # depthwise causal conv as K shifted adds (K is small/static)
-    out = jnp.zeros_like(h)
-    for k in range(K):
-        out = out + h_padded[:, k : k + T] * p["dw"][k].astype(cd)
+    # depthwise causal conv via the XLA conv primitive
+    # (feature_group_count=D).  Measured on-chip (RESULTS.md r3): 8.5%
+    # faster whole-encoder fwd+bwd than the K-shifted-adds form it
+    # replaces — the primitive makes one fused pass where the adds made
+    # K elementwise passes over (B, T, D).
+    kernel = p["dw"].astype(cd)[:, None, :]  # (K, 1, D)
+    out = jax.lax.conv_general_dilated(
+        h_padded, kernel, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=D,
+    )
     out = jax.nn.swish(out)
     out = jnp.dot(out, p["pw2"].astype(cd))
     new_tail = h_padded[:, T:]  # last K-1 pre-conv samples
