@@ -328,16 +328,25 @@ def _conv_module(
     if tail is None:
         tail = jnp.zeros((B, K - 1, D), h.dtype)
     h_padded = jnp.concatenate([tail, h], axis=1)  # (B, T+K-1, D)
-    # depthwise causal conv via the XLA conv primitive
-    # (feature_group_count=D).  Measured on-chip (RESULTS.md r3): 8.5%
-    # faster whole-encoder fwd+bwd than the K-shifted-adds form it
-    # replaces — the primitive makes one fused pass where the adds made
-    # K elementwise passes over (B, T, D).
-    kernel = p["dw"].astype(cd)[:, None, :]  # (K, 1, D)
-    out = jax.lax.conv_general_dilated(
-        h_padded, kernel, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=D,
-    )
+    # depthwise causal conv, impl picked by static shape (measured
+    # on-chip, RESULTS.md r3): the XLA conv primitive
+    # (feature_group_count=D) makes one fused pass — 8.5% faster
+    # whole-encoder fwd+bwd at training scale — but at tiny B·T (the
+    # B=1 streaming window) its setup overhead loses to K shifted adds
+    # (41.6 vs 37.2 ms/push), so small shapes keep the adds.  The two
+    # differ only in accumulation order (parity-tested); every
+    # streamed-vs-offline comparison runs both sides at the same scale.
+    if B * T >= 4096:
+        kernel = p["dw"].astype(cd)[:, None, :]  # (K, 1, D)
+        out = jax.lax.conv_general_dilated(
+            h_padded, kernel, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=D,
+        )
+    else:
+        out = jnp.zeros_like(h)
+        for k in range(K):
+            out = out + h_padded[:, k : k + T] * p["dw"][k].astype(cd)
     out = jax.nn.swish(out)
     out = jnp.dot(out, p["pw2"].astype(cd))
     new_tail = h_padded[:, T:]  # last K-1 pre-conv samples

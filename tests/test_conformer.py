@@ -96,6 +96,23 @@ def test_auto_impl_dispatch(params, rng):
     )
 
 
+def test_conv_module_impls_agree(params, rng):
+    """The two depthwise-conv forms (XLA conv primitive at large B·T,
+    K shifted adds at small) differ only in accumulation order: encode
+    a batch big enough for the primitive and one below the threshold
+    with the SAME per-row inputs — outputs agree to accumulation
+    tolerance."""
+    T = 16
+    one = jnp.asarray(rng.normal(size=(1, T, 8)), jnp.float32)
+    big = jnp.tile(one, (300, 1, 1))  # 4800 tokens → conv primitive
+    out_small, _ = conformer_encode(params, CFG, one, None)  # adds
+    out_big, _ = conformer_encode(params, CFG, big, None)
+    np.testing.assert_allclose(
+        np.asarray(out_big[:1]), np.asarray(out_small),
+        rtol=1e-3, atol=1e-4,
+    )
+
+
 def test_banded_matches_dense_with_offset(params, rng):
     """Chunk-aligned position offsets (the streaming/SP regime) keep the
     two implementations identical, including the negative-position
