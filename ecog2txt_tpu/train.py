@@ -1081,12 +1081,62 @@ class MultiSubjectTrainer:
         self.save_checkpoint()
         return history
 
-    def torch_learn(self, N_epochs: int | None = None, **fit_kwargs) -> dict:
-        """Compatibility shim for the reference's TF2/PyTorch path
-        (reference trainers.py:278-301: ``SequenceTrainer.train_and_
-        assess``).  This framework has a single compute path (JAX/XLA);
-        the call maps onto the same fit/assess engine."""
-        history = self.fit(num_epochs=N_epochs, **fit_kwargs)
+    def torch_learn(
+        self,
+        N_epochs: int | None = None,
+        device: str | None = None,
+        push_weights: bool = True,
+        **ST_kwargs,
+    ) -> dict:
+        """The SECOND training engine (reference trainers.py:278-301:
+        PyTorch ``SequenceTrainer.train_and_assess``): train the SAME
+        architecture — and the same parameter pytree — in torch
+        (``torch_engine.py``), starting from the current weights.
+
+        Teacher-forced logits and greedy decode agree between the two
+        engines to f32 tolerance (tests/test_torch_engine.py), so
+        weights move freely: with ``push_weights`` (default) the
+        torch-trained parameters (and the torch EMA) are written back
+        into ``self.state``, and every JAX-side facility — ``assess``,
+        Orbax checkpoints, serving, analysis hooks — operates on them.
+        ``device`` defaults to CUDA when available, else CPU (the
+        reference's pick, trainers.py:282)."""
+        import torch as _torch
+
+        from .torch_engine import SequenceTrainer, TorchSequenceNetwork
+
+        if device is None:
+            device = "cuda" if _torch.cuda.is_available() else "cpu"
+        self.write_tf_records_maybe()
+        net = TorchSequenceNetwork(self.net_config, self.state.params)
+        dec_list = self.target_subject.data_manifests[
+            "decoder_targets"
+        ].feature_list
+        datasets = {
+            p: self.packed_dataset(p) for p in ("training", "validation")
+        }
+        torch_trainer = SequenceTrainer(
+            self.net_config,
+            datasets,
+            dec_list,
+            penalty_scales=self.penalty_scales,
+            batch_size=self.batch_size,
+            learning_rate=self.learning_rate,
+            ema_decay=self.EMA_decay,
+            assessment_epoch_interval=self.assessment_epoch_interval,
+            temperature=self.temperature,
+            seed=self.seed,
+            REPORT_TRAINING_LOSS=self.VERBOSE,
+            **ST_kwargs,
+        )
+        N_epochs = N_epochs or self.N_epochs
+        history = torch_trainer.train_and_assess(N_epochs, net, device)
+        if push_weights:
+            self.state = self.state._replace(
+                params=net.export_jax_params(),
+                ema=net.export_tree(torch_trainer.ema_leaves),
+                epoch=self.state.epoch + N_epochs,
+            )
         self._save_results(history)
         return history
 
