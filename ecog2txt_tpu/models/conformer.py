@@ -298,17 +298,50 @@ def _attention_banded(
     return jnp.dot(out, p["wo"].astype(cd))
 
 
+def _attention_flash(
+    p, x, config: ConformerConfig, lengths, positions, cd
+):
+    """Fused Pallas kernel path (ops/pallas_attention.py): identical
+    function to the dense/banded paths but scores/softmax never leave
+    VMEM — the XLA banded path materializes ~450 MB/layer of f32
+    logits at long-recording scale (52% of the measured fwd+bwd step,
+    RESULTS.md r3).  Queries are contiguous from ``positions[0]``
+    (true for every caller: offline, streaming window, SP shard)."""
+    B, T, D = x.shape
+    H = config.num_heads
+    Dh = D // H
+    xn = _layernorm(p["ln"], x)
+    qkv = jnp.dot(xn, p["wqkv"].astype(cd)).reshape(B, T, 3, H, Dh)
+    q = _rotary(qkv[:, :, 0], positions)
+    k = _rotary(qkv[:, :, 1], positions)
+    v = qkv[:, :, 2]
+    from ecog2txt_tpu.ops.pallas_attention import banded_flash_attention
+
+    out = banded_flash_attention(
+        q, k, v, positions[0], lengths,
+        chunk_size=config.chunk_size,
+        left_context=config.left_context,
+    )
+    return jnp.dot(out.reshape(B, T, D), p["wo"].astype(cd))
+
+
 # measured on-chip crossover (RESULTS.md r3): dense wins slightly below
 # ~512 steps, banded is flat in T and dense OOMs from ~1k
 _AUTO_DENSE_MAX_STEPS = 256
 
-
 def _attention(p, x, config: ConformerConfig, lengths, positions, cd):
     impl = getattr(config, "attention_impl", "auto")
     if impl == "auto":
-        impl = "dense" if x.shape[1] <= _AUTO_DENSE_MAX_STEPS else "banded"
-    fn = _attention_dense if impl == "dense" else _attention_banded
-    return fn(p, x, config, lengths, positions, cd)
+        if x.shape[1] <= _AUTO_DENSE_MAX_STEPS:
+            impl = "dense"
+        else:
+            # beyond the dense crossover: the fused kernel on TPU
+            # (scores never leave VMEM; 10-15% faster fwd+bwd at
+            # T'=512..8192, RESULTS.md r3); the XLA banded path
+            # elsewhere (Pallas on CPU would run interpreted)
+            impl = "flash" if jax.default_backend() == "tpu" else "banded"
+    # late module-attr lookup keeps the impls monkeypatchable (tests)
+    return globals()[f"_attention_{impl}"](p, x, config, lengths, positions, cd)
 
 
 def _conv_module(
@@ -413,20 +446,36 @@ def conformer_encode(
     return x, new_carry
 
 
+def receptive_field_steps(config: ConformerConfig) -> int:
+    """Compound receptive field of the block stack BEHIND a chunk-aligned
+    position, in encoder steps (always a multiple of ``chunk_size``).
+
+    Derived by inverting the stack from an aligned boundary p: each
+    block's conv reaches ``kernel-1`` steps back, which (for kernel>1)
+    crosses into the previous chunk, and the block's attention then
+    reaches ``left_context`` chunks back FROM THAT CHUNK'S START — so
+    per block the earliest needed position drops by exactly
+    ``left_context·chunk + chunk·ceil((kernel-1)/chunk)`` and stays
+    chunk-aligned.  The naive ``N·(left_context·chunk + kernel-1)``
+    bound under-counts this alignment spillover: with chunk=8, kernel=4,
+    2 blocks it gives 22→24 rounded where 32 steps are truly needed
+    (boundary rows then differ ~1e-4 — caught by an SP parity sweep)."""
+    C = config.chunk_size
+    conv_chunks = -(-(config.conv_kernel - 1) // C)  # 0 when kernel==1
+    return config.num_blocks * C * (config.left_context + conv_chunks)
+
+
 class ConformerStream:
     """Chunk-by-chunk streaming wrapper.
 
     Realized by re-encoding a bounded sliding window that covers the
-    stack's compound receptive field — per block the chunked-causal
-    attention reaches ``left_context`` chunks back and the causal conv
-    ``kernel-1`` samples, so after N blocks the emitted chunk depends on
-    at most ``N·(left_context·chunk + kernel-1)`` earlier steps.  The
-    window always starts on an absolute chunk boundary (chunk ids only
-    shift by a constant, leaving the mask pattern intact) and rotary
-    positions are offset to absolute time, so streamed outputs equal the
-    full-utterance outputs for every emitted chunk (tested).  Memory is
-    O(window), independent of recording length — the long-continuous-
-    recordings path (BASELINE configs[4])."""
+    stack's compound receptive field (:func:`receptive_field_steps`).
+    The window always starts on an absolute chunk boundary (chunk ids
+    only shift by a constant, leaving the mask pattern intact) and
+    rotary positions are offset to absolute time, so streamed outputs
+    equal the full-utterance outputs for every emitted chunk (tested).
+    Memory is O(window), independent of recording length — the
+    long-continuous-recordings path (BASELINE configs[4])."""
 
     def __init__(
         self, params: dict, config: ConformerConfig,
@@ -435,12 +484,10 @@ class ConformerStream:
         self.params = params
         self.config = config
         self.compute_dtype = compute_dtype
-        receptive = config.num_blocks * (
-            config.left_context * config.chunk_size + config.conv_kernel - 1
+        # receptive field (already whole chunks) + the emitted chunk
+        self.window_steps = (
+            receptive_field_steps(config) + config.chunk_size
         )
-        # round up to whole chunks, + the emitted chunk itself
-        chunks_back = -(-receptive // config.chunk_size)
-        self.window_steps = (chunks_back + 1) * config.chunk_size
         self._step = None  # jitted fixed-shape window step (lazy: needs B)
         self.reset()
 

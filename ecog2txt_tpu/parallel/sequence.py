@@ -3,9 +3,11 @@
 Long continuous recordings (BASELINE configs[4]) can exceed what one
 chip should hold or what one chip's latency budget allows.  The
 chunked-causal conformer has a BOUNDED compound receptive field —
-``num_blocks · (left_context·chunk_size + conv_kernel − 1)`` steps
-(the same bound :class:`models.conformer.ConformerStream` streams
-with) — so the time axis shards cleanly over a mesh axis:
+``num_blocks · chunk · (left_context + ceil((kernel−1)/chunk))`` steps
+behind a chunk-aligned boundary (the same bound
+:class:`models.conformer.ConformerStream` streams with; see
+:func:`models.conformer.receptive_field_steps` for the alignment
+derivation) — so the time axis shards cleanly over a mesh axis:
 
 * each device holds a contiguous time shard (a multiple of the
   attention chunk, so chunk boundaries align across shards);
@@ -34,23 +36,19 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.conformer import ConformerConfig, conformer_encode
-
-
-def receptive_field_steps(config: ConformerConfig) -> int:
-    """Compound receptive field of the block stack, in encoder steps
-    (matches ConformerStream's window bound)."""
-    return config.num_blocks * (
-        config.left_context * config.chunk_size + config.conv_kernel - 1
-    )
+from ..models.conformer import (
+    ConformerConfig,
+    conformer_encode,
+    receptive_field_steps,
+)
 
 
 def halo_steps(config: ConformerConfig) -> int:
-    """Receptive field rounded up to whole attention chunks (shards must
-    start on chunk boundaries for the mask pattern to be preserved)."""
-    return -(-receptive_field_steps(config) // config.chunk_size) * (
-        config.chunk_size
-    )
+    """Input halo each shard needs from its left neighbor: the stack's
+    compound receptive field behind a chunk-aligned shard boundary
+    (:func:`models.conformer.receptive_field_steps` — already a whole
+    number of attention chunks, as shard starts must be)."""
+    return receptive_field_steps(config)
 
 
 def sequence_parallel_encode(

@@ -454,3 +454,57 @@ def test_pipeline_parallel_validation(params):
         pipeline_conformer_encode(
             params, CFG, jnp.zeros((5, 8, 8)), mesh2, microbatches=2
         )
+
+
+def test_receptive_field_alignment_spillover(rng):
+    """Regression: the compound receptive field must account for the
+    conv tail pushing attention back to the START of the previous chunk
+    (chunk=8, kernel=4, 2 blocks truly needs 32 halo steps; the naive
+    ``N·(L·C + K-1)`` bound gave 24 and boundary rows differed ~1e-4).
+    Checks the bound itself, then EXACT streaming and sequence-parallel
+    parity on such a config."""
+    from jax.sharding import Mesh
+
+    from ecog2txt_tpu.models.conformer import receptive_field_steps
+    from ecog2txt_tpu.parallel.sequence import sequence_parallel_encode
+
+    cfg = ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=8, left_context=1,
+        attention_impl="banded",
+    )
+    assert receptive_field_steps(cfg) == 32
+    assert receptive_field_steps(CFG) == 16  # C=4,K=4: naive bound was
+    # accidentally exact after rounding — unchanged
+    p = init_conformer(jax.random.PRNGKey(3), cfg, 8)
+
+    # streaming parity (window = RF + emitted chunk)
+    T = 4 * 32
+    xs = jnp.asarray(rng.normal(size=(2, T, 8)), jnp.float32)
+    full, _ = conformer_encode(p, cfg, xs, None)
+    stream = ConformerStream(p, cfg)
+    assert stream.window_steps == 32 + cfg.chunk_size
+    outs = [
+        stream.push(xs[:, s : s + cfg.chunk_size])
+        for s in range(0, T, cfg.chunk_size)
+    ]
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # sequence-parallel parity at the minimum legal shard size (== halo):
+    # every boundary row's window crosses shards
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    lengths = jnp.asarray([T, T - 17], jnp.int32)
+    ref, _ = conformer_encode(p, cfg, xs, lengths)
+    out = sequence_parallel_encode(
+        p, cfg, xs, mesh, axis="seq", lengths=lengths
+    )
+    valid = (
+        np.arange(T)[None, :, None] < np.asarray(lengths)[:, None, None]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) * valid, np.asarray(ref) * valid,
+        rtol=1e-5, atol=1e-5,
+    )
