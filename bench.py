@@ -233,6 +233,13 @@ def main():
 
     long_grad = jax.grad(long_loss)
 
+    # 16 steps per program: ONE synchronous jitted call through the
+    # axon tunnel costs ~30-37 ms of dispatch/round-trip on top of
+    # device time (measured r3, RESULTS.md) — amortize it the same way
+    # the flagship's K=40-step segment runner does, so the metric is
+    # device throughput, not tunnel latency
+    LONG_STEPS = 16
+
     @jax.jit
     def long_step(p, x):
         def body(carry, _):
@@ -241,7 +248,7 @@ def main():
             s = sum(jnp.sum(l) for l in jax.tree.leaves(g))
             return carry + s * 1e-30, s
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=4)
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=LONG_STEPS)
         return c
 
     float(long_step(enc_params, long_in))  # compile+warm
@@ -249,7 +256,7 @@ def main():
     for _ in range(5):
         t0 = time.perf_counter()
         float(long_step(enc_params, long_in))
-        reps.append((time.perf_counter() - t0) / 4)
+        reps.append((time.perf_counter() - t0) / LONG_STEPS)
     long_dt = sorted(reps)[len(reps) // 2]
     long_tokens_per_sec = B_long * T_long / long_dt
     # encoder-only model FLOPs/token (band attention counted, fwd ×3)

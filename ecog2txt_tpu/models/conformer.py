@@ -325,6 +325,29 @@ def _attention_flash(
     return jnp.dot(out.reshape(B, T, D), p["wo"].astype(cd))
 
 
+def _attention_fused(
+    p, x, config: ConformerConfig, lengths, positions, cd
+):
+    """Whole-module fusion (ops/pallas_attention.fused_attention_layer):
+    LN → qkv projection → rotary → banded attention in ONE kernel, so
+    q/k/v never round-trip through HBM and none of the rotary/reshape
+    glue exists outside the kernel.  Only the output projection (a big
+    GEMM XLA runs near peak) and the residual stay outside.  Measured
+    motivation (RESULTS.md r3): with the plain flash kernel the
+    attention module still cost 43% of the long8k step while being ~3%
+    of its FLOPs; the fused layer removes the non-kernel half of that."""
+    from ecog2txt_tpu.ops.pallas_attention import fused_attention_layer
+
+    att = fused_attention_layer(
+        p["wqkv"].astype(cd), p["ln"]["g"], p["ln"]["b"],
+        x, positions[0], lengths,
+        chunk_size=config.chunk_size,
+        left_context=config.left_context,
+        num_heads=config.num_heads,
+    )
+    return jnp.dot(att, p["wo"].astype(cd))
+
+
 # measured on-chip crossover (RESULTS.md r3): dense wins slightly below
 # ~512 steps, banded is flat in T and dense OOMs from ~1k
 _AUTO_DENSE_MAX_STEPS = 256

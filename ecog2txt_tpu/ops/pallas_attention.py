@@ -279,6 +279,45 @@ def _specs(B, T1, D, H, QB, PREV):
     return full_rows, prev_rows, next_rows, off_spec, len_spec
 
 
+def _bwd_calls(q, k, v, offset, lengths, g, lse, delta, C, L, t_real,
+               QB, H, interpret):
+    """dq/dk/dv from the flash-standard backward kernels (shared by the
+    plain attention VJP and the fused-layer VJP)."""
+    B, T1, D = q.shape
+    PREV = L * C
+    NB = T1 // QB
+    full, prev, nxt, off_spec, len_spec = _specs(B, T1, D, H, QB, PREV)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, C=C, L=L, t_real=t_real, QB=QB, H=H),
+        grid=(B, NB),
+        in_specs=[
+            off_spec, len_spec,
+            full(D), prev(D), full(D), prev(D), full(D),
+            full(D), full(H), full(H),
+        ],
+        out_specs=full(D),
+        out_shape=jax.ShapeDtypeStruct((B, T1, D), q.dtype),
+        interpret=interpret,
+    )(offset, lengths, q, k, k, v, v, g, lse, delta)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, C=C, L=L, t_real=t_real, QB=QB, H=H),
+        grid=(B, NB),
+        in_specs=[
+            off_spec, len_spec,
+            full(D), full(D),
+            full(D), nxt(D), full(D), nxt(D),
+            full(H), nxt(H), full(H), nxt(H),
+        ],
+        out_specs=(full(D), full(D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T1, D), q.dtype),
+            jax.ShapeDtypeStruct((B, T1, D), q.dtype),
+        ),
+        interpret=interpret,
+    )(offset, lengths, k, v, q, q, g, g, lse, lse, delta, delta)
+    return dq, dk, dv
+
+
 def _fwd_call(q, k, v, offset, lengths, C, L, t_real, QB, H, interpret):
     B, T1, D = q.shape
     PREV = L * C
@@ -324,8 +363,6 @@ def _core_bwd(C, L, t_real, QB, H, interpret, residuals, g):
     q, k, v, offset, lengths, out, lse = residuals
     B, T1, D = q.shape
     Dh = D // H
-    PREV = L * C
-    NB = T1 // QB
     # delta = per-row, per-head rowsum(dout · out) — one fused
     # elementwise+reduce in XLA (flash-standard backward residual)
     delta = (
@@ -333,35 +370,10 @@ def _core_bwd(C, L, t_real, QB, H, interpret, residuals, g):
         .reshape(B, T1, H, Dh)
         .sum(axis=-1)
     )
-    full, prev, nxt, off_spec, len_spec = _specs(B, T1, D, H, QB, PREV)
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, C=C, L=L, t_real=t_real, QB=QB, H=H),
-        grid=(B, NB),
-        in_specs=[
-            off_spec, len_spec,
-            full(D), prev(D), full(D), prev(D), full(D),
-            full(D), full(H), full(H),
-        ],
-        out_specs=full(D),
-        out_shape=jax.ShapeDtypeStruct((B, T1, D), q.dtype),
-        interpret=interpret,
-    )(offset, lengths, q, k, k, v, v, g, lse, delta)
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, C=C, L=L, t_real=t_real, QB=QB, H=H),
-        grid=(B, NB),
-        in_specs=[
-            off_spec, len_spec,
-            full(D), full(D),
-            full(D), nxt(D), full(D), nxt(D),
-            full(H), nxt(H), full(H), nxt(H),
-        ],
-        out_specs=(full(D), full(D)),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, T1, D), q.dtype),
-            jax.ShapeDtypeStruct((B, T1, D), q.dtype),
-        ),
-        interpret=interpret,
-    )(offset, lengths, k, v, q, q, g, g, lse, lse, delta, delta)
+    dq, dk, dv = _bwd_calls(
+        q, k, v, offset, lengths, g, lse, delta,
+        C, L, t_real, QB, H, interpret,
+    )
     return dq, dk, dv, None, None
 
 
@@ -387,6 +399,11 @@ def banded_flash_attention(
         interpret = _default_interpret()
     B, T, H, Dh = q.shape
     D = H * Dh
+    # the kernels assume one common dtype (out/grad refs take q's);
+    # mixed inputs (e.g. an f32-promoted q against bf16 k/v) would
+    # store-mismatch inside the dkv kernel — promote up front instead
+    ct = jnp.result_type(q.dtype, k.dtype, v.dtype)
+    q, k, v = q.astype(ct), k.astype(ct), v.astype(ct)
     C, L = chunk_size, left_context
     QB = _pick_query_rows(C, L, query_rows)
     T1 = -(-T // QB) * QB
@@ -410,3 +427,311 @@ def banded_flash_attention(
         q3, k3, v3, off, lens, C, L, T, QB, H, interpret
     )
     return out[:, :T].reshape(B, T, H, Dh)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention LAYER: LN → qkv projection → rotary → banded attention
+# in ONE kernel (the output projection wo and the residual add stay in
+# XLA — big GEMMs it already runs near peak).  Motivation (measured,
+# RESULTS.md r3): with the plain flash kernel the attention module still
+# cost 68 ms of the 148 ms long8k fwd+bwd step while its kernel part was
+# only ~38 ms — the rest was the qkv round-trip through HBM plus the
+# rotary/reshape/slice glue XLA does not fuse.  Fusing the input side
+# removes every intermediate between x and the attention output.
+#
+# Rotary without lane shuffles: for head lanes (x1, x2) the rotation is
+#   rot(x) = (x·cos_t + (x@R)·sin_t),  R = blockdiag_h [[0, I], [-I, 0]]
+# and x = lnx@W, so x@R = lnx@(W@R) where W@R is just a sign-flipped
+# column permutation of W — precomputed OUTSIDE the kernel for free.
+# Each cell then runs two (rows, D)@(D, D) GEMMs per projection instead
+# of VPU lane rotations (MXU has headroom here; lane shuffles don't).
+# ---------------------------------------------------------------------------
+
+
+def _rope_freqs(H: int, D: int) -> np.ndarray:
+    """Per-lane rotary frequency, matching models.conformer._rotary:
+    lane (h, j) uses 10000^-( (j mod half) / half ) with half = Dh//2."""
+    Dh = D // H
+    half = Dh // 2
+    j = np.arange(D) % Dh
+    return (1.0 / (10000.0 ** ((j % half) / half))).astype(np.float32)
+
+
+def _rot_half(y: jax.Array, H: int) -> jax.Array:
+    """y @ R for the rotary sign-permutation R (per-head halves swapped,
+    first half negated): lane (h, j<half) ← −y(h, j+half); (h, j≥half)
+    ← +y(h, j−half).  XLA-side helper (reshape+concat, fuses freely)."""
+    *lead, D = y.shape
+    Dh = D // H
+    half = Dh // 2
+    yh = y.reshape(*lead, H, Dh)
+    out = jnp.concatenate([-yh[..., half:], yh[..., :half]], axis=-1)
+    return out.reshape(*lead, D)
+
+
+def _fused_fwd_kernel(
+    off_ref, len_ref, x_ref, xp_ref, wq_ref, wqr_ref, wk_ref, wkr_ref,
+    wv_ref, lng_ref, lnb_ref, freq_ref,
+    o_ref, *res_refs,
+    C, L, t_real, QB, H, save, eps,
+):
+    n = pl.program_id(1)
+    PREV = L * C
+    base = n * QB
+    D = x_ref.shape[-1]
+    Dh = D // H
+    scale = 1.0 / np.sqrt(Dh)
+    offset = off_ref[0, 0]
+    length = len_ref[pl.program_id(0), 0]
+    cd = x_ref.dtype
+
+    xcat = jnp.concatenate([xp_ref[0], x_ref[0]], axis=0)  # (QB+PREV, D)
+    # layernorm: stats in f32 (matches conformer._layernorm)
+    xf = xcat.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=1, keepdims=True)
+    lnx = (
+        (xf - mu) * jax.lax.rsqrt(var + eps) * lng_ref[0] + lnb_ref[0]
+    ).astype(cd)
+
+    # rotary phases for the cat rows' ABSOLUTE positions (block-0
+    # fabricated rows get garbage angles — their keys are masked)
+    rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (QB + PREV, D), 0)
+        + (base - PREV + offset)
+    ).astype(jnp.float32)
+    ang = rows * freq_ref[0][None, :].reshape(1, D)
+    cs = jnp.cos(ang).astype(cd)
+    sn = jnp.sin(ang).astype(cd)
+
+    def mm(a, w_ref):
+        return jax.lax.dot_general(
+            a, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+
+    lnq = lnx[PREV:]
+    q = mm(lnq, wq_ref) * cs[PREV:] + mm(lnq, wqr_ref) * sn[PREV:]
+    kcat = mm(lnx, wk_ref) * cs + mm(lnx, wkr_ref) * sn
+    vcat = mm(lnx, wv_ref)
+
+    mask = _band_mask(
+        base, base - PREV, QB, QB + PREV, C, L, t_real, offset, length
+    )
+    outs, lses = [], []
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        s = jax.lax.dot_general(
+            q[:, sl], kcat[:, sl],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(mask, s, _NEG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        lses.append(m + jnp.log(denom))
+        p = (e / denom).astype(cd)
+        oh = jax.lax.dot_general(
+            p, vcat[:, sl],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(oh.astype(cd))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+    if save:
+        q_ref, k_ref, v_ref, lse_ref = res_refs
+        q_ref[0] = q
+        k_ref[0] = kcat[PREV:]  # own rows; prev rows are cell n−1's own
+        v_ref[0] = vcat[PREV:]
+        lse_ref[0] = jnp.concatenate(lses, axis=1)
+
+
+def _fused_fwd_call(
+    x, xw, lng, lnb, offset, lengths, C, L, t_real, QB, H, interpret,
+    save,
+):
+    """xw = (wq, wqr, wk, wkr, wv) pre-cast to the stream dtype."""
+    B, T1, D = x.shape
+    PREV = L * C
+    NB = T1 // QB
+    full, prev, _nxt, off_spec, len_spec = _specs(B, T1, D, H, QB, PREV)
+    wspec = pl.BlockSpec(
+        (D, D), lambda b, n: (0, 0), memory_space=pltpu.VMEM
+    )
+    gspec = pl.BlockSpec(
+        (1, D), lambda b, n: (0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _fused_fwd_kernel, C=C, L=L, t_real=t_real, QB=QB, H=H,
+        save=save, eps=1e-6,
+    )
+    outs = (full(D),)
+    shapes = (jax.ShapeDtypeStruct((B, T1, D), x.dtype),)
+    if save:
+        outs = outs + (full(D), full(D), full(D), full(H))
+        shapes = shapes + (
+            jax.ShapeDtypeStruct((B, T1, D), x.dtype),
+            jax.ShapeDtypeStruct((B, T1, D), x.dtype),
+            jax.ShapeDtypeStruct((B, T1, D), x.dtype),
+            jax.ShapeDtypeStruct((B, T1, H), jnp.float32),
+        )
+    return pl.pallas_call(
+        kern,
+        grid=(B, NB),
+        in_specs=[
+            off_spec, len_spec,
+            full(D), prev(D),
+            wspec, wspec, wspec, wspec, wspec,
+            gspec, gspec, gspec,
+        ],
+        out_specs=outs,
+        out_shape=shapes,
+        interpret=interpret,
+    )(
+        offset, lengths, x, x, *xw, lng, lnb,
+        jnp.asarray(_rope_freqs(H, D)).reshape(1, D),
+    )
+
+
+def _ln_fwd_f32(x, lng, lnb, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * inv
+    return xhat, inv
+
+
+def _split_rot_weights(wqkv, H, cd):
+    D = wqkv.shape[0]
+    wq, wk, wv = wqkv[:, :D], wqkv[:, D : 2 * D], wqkv[:, 2 * D :]
+    # W@R: every ROW of W is a lane vector, so permute the OUTPUT
+    # columns exactly as _rot_half permutes lanes
+    def wr(w):
+        return _rot_half(w, H)
+
+    return tuple(
+        a.astype(cd) for a in (wq, wr(wq), wk, wr(wk), wv)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _fused_layer_core(
+    wqkv, lng, lnb, x, offset, lengths, C, L, t_real, QB, H_i
+):
+    H, interpret = H_i
+    xw = _split_rot_weights(wqkv, H, x.dtype)
+    out, *_ = _fused_fwd_call(
+        x, xw, lng.reshape(1, -1), lnb.reshape(1, -1), offset, lengths,
+        C, L, t_real, QB, H, interpret, save=False,
+    )
+    return out
+
+
+def _fused_layer_fwd(
+    wqkv, lng, lnb, x, offset, lengths, C, L, t_real, QB, H_i
+):
+    H, interpret = H_i
+    xw = _split_rot_weights(wqkv, H, x.dtype)
+    out, q, k, v, lse = _fused_fwd_call(
+        x, xw, lng.reshape(1, -1), lnb.reshape(1, -1), offset, lengths,
+        C, L, t_real, QB, H, interpret, save=True,
+    )
+    return out, (wqkv, lng, lnb, x, offset, lengths, out, q, k, v, lse)
+
+
+def _fused_layer_bwd(C, L, t_real, QB, H_i, residuals, g):
+    H, interpret = H_i
+    wqkv, lng, lnb, x, offset, lengths, out, q, k, v, lse = residuals
+    B, T1, D = x.shape
+    Dh = D // H
+    cd = x.dtype
+    # flash-standard backward through the attention core
+    delta = (
+        (g.astype(jnp.float32) * out.astype(jnp.float32))
+        .reshape(B, T1, H, Dh)
+        .sum(axis=-1)
+    )
+    dq, dk, dv = _bwd_calls(
+        q, k, v, offset, lengths, g, lse, delta,
+        C, L, t_real, QB, H, interpret,
+    )
+    # un-rotary: q_rot = q_pre·cs + (q_pre@R)·sn ⇒
+    # dq_pre = dq·cs + (dq·sn)@Rᵀ = dq·cs − rot_half(dq·sn)
+    pos = (jnp.arange(T1, dtype=jnp.int32) + offset.reshape(())).astype(
+        jnp.float32
+    )
+    ang = pos[:, None] * jnp.asarray(_rope_freqs(H, D))[None, :]
+    cs = jnp.cos(ang).astype(cd)[None]
+    sn = jnp.sin(ang).astype(cd)[None]
+    dq_pre = dq * cs - _rot_half(dq * sn, H)
+    dk_pre = dk * cs - _rot_half(dk * sn, H)
+    dqkv = jnp.concatenate([dq_pre, dk_pre, dv], axis=-1)  # (B,T1,3D)
+    # projection backward against the recomputed layernorm output
+    xhat, inv = _ln_fwd_f32(x, lng, lnb)
+    lnx = (xhat * lng + lnb).astype(cd)
+    dwqkv = jax.lax.dot_general(
+        lnx.reshape(-1, D), dqkv.reshape(-1, 3 * D),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dlnx = jax.lax.dot_general(
+        dqkv, wqkv.astype(cd), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, T1, D) f32
+    # layernorm backward (stats in f32)
+    dxhat = dlnx * lng
+    dg = jnp.sum(dlnx * xhat, axis=(0, 1))
+    db = jnp.sum(dlnx, axis=(0, 1))
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = ((dxhat - m1 - xhat * m2) * inv).astype(cd)
+    return (
+        dwqkv.astype(wqkv.dtype), dg.astype(lng.dtype),
+        db.astype(lnb.dtype), dx, None, None,
+    )
+
+
+_fused_layer_core.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+def fused_attention_layer(
+    wqkv: jax.Array,  # (D, 3D) in the stream dtype (cast outside)
+    ln_g: jax.Array,  # (D,) f32
+    ln_b: jax.Array,  # (D,) f32
+    x: jax.Array,  # (B, T, D) stream dtype — PRE-layernorm input
+    offset=0,
+    lengths: jax.Array | None = None,
+    *,
+    chunk_size: int,
+    left_context: int,
+    num_heads: int,
+    query_rows: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """LN → qkv → rotary → banded attention, one fused kernel.  Returns
+    the pre-output-projection attention result (B, T, D); apply ``wo``
+    and the residual outside.  Differentiable (custom VJP: saved q/k/v
+    feed the standard flash backward kernels, projection/LN backward is
+    hand-written XLA GEMMs — no autodiff pad/scatter glue)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    B, T, D = x.shape
+    C, L = chunk_size, left_context
+    QB = _pick_query_rows(C, L, query_rows)
+    T1 = -(-T // QB) * QB
+    pad = T1 - T
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((B, pad, D), x.dtype)], axis=1
+        )
+    off = jnp.asarray(offset, jnp.int32).reshape(1, 1)
+    if lengths is None:
+        lens = jnp.full((B, 1), np.iinfo(np.int32).max, jnp.int32)
+    else:
+        lens = lengths.astype(jnp.int32).reshape(B, 1)
+    out = _fused_layer_core(
+        wqkv, ln_g, ln_b, x, off, lens, C, L, T, QB, (num_heads, interpret)
+    )
+    return out[:, :T]

@@ -225,3 +225,113 @@ def test_conformer_flash_grad_matches_banded():
     flat_w, _ = jax.tree_util.tree_flatten(want)
     for g, w in zip(flat_g, flat_w):
         np.testing.assert_allclose(g, w, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused_attention_layer: LN → qkv → rotary → banded attention in one
+# kernel.  Oracle = the conformer's own dense attention module.
+# ---------------------------------------------------------------------------
+
+
+def _fused_vs_dense(B, T, D, H, C, L, off, dtype, rtol, atol):
+    from ecog2txt_tpu.models.conformer import (
+        ConformerConfig, init_conformer, _attention_dense,
+    )
+    from ecog2txt_tpu.ops.pallas_attention import fused_attention_layer
+
+    cfg = ConformerConfig(
+        num_blocks=1, model_dim=D, num_heads=H, ffn_dim=32,
+        conv_kernel=4, chunk_size=C, left_context=L,
+    )
+    p = init_conformer(jax.random.PRNGKey(1), cfg, 8)["blocks"][0]["attn"]
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, T, D), dtype)
+    lengths = jnp.asarray([T, max(1, T - 13)][:B], jnp.int32)
+    positions = jnp.arange(T) + off
+    # compare only rows that are valid queries (non-negative absolute
+    # position, inside the sequence length) — the rest are garbage in
+    # BOTH paths by contract
+    valid = (
+        (jnp.arange(T)[None, :] + off < lengths[:, None])
+        & (jnp.arange(T)[None, :] + off >= 0)
+    )[:, :, None].astype(jnp.float32)
+
+    def fused(p, x):
+        att = fused_attention_layer(
+            p["wqkv"].astype(dtype), p["ln"]["g"], p["ln"]["b"],
+            x, positions[0], lengths, chunk_size=C, left_context=L,
+            num_heads=H, interpret=True,
+        )
+        return jnp.dot(att, p["wo"].astype(dtype))
+
+    want = _attention_dense(p, x, cfg, lengths, positions, dtype)
+    got = fused(p, x)
+    np.testing.assert_allclose(
+        np.asarray((got * valid).astype(jnp.float32)),
+        np.asarray((want * valid).astype(jnp.float32)),
+        rtol=rtol, atol=atol,
+    )
+
+    def loss_dense(p, x):
+        out = _attention_dense(p, x, cfg, lengths, positions, dtype)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)) * valid)
+
+    def loss_fused(p, x):
+        return jnp.sum(jnp.sin(fused(p, x).astype(jnp.float32)) * valid)
+
+    gw = jax.grad(loss_dense, argnums=(0, 1))(p, x)
+    gg = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gg)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=rtol * 10, atol=atol * 10,
+        )
+
+
+@pytest.mark.parametrize(
+    "T,C,L,off",
+    [
+        (50, 8, 1, 0),  # partial trailing chunk
+        (40, 8, 2, 16),  # L=2, chunk-aligned traced-style offset
+        (64, 8, 1, -8),  # negative-position halo
+    ],
+)
+def test_fused_layer_matches_dense_module(T, C, L, off):
+    _fused_vs_dense(2, T, 64, 4, C, L, off, jnp.float32, 1e-4, 1e-5)
+
+
+def test_fused_layer_bf16():
+    _fused_vs_dense(2, 96, 64, 4, 16, 1, 0, jnp.bfloat16, 5e-2, 2e-2)
+
+
+def test_conformer_fused_impl_matches_banded():
+    """Full 2-block encoder equality: attention_impl='fused' vs 'banded'
+    (interpret kernels on CPU), values and parameter grads."""
+    from ecog2txt_tpu.models.conformer import (
+        ConformerConfig, conformer_encode, init_conformer,
+    )
+
+    B, T, in_dim = 2, 72, 12
+    mk = lambda impl: ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=8, left_context=1,
+        attention_impl=impl,
+    )
+    params = init_conformer(jax.random.PRNGKey(0), mk("banded"), in_dim)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, in_dim))
+    lengths = jnp.asarray([T, T - 9], jnp.int32)
+
+    def loss(p, impl):
+        out, _ = conformer_encode(p, mk(impl), x, lengths)
+        valid = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+        return jnp.sum(jnp.sin(out) * valid), out
+
+    (lb, ob), gb = jax.value_and_grad(loss, has_aux=True)(params, "banded")
+    (lf, of), gf = jax.value_and_grad(loss, has_aux=True)(params, "fused")
+    np.testing.assert_allclose(float(lb), float(lf), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ob), np.asarray(of), rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(gb), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
