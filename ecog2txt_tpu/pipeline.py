@@ -527,6 +527,38 @@ def shard_dataset(
     return shards
 
 
+_PREFETCH_END = object()
+
+
+def prefetch(produce, depth: int = 1):
+    """Run ``produce()`` (pull-next-item + host prep + device upload) in
+    a single background thread, up to ``depth`` items ahead of the
+    consumer — the streaming trainer's input pipeline overlap: while
+    the device trains shard k, the host reads/packs/uploads shard k+1
+    instead of idling the device between shards.
+
+    ``produce`` must return :data:`_PREFETCH_END` when exhausted; one
+    worker thread keeps pulls strictly ordered, so rng-dependent
+    schedules are drawn in exactly the sequential order (the
+    lazy-trajectory test asserts identical WER either way).  JAX device
+    uploads are thread-safe (async dispatch)."""
+    import concurrent.futures
+    from collections import deque
+
+    with concurrent.futures.ThreadPoolExecutor(1) as ex:
+        pending = deque(ex.submit(produce) for _ in range(depth + 1))
+        try:
+            while pending:
+                item = pending.popleft().result()
+                if item is _PREFETCH_END:
+                    break
+                pending.append(ex.submit(produce))
+                yield item
+        finally:
+            for fut in pending:
+                fut.cancel()
+
+
 def make_schedule(
     dataset: PackedDataset,
     batch_size: int,

@@ -505,3 +505,265 @@ class StreamingConformerSession:
         out = self.decode()
         self.reset()
         return out
+
+
+class StreamingSessionPool:
+    """Batched multi-tenant streaming serving: up to ``capacity``
+    concurrent raw-ECoG streams through ONE jitted device step.
+
+    Each slot is an independent stream with its OWN absolute clock
+    (streams join/leave at any time — a BCI serving host with several
+    live sessions), yet every tick runs a single batched conv +
+    ``vmap``-ped bounded-window encode over all slots: per-row rotary
+    ``position_offset`` and per-row valid ``lengths`` carry each
+    stream's private coordinates through the shared computation.  The
+    window step is always ≤ the dense-attention crossover, so the
+    vmapped path is pure XLA (no kernel batching rules involved).
+
+    Semantics per slot are EXACTLY :class:`StreamingConformerSession`
+    with B=1 (same window bound, same mask_invalid left-fill, same
+    partial-chunk flush) — asserted by the pool-vs-session-vs-offline
+    parity test.  Reference parity target: the reference serves ONE
+    predictor per session (trainers.py:925-949); batching N streams
+    per chip is the TPU-first throughput lever.
+    """
+
+    def __init__(
+        self,
+        params,
+        config: Seq2SeqConfig,
+        targets_list: Sequence[str],
+        capacity: int = 8,
+        subject_idx: int = 0,
+    ):
+        if config.encoder_type != "conformer":
+            raise ValueError(
+                "StreamingSessionPool requires encoder_type='conformer'"
+            )
+        from .models.conformer import (
+            ConformerConfig, receptive_field_steps,
+        )
+
+        self.params = params
+        self.config = config
+        self.targets_list = list(targets_list)
+        self.capacity = int(capacity)
+        self.ccfg = config.conformer or ConformerConfig()
+        self.window_steps = (
+            receptive_field_steps(self.ccfg) + self.ccfg.chunk_size
+        )
+        self.samples_per_chunk = (
+            config.decimation_factor * self.ccfg.chunk_size
+        )
+        import jax.numpy as jnp
+
+        self._subject_idx = jnp.asarray(subject_idx, jnp.int32)
+        self._slots: list[dict | None] = [None] * self.capacity
+        self._windows = None  # (N, W, F) device array, lazy (needs F)
+        self._blocks: list[tuple] = []  # (enc (N, C, D), active frozenset)
+        self._conv_jit = None
+        self._step_jit = None
+
+    # -- slot management ------------------------------------------------
+    def add(self) -> int:
+        """Claim a free slot for a new stream; returns the slot id."""
+        import jax.numpy as jnp
+
+        for i, s in enumerate(self._slots):
+            if s is None:
+                self._slots[i] = {
+                    "raw": [], "raw_samples": 0,
+                    "pushed": 0, "valid": 0, "steps": 0,
+                }
+                # a reused slot id must not see its previous occupant's
+                # encoder blocks or window
+                self._blocks = [
+                    (blk, act - {i})
+                    for blk, act in self._blocks
+                    if act - {i}
+                ]
+                if self._windows is not None:
+                    self._windows = self._windows.at[i].set(
+                        jnp.zeros_like(self._windows[i])
+                    )
+                return i
+        raise RuntimeError(f"pool is full (capacity {self.capacity})")
+
+    def release(self, slot: int) -> None:
+        self._slots[slot] = None
+        # drop stored encoder blocks that no live slot can still read
+        live = {i for i, s in enumerate(self._slots) if s is not None}
+        self._blocks = [
+            (blk, act) for blk, act in self._blocks if act & live
+        ]
+
+    # -- device step ----------------------------------------------------
+    def _convolve(self, raw: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        if self._conv_jit is None:
+
+            def conv(xs_bm):
+                xs = jnp.moveaxis(xs_bm, 0, 1)
+                out = convolve_sequences(
+                    self.params, self.config, xs, self._subject_idx,
+                    jax.random.PRNGKey(0), train=False,
+                )
+                return jnp.moveaxis(out, 0, 1)
+
+            self._conv_jit = jax.jit(conv)
+        return self._conv_jit(jnp.asarray(raw))
+
+    def _make_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        from .models.conformer import conformer_encode
+
+        cfg, ccfg = self.config, self.ccfg
+        C = ccfg.chunk_size
+
+        def one(window, chunk, length, offset):
+            window = jnp.concatenate([window[C:], chunk], axis=0)
+            out, _ = conformer_encode(
+                self.params["encoder"]["conformer"], ccfg,
+                window[None], length[None], position_offset=offset,
+                compute_dtype=cfg.compute_dtype, mask_invalid=True,
+            )
+            return out[0, -C:], window
+
+        def step(windows, chunks, lengths, offsets, active):
+            outs, new_windows = jax.vmap(one)(
+                windows, chunks, lengths, offsets
+            )
+            keep = active[:, None, None]
+            return outs, jnp.where(keep, new_windows, windows)
+
+        return jax.jit(step)
+
+    def _tick(self, ready: dict[int, np.ndarray], commit: bool = True):
+        """One batched device step over ``ready`` {slot: (spc, C_in)
+        raw block}; returns the (N, C, D) encoder block."""
+        import jax.numpy as jnp
+
+        Cp = self.config.in_channels
+        raws = np.zeros(
+            (self.capacity, self.samples_per_chunk, Cp), np.float32
+        )
+        for i, blk in ready.items():
+            raws[i, :, : blk.shape[1]] = blk[:, :Cp]
+        feats = self._convolve(raws)  # (N, C, F)
+        if self._windows is None:
+            self._windows = jnp.zeros(
+                (self.capacity, self.window_steps, feats.shape[-1]),
+                feats.dtype,
+            )
+        if self._step_jit is None:
+            self._step_jit = self._make_step()
+        lengths = np.zeros((self.capacity,), np.int32)
+        offsets = np.zeros((self.capacity,), np.int32)
+        active = np.zeros((self.capacity,), bool)
+        for i in ready:
+            s = self._slots[i]
+            lengths[i] = s["_tick_valid"]
+            offsets[i] = s["pushed"] + self.ccfg.chunk_size - self.window_steps
+            active[i] = True
+        outs, new_windows = self._step_jit(
+            self._windows, feats, jnp.asarray(lengths),
+            jnp.asarray(offsets), jnp.asarray(active),
+        )
+        if commit:
+            self._windows = new_windows
+        return outs
+
+    def _advance(self) -> None:
+        spc = self.samples_per_chunk
+        while True:
+            ready = {}
+            for i, s in enumerate(self._slots):
+                if s is not None and s["raw_samples"] >= spc:
+                    raw = np.concatenate(s["raw"], axis=0)
+                    ready[i] = raw[:spc]
+                    rest = raw[spc:]
+                    s["raw"] = [rest] if len(rest) else []
+                    s["raw_samples"] = len(rest)
+            if not ready:
+                return
+            C = self.ccfg.chunk_size
+            for i in ready:
+                s = self._slots[i]
+                s["_tick_valid"] = s["valid"] + C  # absolute, post-tick
+            outs = self._tick(ready)
+            for i in ready:
+                s = self._slots[i]
+                s["pushed"] += C
+                s["valid"] += C
+                s["steps"] += C
+            self._blocks.append((outs, frozenset(ready)))
+
+    # -- public API -----------------------------------------------------
+    def push(self, slot: int, samples: np.ndarray) -> None:
+        """Append raw samples (T, C_in) to a stream; ragged sizes fine."""
+        s = self._slots[slot]
+        if s is None:
+            raise ValueError(f"slot {slot} is not active")
+        samples = np.asarray(samples, np.float32)
+        if samples.ndim != 2:
+            raise ValueError("push expects (T, C_in) raw samples")
+        s["raw"].append(samples)
+        s["raw_samples"] += len(samples)
+        self._advance()
+
+    def decode(self, slot: int) -> dict:
+        """Flush-and-decode one stream (side-effect free — the stream
+        keeps running; same contract as the single session's decode)."""
+        import jax
+        import jax.numpy as jnp
+
+        s = self._slots[slot]
+        if s is None:
+            raise ValueError(f"slot {slot} is not active")
+        d = self.config.decimation_factor
+        enc_rows = [
+            blk[slot] for blk, act in self._blocks if slot in act
+        ]
+        valid_steps = s["steps"]
+        if s["raw_samples"]:
+            raw = np.concatenate(s["raw"], axis=0)
+            n_steps = -(-len(raw) // d)
+            padded = np.zeros(
+                (self.samples_per_chunk, raw.shape[1]), np.float32
+            )
+            padded[: len(raw)] = raw
+            s["_tick_valid"] = s["valid"] + n_steps
+            out = self._tick({slot: padded}, commit=False)
+            enc_rows.append(out[slot, :n_steps])
+            valid_steps += n_steps
+        if not enc_rows:
+            return {"sequences": [""], "tokens": None,
+                    "encoder_outputs": None}
+        enc = jnp.concatenate(enc_rows, axis=0)[None]  # (1, T', D)
+        lengths = jnp.full((1,), valid_steps, jnp.int32)
+        pooled = jnp.sum(enc, axis=1) / jnp.maximum(
+            lengths[:, None], 1
+        ).astype(enc.dtype)
+        tokens = decode_from_encoder(
+            self.params, self.config,
+            jnp.moveaxis(enc, 0, 1), (pooled, pooled), lengths,
+            jax.random.PRNGKey(0), temperature=0.0,
+        )
+        tokens = np.asarray(tokens)
+        return {
+            "tokens": tokens,
+            "encoder_outputs": np.asarray(enc),
+            "sequences": target_inds_to_sequences(
+                tokens, self.targets_list
+            ),
+        }
+
+    def endpoint(self, slot: int) -> dict:
+        """Final decode; the slot is released back to the pool."""
+        out = self.decode(slot)
+        self.release(slot)
+        return out

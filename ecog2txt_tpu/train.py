@@ -849,28 +849,44 @@ class MultiSubjectTrainer:
                 self.seed + 1000 + int(self.state.epoch)
             )
             if streaming:
-                for si, shard in enumerate(shards):
-                    if not int(shard.num_trials.sum()):
-                        continue
-                    subjects_sched, idx_sched = make_schedule(
-                        shard, self.batch_size, segment, rng_np,
-                        subject_subset,
-                    )
-                    shard_dev = {
-                        k: (
-                            jnp.asarray(v, jnp.bfloat16)
-                            if k == "encoder_inputs"
-                            and v.dtype == np.float32
-                            and self.net_config.compute_dtype
-                            == jnp.bfloat16
-                            else jnp.asarray(v)
-                        )
-                        for k, v in shard.batch_dict().items()
-                    }
-                    if self.mesh is not None:
-                        from .parallel import replicate
+                from .pipeline import _PREFETCH_END, prefetch
 
-                        shard_dev = replicate(shard_dev, self.mesh)
+                shard_iter = enumerate(shards)
+
+                def _produce():
+                    # pull + schedule + upload for ONE shard; runs in
+                    # the single prefetch worker so the host
+                    # reads/packs/uploads shard k+1 while the device
+                    # trains shard k (the rng draws stay sequential —
+                    # trajectory identical to the unprefetched loop)
+                    for si, shard in shard_iter:
+                        if not int(shard.num_trials.sum()):
+                            continue
+                        sched = make_schedule(
+                            shard, self.batch_size, segment, rng_np,
+                            subject_subset,
+                        )
+                        shard_dev = {
+                            k: (
+                                jnp.asarray(v, jnp.bfloat16)
+                                if k == "encoder_inputs"
+                                and v.dtype == np.float32
+                                and self.net_config.compute_dtype
+                                == jnp.bfloat16
+                                else jnp.asarray(v)
+                            )
+                            for k, v in shard.batch_dict().items()
+                        }
+                        if self.mesh is not None:
+                            from .parallel import replicate
+
+                            shard_dev = replicate(shard_dev, self.mesh)
+                        return si, sched, shard_dev
+                    return _PREFETCH_END
+
+                for si, (subjects_sched, idx_sched), shard_dev in (
+                    prefetch(_produce)
+                ):
                     self.state, metrics = runner(
                         self.state,
                         shard_dev,

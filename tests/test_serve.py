@@ -321,3 +321,105 @@ def test_streaming_partial_ctc_hypotheses():
     # partial() never mutated the stream: full decode still works
     out = session.endpoint()
     assert isinstance(out["sequences"][0], str)
+
+
+def test_streaming_session_pool_matches_sessions_and_offline():
+    """Three streams with different start times, ragged pushes, a
+    mid-stream join after a release, all batched through ONE pool:
+    every stream's decode/endpoint must equal a dedicated
+    StreamingConformerSession fed the same samples AND the offline
+    greedy decode of its own utterance."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+    from ecog2txt_tpu.models.seq2seq import (
+        Seq2SeqConfig, greedy_decode, init_seq2seq,
+    )
+    from ecog2txt_tpu.serve import (
+        StreamingConformerSession, StreamingSessionPool,
+    )
+
+    ccfg = ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=4, left_context=1,
+    )
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(),
+        aux_heads=(), dec_embedding_size=12, dec_rnn_sizes=(48,),
+        max_dec_len=6, encoder_type="conformer", conformer=ccfg,
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    targets = ["<pad>", "<EOS>", "<OOV>"] + [f"w{i}_" for i in range(9)]
+    rng = np.random.default_rng(7)
+
+    def offline(raw):
+        L = len(raw)
+        T = ((L + 3) // 4) * 4
+        inputs = np.zeros((1, T, 8), np.float32)
+        inputs[:, :L] = raw
+        return np.asarray(
+            greedy_decode(
+                params, cfg, jnp.asarray(inputs), jnp.asarray([L]),
+                jnp.asarray(0, jnp.int32), temperature=0.0,
+            )
+        )
+
+    pool = StreamingSessionPool(params, cfg, targets, capacity=4)
+    lengths = {"a": 147, "b": 83, "c": 64}
+    raws = {k: rng.normal(size=(n, 8)).astype(np.float32)
+            for k, n in lengths.items()}
+    sessions = {k: StreamingConformerSession(params, cfg, targets)
+                for k in raws}
+
+    # a starts alone; b joins after a has streamed a while; interleave
+    slots = {"a": pool.add()}
+    fed = {k: 0 for k in raws}
+
+    def feed(k, n):
+        chunk = raws[k][fed[k] : fed[k] + n]
+        if len(chunk) == 0:
+            return
+        pool.push(slots[k], chunk)
+        sessions[k].push(chunk)
+        fed[k] += len(chunk)
+
+    feed("a", 37)
+    feed("a", 37)
+    slots["b"] = pool.add()
+    feed("b", 29)
+    feed("a", 37)
+    feed("b", 29)
+    # mid-stream flush of b: side-effect free, equals its session
+    mid_pool = pool.decode(slots["b"])
+    mid_sess = sessions["b"].decode()
+    np.testing.assert_array_equal(mid_pool["tokens"], mid_sess["tokens"])
+    feed("b", 29)
+    feed("a", 37)  # past the end → feeds the remainder
+    feed("a", 37)
+
+    out_a = pool.endpoint(slots["a"])
+    sess_a = sessions["a"].endpoint()
+    np.testing.assert_array_equal(out_a["tokens"], sess_a["tokens"])
+    np.testing.assert_array_equal(out_a["tokens"], offline(raws["a"]))
+    np.testing.assert_allclose(
+        np.asarray(out_a["encoder_outputs"], np.float32),
+        np.asarray(sess_a["encoder_outputs"], np.float32),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # c reuses a's released slot id mid-flight; b keeps streaming
+    slots["c"] = pool.add()
+    assert slots["c"] == slots["a"]  # reuse is the point
+    feed("c", 64)
+    feed("b", 100)
+    out_c = pool.endpoint(slots["c"])
+    np.testing.assert_array_equal(out_c["tokens"], offline(raws["c"]))
+    out_b = pool.endpoint(slots["b"])
+    sess_b = sessions["b"].endpoint()
+    np.testing.assert_array_equal(out_b["tokens"], sess_b["tokens"])
+    np.testing.assert_array_equal(out_b["tokens"], offline(raws["b"]))
+
+    with pytest.raises(ValueError):
+        pool.push(slots["b"], raws["b"][:8])  # released slot rejects
