@@ -61,6 +61,12 @@ class ConformerConfig(NamedTuple):
     # dense at T'=112; 128-row blocks recover dense-path efficiency
     # while staying O(T).
     query_block_chunks: int | None = None
+    # rematerialize each block in the backward pass (jax.checkpoint):
+    # activation memory drops from O(num_blocks·T) to O(T) + one extra
+    # forward of FLOPs — the standard trade for training LONGER
+    # recordings or bigger batch than HBM otherwise allows.  Numerics
+    # identical (tested).  Trainer knob: SN_kwargs['conformer']['remat'].
+    remat: bool = False
 
 
 def _glorot(rng, shape):
@@ -459,10 +465,21 @@ def conformer_encode(
     # sequence parallelism, where the offset is traced) behave exactly
     # like the offline zero pad
     valid = positions >= 0 if mask_invalid else None
+    blk = apply_block
+    if getattr(config, "remat", False):
+        # activation rematerialization per block (memory ↔ one extra
+        # forward); config/cd are static via closure, arrays are args
+        def blk(block, x, config, lengths, positions, cd, tail, valid):
+            return jax.checkpoint(
+                lambda b, xx, ln, pos, tl, vd: apply_block(
+                    b, xx, config, ln, pos, cd, tl, vd
+                )
+            )(block, x, lengths, positions, tail, valid)
+
     new_carry = []
     for bi, block in enumerate(params["blocks"]):
         tail = carry[bi] if carry is not None else None
-        x, new_tail = apply_block(
+        x, new_tail = blk(
             block, x, config, lengths, positions, cd, tail, valid
         )
         new_carry.append(new_tail)

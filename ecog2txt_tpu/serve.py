@@ -535,7 +535,14 @@ class StreamingSessionPool:
         targets_list: Sequence[str],
         capacity: int = 8,
         subject_idx: int = 0,
+        max_pending_chunks: int = 2,
     ):
+        """``max_pending_chunks``: a tick normally waits until EVERY
+        active slot has a full chunk buffered (so one batched device
+        step serves all streams — the throughput point of the pool);
+        if a straggler idles while another slot accumulates this many
+        chunks, the pool ticks the ready slots anyway, bounding
+        per-stream latency."""
         if config.encoder_type != "conformer":
             raise ValueError(
                 "StreamingSessionPool requires encoder_type='conformer'"
@@ -558,6 +565,7 @@ class StreamingSessionPool:
         import jax.numpy as jnp
 
         self._subject_idx = jnp.asarray(subject_idx, jnp.int32)
+        self.max_pending_chunks = int(max_pending_chunks)
         self._slots: list[dict | None] = [None] * self.capacity
         self._windows = None  # (N, W, F) device array, lazy (needs F)
         self._blocks: list[tuple] = []  # (enc (N, C, D), active frozenset)
@@ -677,19 +685,34 @@ class StreamingSessionPool:
             self._windows = new_windows
         return outs
 
-    def _advance(self) -> None:
+    def _advance(self, force_slot: int | None = None) -> None:
+        """Tick while a batched step is due.  A step is due when every
+        active slot has a full chunk (one upload + one device call
+        serves all streams), when a slot is ``max_pending_chunks``
+        overdue, or when ``force_slot`` needs draining (decode)."""
         spc = self.samples_per_chunk
         while True:
+            active = [
+                (i, s) for i, s in enumerate(self._slots) if s is not None
+            ]
+            pending = {i: s["raw_samples"] // spc for i, s in active}
+            if not pending or not any(pending.values()):
+                return
+            due = (
+                all(pending.values())
+                or max(pending.values()) >= self.max_pending_chunks
+                or (force_slot is not None and pending.get(force_slot))
+            )
+            if not due:
+                return
             ready = {}
-            for i, s in enumerate(self._slots):
-                if s is not None and s["raw_samples"] >= spc:
+            for i, s in active:
+                if s["raw_samples"] >= spc:
                     raw = np.concatenate(s["raw"], axis=0)
                     ready[i] = raw[:spc]
                     rest = raw[spc:]
                     s["raw"] = [rest] if len(rest) else []
                     s["raw_samples"] = len(rest)
-            if not ready:
-                return
             C = self.ccfg.chunk_size
             for i in ready:
                 s = self._slots[i]
@@ -724,6 +747,9 @@ class StreamingSessionPool:
         s = self._slots[slot]
         if s is None:
             raise ValueError(f"slot {slot} is not active")
+        # drain this stream's buffered full chunks first (other ready
+        # slots ride along in the same batched ticks)
+        self._advance(force_slot=slot)
         d = self.config.decimation_factor
         enc_rows = [
             blk[slot] for blk, act in self._blocks if slot in act

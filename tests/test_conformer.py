@@ -508,3 +508,23 @@ def test_receptive_field_alignment_spillover(rng):
         np.asarray(out) * valid, np.asarray(ref) * valid,
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_remat_identical_values_and_grads(params, rng):
+    """config.remat=True (per-block jax.checkpoint) must not change the
+    function or its gradients — only the backward's memory schedule."""
+    xs = jnp.asarray(rng.normal(size=(2, 40, 8)), jnp.float32)
+    lens = jnp.asarray([40, 29], jnp.int32)
+    cfg_r = CFG._replace(remat=True)
+
+    def loss(p, cfg):
+        out, _ = conformer_encode(p, cfg, xs, lens)
+        return jnp.sum(jnp.sin(out))
+
+    l0, g0 = jax.value_and_grad(loss)(params, CFG)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
