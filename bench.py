@@ -259,12 +259,14 @@ def main():
         reps.append((time.perf_counter() - t0) / LONG_STEPS)
     long_dt = sorted(reps)[len(reps) // 2]
     long_tokens_per_sec = B_long * T_long / long_dt
-    # encoder-only model FLOPs/token (band attention counted, fwd ×3)
-    D, F = ccfg.model_dim, ccfg.ffn_dim
-    kv = (ccfg.left_context + 1) * ccfg.chunk_size
-    enc_flops_tok = 3.0 * (
-        2.0 * 100 * D
-        + ccfg.num_blocks * (8.0 * D * F + 12.0 * D * D + 4.0 * kv * D)
+    # encoder-only model FLOPs/token (band attention counted, fwd ×3) —
+    # from the same accounting the jaxpr-oracle test certifies
+    from ecog2txt_tpu.utils.flops import (
+        conformer_encoder_forward_flops_per_step,
+    )
+
+    enc_flops_tok = 3.0 * conformer_encoder_forward_flops_per_step(
+        ccfg, 100
     )
     long_mfu = long_tokens_per_sec * enc_flops_tok / TPU_V5E_BF16_PEAK_FLOPS
 

@@ -541,18 +541,35 @@ def prefetch(produce, depth: int = 1):
     worker thread keeps pulls strictly ordered, so rng-dependent
     schedules are drawn in exactly the sequential order (the
     lazy-trajectory test asserts identical WER either way).  JAX device
-    uploads are thread-safe (async dispatch)."""
+    uploads are thread-safe (async dispatch).
+
+    DEVICE-MEMORY NOTE: with the default ``depth=1``, at most TWO
+    uploaded shards are resident at once (the one training + the one
+    prefetched) — a ``max_device_trials`` budget must leave room for
+    both.  ``depth=0`` restores the strictly-one-shard behavior (no
+    overlap)."""
     import concurrent.futures
     from collections import deque
 
+    if depth <= 0:  # no overlap: strictly one shard alive at a time
+        while True:
+            item = produce()
+            if item is _PREFETCH_END:
+                return
+            yield item
+
     with concurrent.futures.ThreadPoolExecutor(1) as ex:
-        pending = deque(ex.submit(produce) for _ in range(depth + 1))
+        pending = deque([ex.submit(produce)])
         try:
             while pending:
                 item = pending.popleft().result()
                 if item is _PREFETCH_END:
                     break
-                pending.append(ex.submit(produce))
+                # keep exactly `depth` producers in flight: while the
+                # consumer holds this item, at most `depth` more shards
+                # can complete — never an unbounded backlog
+                while len(pending) < max(depth, 1):
+                    pending.append(ex.submit(produce))
                 yield item
         finally:
             for fut in pending:

@@ -378,28 +378,10 @@ class StreamingConformerSession:
                 "sequences": [""], "tokens": None, "encoder_outputs": None,
             }
         enc_bm = jnp.concatenate(enc_outs, axis=1)  # (B, T', D)
-        B = enc_bm.shape[0]
-        lengths = jnp.full((B,), valid_steps, jnp.int32)
-        # masked mean over valid steps → decoder initial state (the
-        # offline conformer bridge in models.seq2seq.encode)
-        pooled = jnp.sum(enc_bm, axis=1) / jnp.maximum(
-            lengths[:, None], 1
-        ).astype(enc_bm.dtype)
-        tokens = decode_from_encoder(
-            self.params,
-            self.config,
-            jnp.moveaxis(enc_bm, 0, 1),  # (T', B, D)
-            (pooled, pooled),
-            lengths,
-            jax.random.PRNGKey(0),
-            temperature=0.0,
+        return _decode_pooled_encoder(
+            self.params, self.config, self.targets_list, enc_bm,
+            valid_steps,
         )
-        tokens = np.asarray(tokens)
-        return {
-            "tokens": tokens,
-            "encoder_outputs": np.asarray(enc_bm),
-            "sequences": target_inds_to_sequences(tokens, self.targets_list),
-        }
 
     def _ctc_block(self, enc_block, want_logp: bool):
         """(B, n, D) encoder block → per-step argmax path (n, B) int
@@ -507,6 +489,38 @@ class StreamingConformerSession:
         return out
 
 
+def _decode_pooled_encoder(
+    params, config, targets_list, enc_bm, valid_steps: int
+) -> dict:
+    """Shared decode tail of the streaming session AND the pool: masked
+    mean over valid steps → decoder initial state (the offline conformer
+    bridge in models.seq2seq.encode), then free-running greedy decode.
+    One implementation so session/pool parity cannot drift."""
+    import jax
+    import jax.numpy as jnp
+
+    B = enc_bm.shape[0]
+    lengths = jnp.full((B,), valid_steps, jnp.int32)
+    pooled = jnp.sum(enc_bm, axis=1) / jnp.maximum(
+        lengths[:, None], 1
+    ).astype(enc_bm.dtype)
+    tokens = decode_from_encoder(
+        params,
+        config,
+        jnp.moveaxis(enc_bm, 0, 1),  # (T', B, D)
+        (pooled, pooled),
+        lengths,
+        jax.random.PRNGKey(0),
+        temperature=0.0,
+    )
+    tokens = np.asarray(tokens)
+    return {
+        "tokens": tokens,
+        "encoder_outputs": np.asarray(enc_bm),
+        "sequences": target_inds_to_sequences(tokens, targets_list),
+    }
+
+
 class StreamingSessionPool:
     """Batched multi-tenant streaming serving: up to ``capacity``
     concurrent raw-ECoG streams through ONE jitted device step.
@@ -517,8 +531,10 @@ class StreamingSessionPool:
     ``vmap``-ped bounded-window encode over all slots: per-row rotary
     ``position_offset`` and per-row valid ``lengths`` carry each
     stream's private coordinates through the shared computation.  The
-    window step is always ≤ the dense-attention crossover, so the
-    vmapped path is pure XLA (no kernel batching rules involved).
+    vmapped window step PINS a pure-XLA attention impl ('dense' up to
+    the measured crossover, 'banded' beyond) — the Pallas kernels'
+    scalar-offset/per-batch-length calling contract is not written for
+    vmap batching, so auto-dispatch must not pick them here.
 
     Semantics per slot are EXACTLY :class:`StreamingConformerSession`
     with B=1 (same window bound, same mask_invalid left-fill, same
@@ -568,7 +584,6 @@ class StreamingSessionPool:
         self.max_pending_chunks = int(max_pending_chunks)
         self._slots: list[dict | None] = [None] * self.capacity
         self._windows = None  # (N, W, F) device array, lazy (needs F)
-        self._blocks: list[tuple] = []  # (enc (N, C, D), active frozenset)
         self._conv_jit = None
         self._step_jit = None
 
@@ -582,14 +597,10 @@ class StreamingSessionPool:
                 self._slots[i] = {
                     "raw": [], "raw_samples": 0,
                     "pushed": 0, "valid": 0, "steps": 0,
+                    "enc": [],  # this stream's own (C, D) blocks
                 }
                 # a reused slot id must not see its previous occupant's
-                # encoder blocks or window
-                self._blocks = [
-                    (blk, act - {i})
-                    for blk, act in self._blocks
-                    if act - {i}
-                ]
+                # window
                 if self._windows is not None:
                     self._windows = self._windows.at[i].set(
                         jnp.zeros_like(self._windows[i])
@@ -598,12 +609,8 @@ class StreamingSessionPool:
         raise RuntimeError(f"pool is full (capacity {self.capacity})")
 
     def release(self, slot: int) -> None:
-        self._slots[slot] = None
-        # drop stored encoder blocks that no live slot can still read
-        live = {i for i, s in enumerate(self._slots) if s is not None}
-        self._blocks = [
-            (blk, act) for blk, act in self._blocks if act & live
-        ]
+        self._slots[slot] = None  # its per-slot state (incl. encoder
+        # blocks) goes with it — nothing shared is retained
 
     # -- device step ----------------------------------------------------
     def _convolve(self, raw: np.ndarray):
@@ -632,10 +639,19 @@ class StreamingSessionPool:
         cfg, ccfg = self.config, self.ccfg
         C = ccfg.chunk_size
 
+        # pin a vmap-safe pure-XLA attention impl (see class docstring)
+        from .models.conformer import _AUTO_DENSE_MAX_STEPS
+
+        impl = (
+            "dense" if self.window_steps <= _AUTO_DENSE_MAX_STEPS
+            else "banded"
+        )
+        ccfg_enc = ccfg._replace(attention_impl=impl)
+
         def one(window, chunk, length, offset):
             window = jnp.concatenate([window[C:], chunk], axis=0)
             out, _ = conformer_encode(
-                self.params["encoder"]["conformer"], ccfg,
+                self.params["encoder"]["conformer"], ccfg_enc,
                 window[None], length[None], position_offset=offset,
                 compute_dtype=cfg.compute_dtype, mask_invalid=True,
             )
@@ -723,7 +739,8 @@ class StreamingSessionPool:
                 s["pushed"] += C
                 s["valid"] += C
                 s["steps"] += C
-            self._blocks.append((outs, frozenset(ready)))
+                s["enc"].append(outs[i])  # own row only — per-slot
+                # retention, freed with the slot
 
     # -- public API -----------------------------------------------------
     def push(self, slot: int, samples: np.ndarray) -> None:
@@ -751,9 +768,7 @@ class StreamingSessionPool:
         # slots ride along in the same batched ticks)
         self._advance(force_slot=slot)
         d = self.config.decimation_factor
-        enc_rows = [
-            blk[slot] for blk, act in self._blocks if slot in act
-        ]
+        enc_rows = list(s["enc"])
         valid_steps = s["steps"]
         if s["raw_samples"]:
             raw = np.concatenate(s["raw"], axis=0)
@@ -770,23 +785,10 @@ class StreamingSessionPool:
             return {"sequences": [""], "tokens": None,
                     "encoder_outputs": None}
         enc = jnp.concatenate(enc_rows, axis=0)[None]  # (1, T', D)
-        lengths = jnp.full((1,), valid_steps, jnp.int32)
-        pooled = jnp.sum(enc, axis=1) / jnp.maximum(
-            lengths[:, None], 1
-        ).astype(enc.dtype)
-        tokens = decode_from_encoder(
-            self.params, self.config,
-            jnp.moveaxis(enc, 0, 1), (pooled, pooled), lengths,
-            jax.random.PRNGKey(0), temperature=0.0,
+        return _decode_pooled_encoder(
+            self.params, self.config, self.targets_list, enc,
+            valid_steps,
         )
-        tokens = np.asarray(tokens)
-        return {
-            "tokens": tokens,
-            "encoder_outputs": np.asarray(enc),
-            "sequences": target_inds_to_sequences(
-                tokens, self.targets_list
-            ),
-        }
 
     def endpoint(self, slot: int) -> dict:
         """Final decode; the slot is released back to the pool."""

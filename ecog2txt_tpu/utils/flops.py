@@ -17,6 +17,31 @@ from __future__ import annotations
 TPU_V5E_BF16_PEAK_FLOPS = 197e12
 
 
+def conformer_encoder_forward_flops_per_step(
+    ccfg, in_dim: int, t: int | None = None
+) -> float:
+    """Matmul FLOPs per encoder step (token) of one FORWARD pass through
+    the conformer stack incl. the input projection — the single source
+    both :func:`seq2seq_forward_flops` and bench.py's long-recording MFU
+    use (a second hand count in bench once drifted 2·D² low per block —
+    the conv GLU projection is D→2D).  Attention is counted band-only
+    (the model convention; the jaxpr-oracle test documents the dense
+    short-T path computing slightly more)."""
+    D, F = ccfg.model_dim, ccfg.ffn_dim
+    kv_span = (ccfg.left_context + 1) * ccfg.chunk_size
+    if t is not None:
+        kv_span = min(kv_span, t)
+    per_block = (
+        2 * (2.0 * D * F + 2.0 * F * D)  # ffn1 + ffn2 (two GEMMs each)
+        + 2.0 * D * (3 * D)  # qkv
+        + 2.0 * D * D  # wo
+        + 2 * (2.0 * kv_span * D)  # qk^T and attn·v
+        + 2.0 * D * (2 * D)  # conv pw1 (GLU: D → 2D)
+        + 2.0 * D * D  # conv pw2
+    )
+    return 2.0 * in_dim * D + ccfg.num_blocks * per_block
+
+
 def seq2seq_forward_flops(
     config, T: int, dec_len: int | None = None
 ) -> float:
@@ -35,22 +60,11 @@ def seq2seq_forward_flops(
 
     if config.encoder_type == "conformer":
         ccfg = config.conformer
-        D, F, H = ccfg.model_dim, ccfg.ffn_dim, ccfg.num_heads
-        flops += 2.0 * t * in_dim * D  # in_proj
-        # per block: 2 half-FFNs, qkv+out proj, attention scores/values,
-        # conv module pointwise (2D + D) projections
-        kv_span = min((ccfg.left_context + 1) * ccfg.chunk_size, t)
-        per_block = (
-            2 * (2.0 * t * D * F + 2.0 * t * F * D)  # ffn1 + ffn2
-            + 2.0 * t * D * (3 * D)  # qkv
-            + 2.0 * t * D * D  # wo
-            + 2 * (2.0 * t * kv_span * D)  # qk^T and attn·v
-            + 2.0 * t * D * (2 * D)  # conv pw1
-            + 2.0 * t * D * D  # conv pw2
+        flops += t * conformer_encoder_forward_flops_per_step(
+            ccfg, in_dim, t
         )
-        flops += ccfg.num_blocks * per_block
-        enc_out_dim = D
-        in_dim = D
+        enc_out_dim = ccfg.model_dim
+        in_dim = ccfg.model_dim
     else:
         directions = 2 if config.BIDIRECTIONAL else 1
         for size in config.rnn_sizes:

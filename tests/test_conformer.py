@@ -523,8 +523,10 @@ def test_remat_identical_values_and_grads(params, rng):
 
     l0, g0 = jax.value_and_grad(loss)(params, CFG)
     l1, g1 = jax.value_and_grad(loss)(params, cfg_r)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # two differently-compiled CPU programs: reduction order may differ
+    # under host thread load (CLAUDE.md) — f32 tolerances, not equality
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
