@@ -384,27 +384,10 @@ class StreamingConformerSession:
         )
 
     def _ctc_block(self, enc_block, want_logp: bool):
-        """(B, n, D) encoder block → per-step argmax path (n, B) int
-        (plus (n, B, K+1) f32 log-probs when ``want_logp``) through the
-        CTC aux head — the SAME numerics as the training head
-        (``_dense``: f32 accumulation).  The log-probs are only pulled
-        to host when the lexicon path needs them: device→host transfers
-        are the expensive part of a streaming hot loop."""
-        import jax
-        import jax.numpy as jnp
-
-        from .models.seq2seq import _dense
-
-        head = self.params["aux"][self._ctc_head]
-        cd = self.config.compute_dtype
-        h = jnp.moveaxis(enc_block, 0, 1)  # (n, B, D)
-        for mlp in head["mlp"]:
-            h = jax.nn.relu(_dense(mlp, h, cd))
-        logits = _dense(head["out"], h, cd).astype(jnp.float32)
-        path = np.asarray(jnp.argmax(logits, axis=-1))
-        if not want_logp:
-            return path, None
-        return path, np.asarray(jax.nn.log_softmax(logits, axis=-1))
+        return _ctc_head_apply(
+            self.params, self.config, self._ctc_head, enc_block,
+            want_logp,
+        )
 
     def partial(self, lexicon=None, beam_width: int = 8) -> dict:
         """LIVE hypothesis from the CTC aux head over the encoder steps
@@ -489,6 +472,30 @@ class StreamingConformerSession:
         return out
 
 
+def _ctc_head_apply(params, config, head_name, enc_block, want_logp):
+    """(B, n, D) encoder block → per-step argmax path (n, B) int (plus
+    (n, B, K+1) f32 log-probs when ``want_logp``) through the CTC aux
+    head — the SAME numerics as the training head (``_dense``: f32
+    accumulation).  Shared by the single session and the pool so their
+    live-partial semantics cannot drift; log-probs are only pulled to
+    host when the lexicon path needs them."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.seq2seq import _dense
+
+    head = params["aux"][head_name]
+    cd = config.compute_dtype
+    h = jnp.moveaxis(enc_block, 0, 1)  # (n, B, D)
+    for mlp in head["mlp"]:
+        h = jax.nn.relu(_dense(mlp, h, cd))
+    logits = _dense(head["out"], h, cd).astype(jnp.float32)
+    path = np.asarray(jnp.argmax(logits, axis=-1))
+    if not want_logp:
+        return path, None
+    return path, np.asarray(jax.nn.log_softmax(logits, axis=-1))
+
+
 def _decode_pooled_encoder(
     params, config, targets_list, enc_bm, valid_steps: int
 ) -> dict:
@@ -552,6 +559,7 @@ class StreamingSessionPool:
         capacity: int = 8,
         subject_idx: int = 0,
         max_pending_chunks: int = 2,
+        phoneme_list: Sequence[str] | None = None,
     ):
         """``max_pending_chunks``: a tick normally waits until EVERY
         active slot has a full chunk buffered (so one batched device
@@ -566,6 +574,19 @@ class StreamingSessionPool:
         from .models.conformer import (
             ConformerConfig, receptive_field_steps,
         )
+
+        self.phoneme_list = list(phoneme_list) if phoneme_list else None
+        ctc = next(
+            (h for h in config.aux_heads if h.distribution == "CTC"), None
+        )
+        self._ctc_head = ctc.name if ctc is not None else None
+        if self.phoneme_list is not None and ctc is not None:
+            if len(self.phoneme_list) != ctc.out_dim - 1:
+                raise ValueError(
+                    f"phoneme_list has {len(self.phoneme_list)} entries; "
+                    f"CTC head {ctc.name!r} expects {ctc.out_dim - 1} "
+                    f"(out_dim {ctc.out_dim} minus the blank)"
+                )
 
         self.params = params
         self.config = config
@@ -598,6 +619,7 @@ class StreamingSessionPool:
                     "raw": [], "raw_samples": 0,
                     "pushed": 0, "valid": 0, "steps": 0,
                     "enc": [],  # this stream's own (C, D) blocks
+                    "ctc_paths": [], "ctc_logps": [], "ctc_beams": {},
                 }
                 # a reused slot id must not see its previous occupant's
                 # window
@@ -789,6 +811,69 @@ class StreamingSessionPool:
             self.params, self.config, self.targets_list, enc,
             valid_steps,
         )
+
+    def partial(self, slot: int, lexicon=None, beam_width: int = 8) -> dict:
+        """LIVE hypothesis for ONE stream from the CTC aux head over its
+        encoder steps emitted so far — the pool twin of
+        :meth:`StreamingConformerSession.partial` (same cached
+        blocks-new-since-last-call incrementality, same carried
+        :class:`models.ctc.CTCWordBeamState` lexicon beams, O(chunk)
+        per call).  Returns {'phonemes': [ids or labels], 'words':
+        [str] | None, 'num_steps': n} for this slot."""
+        from .models.ctc import CTCWordBeamState, collapse_alignment
+
+        if self._ctc_head is None:
+            raise ValueError(
+                "partial() needs a CTC-distribution aux head in the config"
+            )
+        s = self._slots[slot]
+        if s is None:
+            raise ValueError(f"slot {slot} is not active")
+        if not s["enc"]:
+            return {"phonemes": [], "words": None, "num_steps": 0}
+        for block in s["enc"][len(s["ctc_paths"]) :]:
+            path, _ = _ctc_head_apply(
+                self.params, self.config, self._ctc_head, block[None],
+                want_logp=False,
+            )
+            s["ctc_paths"].append(path)
+        if lexicon is not None:
+            for block in s["enc"][len(s["ctc_logps"]) :]:
+                _, logp = _ctc_head_apply(
+                    self.params, self.config, self._ctc_head, block[None],
+                    want_logp=True,
+                )
+                s["ctc_logps"].append(logp)
+        path = np.concatenate(s["ctc_paths"], axis=0)[: s["steps"], 0]
+        blank = (
+            self.params["aux"][self._ctc_head]["out"]["b"].shape[-1] - 1
+        )
+        seq = [int(i) for i in collapse_alignment(path) if i != blank]
+        out: dict = {
+            "num_steps": s["steps"],
+            "phonemes": (
+                [self.phoneme_list[i] for i in seq]
+                if self.phoneme_list is not None
+                else seq
+            ),
+            "words": None,
+        }
+        if lexicon is not None:
+            logp = np.concatenate(s["ctc_logps"], axis=0)[: s["steps"]]
+            key = (id(lexicon), beam_width)
+            entry = s["ctc_beams"].get(key)
+            if entry is None:
+                entry = s["ctc_beams"][key] = {
+                    "pos": 0,
+                    "state": CTCWordBeamState(
+                        lexicon, beam_width=beam_width
+                    ),
+                }
+            if s["steps"] > entry["pos"]:
+                entry["state"].advance(logp[entry["pos"] : s["steps"], 0])
+                entry["pos"] = s["steps"]
+            out["words"] = entry["state"].best()
+        return out
 
     def endpoint(self, slot: int) -> dict:
         """Final decode; the slot is released back to the pool."""

@@ -423,3 +423,59 @@ def test_streaming_session_pool_matches_sessions_and_offline():
 
     with pytest.raises(ValueError):
         pool.push(slots["b"], raws["b"][:8])  # released slot rejects
+
+
+def test_pool_partial_matches_session_partial():
+    """pool.partial(slot) must equal a dedicated session's partial()
+    for the same stream — greedy phoneme ids AND carried lexicon-beam
+    words — with a second concurrent stream in the pool."""
+    import jax
+
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+    from ecog2txt_tpu.models.ctc import LexiconTrie
+    from ecog2txt_tpu.models.seq2seq import (
+        AuxHead, Seq2SeqConfig, init_seq2seq,
+    )
+    from ecog2txt_tpu.serve import (
+        StreamingConformerSession, StreamingSessionPool,
+    )
+
+    ccfg = ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=4, left_context=1,
+    )
+    phonemes = [f"p{i}" for i in range(9)]
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(16,),
+        aux_heads=(AuxHead("encoder_1_targets", "CTC", 10),),
+        dec_embedding_size=12, dec_rnn_sizes=(48,), max_dec_len=6,
+        encoder_type="conformer", conformer=ccfg,
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    targets = ["<pad>", "<EOS>", "<OOV>"] + [f"w{i}_" for i in range(9)]
+    trie = LexiconTrie({"aa": [0, 0], "ab": [0, 1], "b": [1]})
+
+    session = StreamingConformerSession(
+        params, cfg, targets, phoneme_list=phonemes
+    )
+    pool = StreamingSessionPool(
+        params, cfg, targets, capacity=2, phoneme_list=phonemes
+    )
+    rng = np.random.default_rng(11)
+    L = 96
+    raw = rng.normal(size=(L, 8)).astype(np.float32)
+    other = rng.normal(size=(L, 8)).astype(np.float32)
+
+    a = pool.add()
+    b = pool.add()
+    assert pool.partial(a)["num_steps"] == 0
+    for start in range(0, L, 32):
+        pool.push(a, raw[start : start + 32])
+        pool.push(b, other[start : start + 32])
+        session.push(raw[start : start + 32])
+        pp = pool.partial(a, lexicon=trie)
+        sp = session.partial(lexicon=trie)
+        assert pp["num_steps"] == sp["num_steps"]
+        assert pp["phonemes"] == sp["phonemes"][0]
+        assert pp["words"] == sp["words"][0]
