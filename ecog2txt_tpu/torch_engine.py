@@ -25,14 +25,16 @@ Design contract with the JAX engine:
   ignored here; torch runs fp32 on CPU (or CUDA when available, the
   reference's device pick, trainers.py:282).
 
-The conformer encoder stays JAX-only (its banded-attention/streaming
-stack is the TPU-first flagship; the reference's second engine likewise
-covered only its own model family) — ``encoder_type='conformer'``
-raises with a pointer back to the JAX engine.
+Both encoder families are covered: the reversed-conv + biLSTM stack
+AND the conformer (natural-order conv, rotary chunk-causal attention in
+its dense parity form, macaron FFNs, causal depthwise conv module) —
+cross-engine parity is tested for both.  The JAX engine remains the
+TPU path; streaming/banded-kernel serving stays JAX-only.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence
 
 import jax
@@ -69,12 +71,6 @@ class TorchSequenceNetwork(torch.nn.Module):
         seed: int = 0,
     ):
         super().__init__()
-        if config.encoder_type == "conformer":
-            raise NotImplementedError(
-                "the torch engine covers the LSTM seq2seq family; the "
-                "conformer (banded attention / streaming) is the "
-                "TPU-first JAX flagship — use MultiSubjectTrainer.fit"
-            )
         self.config = config
         if params is None:
             params = init_seq2seq(jax.random.PRNGKey(seed), config)
@@ -259,6 +255,90 @@ def convolve_sequences(
     return xs
 
 
+def _conformer_layernorm(p, x, eps=1e-6):
+    mu = x.mean(dim=-1, keepdim=True)
+    var = ((x - mu) ** 2).mean(dim=-1, keepdim=True)
+    return (x - mu) * torch.rsqrt(var + eps) * p["g"] + p["b"]
+
+
+def _conformer_ffn(p, x):
+    h = F.silu(_conformer_layernorm(p["ln"], x) @ p["w1"] + p["b1"])
+    return h @ p["w2"] + p["b2"]
+
+
+def _conformer_rotary(x, positions):
+    """Twin of models/conformer._rotary: x (B, T, H, Dh)."""
+    Dh = x.shape[-1]
+    half = Dh // 2
+    freq = 10000.0 ** (
+        -torch.arange(half, device=x.device, dtype=torch.float32) / half
+    )
+    ang = positions.to(torch.float32)[:, None] * freq[None, :]
+    cos = torch.cos(ang)[None, :, None, :]
+    sin = torch.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return torch.cat([x1 * cos - x2 * sin, x1 * sin + x2 * cos], dim=-1)
+
+
+def _conformer_attention(p, x, ccfg, lengths, positions):
+    """Dense-form chunk-causal attention (the JAX parity oracle path —
+    offline torch training has no O(T·window) pressure at these T')."""
+    B, T, D = x.shape
+    H = ccfg.num_heads
+    Dh = D // H
+    xn = _conformer_layernorm(p["ln"], x)
+    qkv = (xn @ p["wqkv"]).reshape(B, T, 3, H, Dh)
+    q = _conformer_rotary(qkv[:, :, 0], positions)
+    k = _conformer_rotary(qkv[:, :, 1], positions)
+    v = qkv[:, :, 2]
+    logits = torch.einsum("bthd,bshd->bhts", q, k) / math.sqrt(Dh)
+    C, L = ccfg.chunk_size, ccfg.left_context
+    qc = torch.div(positions[:, None], C, rounding_mode="floor")
+    kc = torch.div(positions[None, :], C, rounding_mode="floor")
+    mask = (kc <= qc) & (kc >= qc - L) & (positions[None, :] >= 0)
+    if lengths is not None:
+        mask = mask[None] & (
+            positions[None, None, :] < lengths[:, None, None]
+        )
+        mask = mask[:, None]
+    else:
+        mask = mask[None, None]
+    logits = torch.where(mask, logits, logits.new_tensor(-1e9))
+    attn = torch.softmax(logits, dim=-1)
+    out = torch.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
+    return out @ p["wo"]
+
+
+def _conformer_conv(p, x):
+    """Depthwise-causal conv module (pointwise → GLU → depthwise →
+    swish → pointwise), zero left-pad as in the offline JAX encode."""
+    B, T, D = x.shape
+    K = p["dw"].shape[0]
+    xn = _conformer_layernorm(p["ln"], x)
+    h = F.glu(xn @ p["pw1"], dim=-1)  # (B, T, D)
+    hp = torch.cat([h.new_zeros(B, K - 1, D), h], dim=1)
+    out = torch.zeros_like(h)
+    for k in range(K):
+        out = out + hp[:, k : k + T] * p["dw"][k]
+    return F.silu(out) @ p["pw2"]
+
+
+def conformer_encode(params, ccfg, xs_bm, lengths):
+    """Twin of ``models/conformer.py::conformer_encode`` (offline
+    training path: no carry, no mask_invalid)."""
+    x = xs_bm @ params["in_proj"]["w"] + params["in_proj"]["b"]
+    positions = torch.arange(x.shape[1], device=x.device)
+    for block in params["blocks"]:
+        x = x + 0.5 * _conformer_ffn(block["ffn1"], x)
+        x = x + _conformer_attention(
+            block["attn"], x, ccfg, lengths, positions
+        )
+        x = x + _conformer_conv(block["conv"], x)
+        x = x + 0.5 * _conformer_ffn(block["ffn2"], x)
+        x = _conformer_layernorm(block["ln_out"], x)
+    return x
+
+
 def encode(
     params: dict,
     config: Seq2SeqConfig,
@@ -268,15 +348,19 @@ def encode(
     train: bool = False,
     gen=None,
 ):
-    """Twin of ``models/seq2seq.py::encode`` (LSTM family)."""
+    """Twin of ``models/seq2seq.py::encode`` (both encoder families:
+    reversed conv + biLSTM stack, or natural-order conv + conformer
+    with the masked-mean decoder bridge)."""
     xs = inputs.movedim(0, 1)  # (T, B, C)
+    reverse = config.encoder_type != "conformer"
     if config.conv_sizes:
         xs = convolve_sequences(
             params, config, xs, subject_idx, train, gen,
-            reverse_lengths=lengths,
+            reverse_lengths=lengths if reverse else None,
         )
     else:
-        xs = reverse_padded(xs, lengths)
+        if reverse:
+            xs = reverse_padded(xs, lengths)
         d0 = config.decimation_factor
         xs = xs[: (xs.shape[0] // d0) * d0 : d0]
     d = config.decimation_factor
@@ -284,6 +368,26 @@ def encode(
         torch.div(lengths + d - 1, d, rounding_mode="floor"),
         max=xs.shape[0],
     )
+
+    if config.encoder_type == "conformer":
+        from .models.conformer import ConformerConfig
+
+        ccfg = config.conformer or ConformerConfig()
+        xs_bm = xs.movedim(0, 1)  # (B, T', F)
+        out_bm = conformer_encode(
+            params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths
+        )
+        T_out = out_bm.shape[1]
+        step_mask = (
+            torch.arange(T_out, device=out_bm.device)[None, :]
+            < enc_lengths[:, None]
+        )[..., None].to(out_bm.dtype)
+        denom = torch.clamp(
+            enc_lengths[:, None].to(out_bm.dtype), min=1
+        )
+        pooled = (out_bm * step_mask).sum(dim=1) / denom
+        out = (out_bm * step_mask).movedim(0, 1)  # (T', B, D) masked
+        return out, (pooled, pooled), enc_lengths
 
     out = xs
     final_h = final_c = None
@@ -445,7 +549,7 @@ def seq2seq_loss(
             ts = raw.movedim(0, 1).long()  # (T, B)
             aligned = _decimate_targets(
                 ts, batch["encoder_lengths"], config.decimation_factor,
-                T_out, reverse=True,
+                T_out, reverse=config.encoder_type != "conformer",
             )
             logp = F.log_softmax(pred, dim=-1)
             nll = -torch.gather(logp, -1, aligned[..., None])[..., 0]
@@ -456,7 +560,7 @@ def seq2seq_loss(
             ts = raw.movedim(0, 1)  # (T, B, F)
             aligned = _decimate_targets(
                 ts, batch["encoder_lengths"], config.decimation_factor,
-                T_out, reverse=True,
+                T_out, reverse=config.encoder_type != "conformer",
             )
             se = ((pred - aligned) ** 2).sum(dim=-1)
             loss = (se * step_mask).sum() / torch.clamp(

@@ -179,20 +179,107 @@ def test_greedy_decode_parity(params, batch):
     )
 
 
-def test_conformer_rejected():
-    cfg = Seq2SeqConfig(vocab_size=5, encoder_type="conformer")
-    with pytest.raises(NotImplementedError):
-        te.TorchSequenceNetwork(cfg)
+CONF_CFG = None  # built lazily (needs ConformerConfig import)
+
+
+def _conformer_cfg():
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+
+    return Seq2SeqConfig(
+        vocab_size=11,
+        num_subjects=2,
+        in_channels=10,
+        conv_sizes=(12,),
+        decimation_factor=4,
+        rnn_sizes=(16,),
+        aux_proj_sizes=(8,),
+        aux_heads=(
+            AuxHead("encoder_1_targets", "categorical", 7),
+            AuxHead("encoder_2_targets", "Gaussian", 5),
+        ),
+        dec_embedding_size=6,
+        dec_rnn_sizes=(24,),
+        max_dec_len=8,
+        encoder_type="conformer",
+        conformer=ConformerConfig(
+            num_blocks=2, model_dim=16, num_heads=2, ffn_dim=32,
+            conv_kernel=4, chunk_size=2, left_context=1,
+        ),
+    )
+
+
+def test_conformer_encoder_parity(batch):
+    """Torch conformer encode == JAX conformer encode (masked outputs,
+    pooled bridge, lengths) on ragged lengths."""
+    cfg = _conformer_cfg()
+    params = init_seq2seq(jax.random.PRNGKey(5), cfg)
+    net = te.TorchSequenceNetwork(cfg, params)
+    tb = _torch_batch(batch)
+    out_j, (h_j, c_j), len_j = jax_encode(
+        params, cfg, jnp.asarray(batch["encoder_inputs"]),
+        jnp.asarray(batch["encoder_lengths"]), 1, jax.random.PRNGKey(0),
+        train=False,
+    )
+    out_t, (h_t, _), len_t = te.encode(
+        net.params, cfg, tb["encoder_inputs"], tb["encoder_lengths"], 1,
+    )
+    np.testing.assert_array_equal(np.asarray(len_j), len_t.numpy())
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_j), h_t.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_conformer_loss_and_greedy_parity(batch):
+    cfg = _conformer_cfg()
+    params = init_seq2seq(jax.random.PRNGKey(5), cfg)
+    net = te.TorchSequenceNetwork(cfg, params)
+    tb = _torch_batch(batch)
+    jb = {
+        k: (jnp.asarray(v) if k != "subject_idx" else jnp.asarray(v))
+        for k, v in batch.items()
+    }
+    loss_j, metrics_j = jax_loss(
+        params, cfg, jb, jax.random.PRNGKey(0), train=False
+    )
+    loss_t, metrics_t = te.seq2seq_loss(net.params, cfg, tb, train=False)
+    np.testing.assert_allclose(
+        float(loss_j), float(loss_t), rtol=1e-4, atol=1e-5
+    )
+    for k in metrics_j:
+        if k.startswith("loss"):
+            np.testing.assert_allclose(
+                float(metrics_j[k]), float(metrics_t[k]),
+                rtol=1e-4, atol=1e-5,
+            )
+    tokens_j = jax_greedy_decode(
+        params, cfg, jnp.asarray(batch["encoder_inputs"]),
+        jnp.asarray(batch["encoder_lengths"]),
+        jnp.asarray(1, jnp.int32), temperature=0.0,
+    )
+    tokens_t = te.greedy_decode(
+        net.params, cfg, tb["encoder_inputs"], tb["encoder_lengths"],
+        1, temperature=0.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tokens_j), tokens_t.numpy()
+    )
 
 
 @pytest.mark.slow
-def test_torch_learn_e2e(tmp_path):
-    """Train with the torch engine from the trainer surface: WER falls,
-    and the pushed-back weights reproduce the torch-assessed WER under
-    the JAX engine's own assess()."""
+@pytest.mark.parametrize("encoder", ["lstm", "conformer"])
+def test_torch_learn_e2e(tmp_path, encoder):
+    """Train with the torch engine from the trainer surface (BOTH
+    encoder families): WER falls, and the pushed-back weights reproduce
+    the torch-assessed WER under the JAX engine's own assess()."""
     from ecog2txt_tpu.demo import make_demo_experiment
     from ecog2txt_tpu.train import MultiSubjectTrainer
 
+    overrides = (
+        {"encoder_type": "conformer"} if encoder == "conformer" else {}
+    )
     mp = make_demo_experiment(
         str(tmp_path / "exp"),
         subject_ids=(1,),
@@ -204,12 +291,20 @@ def test_torch_learn_e2e(tmp_path):
             "decoder_rnn": [64],
         },
         N_epochs=40,
+        **overrides,
     )
+    sn = {
+        "batch_size": 16, "max_dec_len": 10, "learning_rate": 3e-3,
+    }
+    if encoder == "conformer":
+        sn["conformer"] = {
+            "num_blocks": 2, "model_dim": 32, "num_heads": 2,
+            "ffn_dim": 64, "chunk_size": 8, "left_context": 1,
+            "conv_kernel": 4,
+        }
     tr = MultiSubjectTrainer(
         mp, [1],
-        SN_kwargs={
-            "batch_size": 16, "max_dec_len": 10, "learning_rate": 3e-3,
-        },
+        SN_kwargs=sn,
         VERBOSE=False,
     )
     history = tr.torch_learn(N_epochs=40)
