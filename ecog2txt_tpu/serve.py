@@ -240,6 +240,35 @@ class StreamingConformerSession:
     producing the SAME hypothesis as the offline
     ``greedy_decode`` on the full utterance."""
 
+    @classmethod
+    def from_trainer(cls, trainer, use_ema: bool = True, **kwargs):
+        """Build from a live :class:`train.MultiSubjectTrainer`: EMA (or
+        raw) weights, the decoder vocab, the target subject's subnet
+        index, and — when the config has a CTC aux head — that head's
+        class list as ``phoneme_list`` so :meth:`partial` works out of
+        the box."""
+        params = trainer.state.ema if use_ema else trainer.state.params
+        dec_list = trainer.target_subject.data_manifests[
+            "decoder_targets"
+        ].feature_list
+        config = trainer.net_config
+        if "phoneme_list" not in kwargs:
+            ctc = next(
+                (h for h in config.aux_heads if h.distribution == "CTC"),
+                None,
+            )
+            if ctc is not None:
+                manifests = trainer.target_subject.data_manifests
+                if ctc.name in manifests:
+                    kwargs["phoneme_list"] = manifests[
+                        ctc.name
+                    ].feature_list
+        return cls(
+            params, config, dec_list,
+            subject_idx=len(trainer.ecog_subjects) - 1,
+            **kwargs,
+        )
+
     def __init__(
         self,
         params,
@@ -550,6 +579,35 @@ class StreamingSessionPool:
     predictor per session (trainers.py:925-949); batching N streams
     per chip is the TPU-first throughput lever.
     """
+
+    @classmethod
+    def from_trainer(cls, trainer, use_ema: bool = True, **kwargs):
+        """Build from a live :class:`train.MultiSubjectTrainer`: EMA (or
+        raw) weights, the decoder vocab, the target subject's subnet
+        index, and — when the config has a CTC aux head — that head's
+        class list as ``phoneme_list`` so :meth:`partial` works out of
+        the box."""
+        params = trainer.state.ema if use_ema else trainer.state.params
+        dec_list = trainer.target_subject.data_manifests[
+            "decoder_targets"
+        ].feature_list
+        config = trainer.net_config
+        if "phoneme_list" not in kwargs:
+            ctc = next(
+                (h for h in config.aux_heads if h.distribution == "CTC"),
+                None,
+            )
+            if ctc is not None:
+                manifests = trainer.target_subject.data_manifests
+                if ctc.name in manifests:
+                    kwargs["phoneme_list"] = manifests[
+                        ctc.name
+                    ].feature_list
+        return cls(
+            params, config, dec_list,
+            subject_idx=len(trainer.ecog_subjects) - 1,
+            **kwargs,
+        )
 
     def __init__(
         self,

@@ -62,11 +62,6 @@ def main():
     print("training…")
     trainer.fit(assess=False)
 
-    params = trainer.state.ema
-    config = trainer.net_config
-    targets = trainer.target_subject.data_manifests[
-        "decoder_targets"
-    ].feature_list
     ds = trainer.packed_dataset("validation")
     n = min(args.streams, int(ds.num_trials[0]))
     utts = []
@@ -74,9 +69,9 @@ def main():
         L = int(ds.encoder_lengths[0, i])
         utts.append(np.asarray(ds.encoder_inputs[0, i, :L], np.float32))
 
-    pool = StreamingSessionPool(params, config, targets, capacity=n)
+    pool = StreamingSessionPool.from_trainer(trainer, capacity=n)
     sessions = [
-        StreamingConformerSession(params, config, targets)
+        StreamingConformerSession.from_trainer(trainer)
         for _ in range(n)
     ]
     offline = trainer.assess(["validation"])["validation"]["hypotheses"]

@@ -479,3 +479,49 @@ def test_pool_partial_matches_session_partial():
         assert pp["num_steps"] == sp["num_steps"]
         assert pp["phonemes"] == sp["phonemes"][0]
         assert pp["words"] == sp["words"][0]
+
+
+def test_pool_and_session_from_trainer(tmp_path):
+    """from_trainer factories wire weights, vocab, subject index and
+    the CTC phoneme list automatically; pool == session == offline on a
+    trained model."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.serve import (
+        StreamingConformerSession, StreamingSessionPool,
+    )
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,),
+        encoder_type="conformer",
+        phoneme_sequence_distribution="CTC",
+    )
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={
+            "batch_size": 8, "max_dec_len": 10, "temperature": 0.0,
+            "conformer": {"num_blocks": 2, "model_dim": 32,
+                          "num_heads": 2, "ffn_dim": 64,
+                          "chunk_size": 8, "left_context": 1,
+                          "conv_kernel": 4},
+        },
+        VERBOSE=False,
+    )
+    tr.fit(num_epochs=4, assess=False)  # just enough to have weights
+    sess = StreamingConformerSession.from_trainer(tr)
+    pool = StreamingSessionPool.from_trainer(tr, capacity=2)
+    assert sess.phoneme_list is not None  # auto-wired from the CTC head
+    assert pool.phoneme_list == sess.phoneme_list
+    ds = tr.packed_dataset("validation")
+    L = int(ds.encoder_lengths[0, 0])
+    raw = np.asarray(ds.encoder_inputs[0, 0, :L], np.float32)
+    a = pool.add()
+    for s0 in range(0, L, 37):
+        pool.push(a, raw[s0 : s0 + 37])
+        sess.push(raw[s0 : s0 + 37])
+    p_pool = pool.partial(a)
+    p_sess = sess.partial()
+    assert p_pool["phonemes"] == p_sess["phonemes"][0]
+    out_pool = pool.endpoint(a)
+    out_sess = sess.endpoint()
+    np.testing.assert_array_equal(out_pool["tokens"], out_sess["tokens"])
