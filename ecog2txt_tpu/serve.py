@@ -40,6 +40,27 @@ from .models.seq2seq import (
 from .tokenizers import target_inds_to_sequences
 
 
+def _host_input_dtype(config: Seq2SeqConfig) -> np.dtype:
+    """Host-buffer dtype for raw-ECoG uploads on the streaming paths.
+
+    ``convolve_sequences`` casts its input to ``compute_dtype`` as its
+    very first device op (models/seq2seq.py), so pre-casting on the
+    HOST is bit-identical (f32→bf16 rounding is the same either side)
+    while halving host→device bytes — the measured bottleneck of the
+    pooled serving tick through a slow host link (RESULTS.md r3
+    capacity sweep: ~0.36 MB/slot/tick f32 at ~50 MB/s dominates the
+    batched round).  Mirrors what ``MultiSubjectTrainer.device_data``
+    does for the training corpus under bf16 compute.
+    """
+    import jax.numpy as jnp
+
+    if config.compute_dtype == jnp.bfloat16:
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(np.float32)
+
+
 class OnlinePredictor:
     """Jitted single/multi-trial predictor over fixed padded shapes."""
 
@@ -345,7 +366,7 @@ class StreamingConformerSession:
 
         Cp = self.config.in_channels
         B, T, C = raw.shape
-        padded = np.zeros((B, T, Cp), np.float32)
+        padded = np.zeros((B, T, Cp), _host_input_dtype(self.config))
         padded[..., :C] = raw[..., :Cp]
         if self._conv_jit is None:
 
@@ -753,7 +774,8 @@ class StreamingSessionPool:
 
         Cp = self.config.in_channels
         raws = np.zeros(
-            (self.capacity, self.samples_per_chunk, Cp), np.float32
+            (self.capacity, self.samples_per_chunk, Cp),
+            _host_input_dtype(self.config),
         )
         for i, blk in ready.items():
             raws[i, :, : blk.shape[1]] = blk[:, :Cp]

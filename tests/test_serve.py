@@ -525,3 +525,72 @@ def test_pool_and_session_from_trainer(tmp_path):
     out_pool = pool.endpoint(a)
     out_sess = sess.endpoint()
     np.testing.assert_array_equal(out_pool["tokens"], out_sess["tokens"])
+
+
+def test_streaming_bf16_host_upload_parity():
+    """Under bf16 compute the streaming paths build HOST buffers in
+    bfloat16 (halving upload bytes — the measured pooled-tick
+    bottleneck, RESULTS.md r3).  convolve_sequences casts its input to
+    compute_dtype as its first device op, so the host-side pre-cast
+    must be BIT-IDENTICAL to uploading f32: (1) session._convolve under
+    bf16 equals the f32-upload/device-cast reference exactly; (2) a
+    bf16 pool decode equals a dedicated bf16 session decode exactly."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+    from ecog2txt_tpu.models.seq2seq import (
+        Seq2SeqConfig, convolve_sequences, init_seq2seq,
+    )
+    from ecog2txt_tpu.serve import (
+        StreamingConformerSession, StreamingSessionPool,
+        _host_input_dtype,
+    )
+
+    ccfg = ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=4, left_context=1,
+    )
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(),
+        aux_heads=(), dec_embedding_size=12, dec_rnn_sizes=(48,),
+        max_dec_len=6, encoder_type="conformer", conformer=ccfg,
+        compute_dtype=jnp.bfloat16,
+    )
+    assert _host_input_dtype(cfg) == np.dtype("bfloat16")
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    targets = ["<pad>", "<EOS>", "<OOV>"] + [f"w{i}_" for i in range(9)]
+    rng = np.random.default_rng(11)
+
+    sess = StreamingConformerSession(params, cfg, targets)
+    raw = rng.normal(size=(1, sess.samples_per_chunk, 8)).astype(
+        np.float32
+    )
+    feats = np.asarray(sess._convolve(raw), np.float32)
+
+    # reference: upload f32, let the device cast (the pre-change path)
+    def conv_f32(xs_bm):
+        xs = jnp.moveaxis(xs_bm, 0, 1)
+        out = convolve_sequences(
+            params, cfg, xs, jnp.asarray(0, jnp.int32),
+            jax.random.PRNGKey(0), train=False,
+        )
+        return jnp.moveaxis(out, 0, 1)
+
+    ref = np.asarray(jax.jit(conv_f32)(jnp.asarray(raw)), np.float32)
+    np.testing.assert_array_equal(feats, ref)
+
+    # pool vs dedicated session, both bf16: exact token equality
+    pool = StreamingSessionPool(params, cfg, targets, capacity=2)
+    a = pool.add()
+    sess2 = StreamingConformerSession(params, cfg, targets)
+    stream = rng.normal(size=(77, 8)).astype(np.float32)
+    for lo in range(0, 77, 26):
+        pool.push(a, stream[lo : lo + 26])
+        sess2.push(stream[lo : lo + 26])
+    out_pool = pool.endpoint(a)
+    out_sess = sess2.endpoint()
+    np.testing.assert_array_equal(out_pool["tokens"], out_sess["tokens"])
