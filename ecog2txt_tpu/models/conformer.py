@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ecog2txt_tpu.quantize import QuantizedWeight, int8_dot
+
 
 class ConformerConfig(NamedTuple):
     num_blocks: int = 4
@@ -113,6 +115,16 @@ def init_conformer(rng: jax.Array, config: ConformerConfig, in_dim: int) -> dict
     return params
 
 
+def _dot(x, w, cd):
+    """Dense GEMM in the stream dtype — or int8×int8→int32 on the MXU
+    when ``w`` was rewritten by ``quantize.quantize_conformer_params``
+    (serving-time post-training quantization; 1.57× the sustained bf16
+    matmul rate on v5e, RESULTS.md r3)."""
+    if isinstance(w, QuantizedWeight):
+        return int8_dot(x, w, cd)
+    return jnp.dot(x, w.astype(cd))
+
+
 def _layernorm(p, x, eps=1e-6):
     # statistics in f32 regardless of the stream dtype (bf16-safe);
     # the result is cast back so downstream GEMMs stay in compute dtype
@@ -125,9 +137,9 @@ def _layernorm(p, x, eps=1e-6):
 
 def _ffn(p, x, cd):
     h = jax.nn.swish(
-        jnp.dot(_layernorm(p["ln"], x), p["w1"].astype(cd)) + p["b1"].astype(cd)
+        _dot(_layernorm(p["ln"], x), p["w1"], cd) + p["b1"].astype(cd)
     )
-    return jnp.dot(h, p["w2"].astype(cd)) + p["b2"].astype(cd)
+    return _dot(h, p["w2"], cd) + p["b2"].astype(cd)
 
 
 def _rotary(x: jax.Array, positions: jax.Array) -> jax.Array:
@@ -172,7 +184,7 @@ def _attention_dense(
     H = config.num_heads
     Dh = D // H
     xn = _layernorm(p["ln"], x)
-    qkv = jnp.dot(xn, p["wqkv"].astype(cd)).reshape(B, T, 3, H, Dh)
+    qkv = _dot(xn, p["wqkv"], cd).reshape(B, T, 3, H, Dh)
     q = _rotary(qkv[:, :, 0], positions)
     k = _rotary(qkv[:, :, 1], positions)
     v = qkv[:, :, 2]
@@ -196,7 +208,7 @@ def _attention_dense(
     logits = jnp.where(mask, logits, -1e9)
     attn = jax.nn.softmax(logits, axis=-1).astype(cd)
     out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
-    return jnp.dot(out, p["wo"].astype(cd))
+    return _dot(out, p["wo"], cd)
 
 
 def _attention_banded(
@@ -233,7 +245,7 @@ def _attention_banded(
     Q = getattr(config, "query_block_chunks", None) or max(1, 128 // C)
     Q = min(Q, -(-T // C))  # no block larger than the sequence
     xn = _layernorm(p["ln"], x)
-    qkv = jnp.dot(xn, p["wqkv"].astype(cd)).reshape(B, T, 3, H, Dh)
+    qkv = _dot(xn, p["wqkv"], cd).reshape(B, T, 3, H, Dh)
     q = _rotary(qkv[:, :, 0], positions)
     k = _rotary(qkv[:, :, 1], positions)
     v = qkv[:, :, 2]
@@ -301,7 +313,7 @@ def _attention_banded(
     out = jnp.einsum("bhncw,bnwhd->bnchd", attn, vw).reshape(
         B, Tp, D
     )[:, :T]
-    return jnp.dot(out, p["wo"].astype(cd))
+    return _dot(out, p["wo"], cd)
 
 
 def _attention_flash(
@@ -317,7 +329,7 @@ def _attention_flash(
     H = config.num_heads
     Dh = D // H
     xn = _layernorm(p["ln"], x)
-    qkv = jnp.dot(xn, p["wqkv"].astype(cd)).reshape(B, T, 3, H, Dh)
+    qkv = _dot(xn, p["wqkv"], cd).reshape(B, T, 3, H, Dh)
     q = _rotary(qkv[:, :, 0], positions)
     k = _rotary(qkv[:, :, 1], positions)
     v = qkv[:, :, 2]
@@ -328,7 +340,7 @@ def _attention_flash(
         chunk_size=config.chunk_size,
         left_context=config.left_context,
     )
-    return jnp.dot(out.reshape(B, T, D), p["wo"].astype(cd))
+    return _dot(out.reshape(B, T, D), p["wo"], cd)
 
 
 def _attention_fused(
@@ -351,7 +363,7 @@ def _attention_fused(
         left_context=config.left_context,
         num_heads=config.num_heads,
     )
-    return jnp.dot(att, p["wo"].astype(cd))
+    return _dot(att, p["wo"], cd)
 
 
 # measured on-chip crossover (RESULTS.md r3): dense wins slightly below
@@ -360,6 +372,10 @@ _AUTO_DENSE_MAX_STEPS = 256
 
 def _attention(p, x, config: ConformerConfig, lengths, positions, cd):
     impl = getattr(config, "attention_impl", "auto")
+    if impl == "fused" and isinstance(p["wqkv"], QuantizedWeight):
+        # the fused layer kernel consumes the float wqkv in-kernel;
+        # under int8 serving fall back to flash (same function)
+        impl = "flash"
     if impl == "auto":
         if x.shape[1] <= _AUTO_DENSE_MAX_STEPS:
             impl = "dense"
@@ -383,7 +399,7 @@ def _conv_module(
     B, T, D = x.shape
     K = p["dw"].shape[0]
     xn = _layernorm(p["ln"], x)
-    h = jnp.dot(xn, p["pw1"].astype(cd))  # (B, T, 2D)
+    h = _dot(xn, p["pw1"], cd)  # (B, T, 2D)
     h = jax.nn.glu(h, axis=-1)  # (B, T, D)
     if valid is not None:
         h = h * valid[None, :, None].astype(h.dtype)
@@ -410,7 +426,7 @@ def _conv_module(
         for k in range(K):
             out = out + h_padded[:, k : k + T] * p["dw"][k].astype(cd)
     out = jax.nn.swish(out)
-    out = jnp.dot(out, p["pw2"].astype(cd))
+    out = _dot(out, p["pw2"], cd)
     new_tail = h_padded[:, T:]  # last K-1 pre-conv samples
     return out, new_tail
 
@@ -457,7 +473,7 @@ def conformer_encode(
     f32 (numerics-neutral at the loss level, ~2× MXU throughput)."""
     cd = compute_dtype
     x = (
-        jnp.dot(xs.astype(cd), params["in_proj"]["w"].astype(cd))
+        _dot(xs.astype(cd), params["in_proj"]["w"], cd)
         + params["in_proj"]["b"].astype(cd)
     )
     positions = jnp.arange(x.shape[1]) + position_offset

@@ -40,6 +40,21 @@ from .models.seq2seq import (
 from .tokenizers import target_inds_to_sequences
 
 
+def _maybe_quantize(params, quantize: str | None):
+    """Apply serving-time post-training quantization to the conformer
+    encoder subtree (``quantize.quantize_conformer_params``)."""
+    if quantize is None:
+        return params
+    if quantize != "int8":
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(supported: 'int8')")
+    from .quantize import is_quantized, quantize_conformer_params
+
+    if is_quantized(params):
+        return params  # already rewritten (e.g. shared across sessions)
+    return quantize_conformer_params(params)
+
+
 def _host_input_dtype(config: Seq2SeqConfig) -> np.dtype:
     """Host-buffer dtype for raw-ECoG uploads on the streaming paths.
 
@@ -297,15 +312,21 @@ class StreamingConformerSession:
         targets_list: Sequence[str],
         subject_idx: int = 0,
         phoneme_list: Sequence[str] | None = None,
+        quantize: str | None = None,
     ):
         """``phoneme_list``: class list of a CTC aux head, enabling
-        :meth:`partial` (live phoneme/word hypotheses mid-utterance)."""
+        :meth:`partial` (live phoneme/word hypotheses mid-utterance).
+        ``quantize='int8'`` rewrites the conformer encoder weights to
+        per-channel int8 with dynamic activation scales (quantize.py) —
+        the session then matches the offline decode run with the SAME
+        quantized parameters."""
         if config.encoder_type != "conformer":
             raise ValueError(
                 "StreamingConformerSession requires encoder_type='conformer'"
             )
         from .models.conformer import ConformerConfig, ConformerStream
 
+        params = _maybe_quantize(params, quantize)
         self.params = params
         self.config = config
         self.targets_list = list(targets_list)
@@ -639,17 +660,20 @@ class StreamingSessionPool:
         subject_idx: int = 0,
         max_pending_chunks: int = 2,
         phoneme_list: Sequence[str] | None = None,
+        quantize: str | None = None,
     ):
         """``max_pending_chunks``: a tick normally waits until EVERY
         active slot has a full chunk buffered (so one batched device
         step serves all streams — the throughput point of the pool);
         if a straggler idles while another slot accumulates this many
         chunks, the pool ticks the ready slots anyway, bounding
-        per-stream latency."""
+        per-stream latency.  ``quantize='int8'``: see
+        :class:`StreamingConformerSession`."""
         if config.encoder_type != "conformer":
             raise ValueError(
                 "StreamingSessionPool requires encoder_type='conformer'"
             )
+        params = _maybe_quantize(params, quantize)
         from .models.conformer import (
             ConformerConfig, receptive_field_steps,
         )
