@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ecog2txt_tpu.models.moe import init_moe_ffn, moe_ffn
 from ecog2txt_tpu.quantize import QuantizedWeight, int8_dot
 
 
@@ -69,6 +70,19 @@ class ConformerConfig(NamedTuple):
     # recordings or bigger batch than HBM otherwise allows.  Numerics
     # identical (tested).  Trainer knob: SN_kwargs['conformer']['remat'].
     remat: bool = False
+    # mixture-of-experts second macaron FFN (models/moe.py): >0 replaces
+    # each block's ffn2 with moe_experts routed experts (top-moe_topk
+    # gating).  moe_capacity_factor == 0 (default) runs the exact
+    # no-drop path (per-token, streams exactly); > 0 runs GShard-style
+    # static-capacity dispatch (production scale; the (E, C, D) buffers
+    # are what expert parallelism shards — parallel/expert.py).  The
+    # weighted load-balance + router-z aux loss flows into seq2seq_loss
+    # (metric 'moe_aux').
+    moe_experts: int = 0
+    moe_topk: int = 2
+    moe_capacity_factor: float = 0.0
+    moe_aux_weight: float = 1e-2
+    moe_zloss_weight: float = 1e-3
 
 
 def _glorot(rng, shape):
@@ -104,11 +118,19 @@ def init_conformer(rng: jax.Array, config: ConformerConfig, in_dim: int) -> dict
                     "pw2": _glorot(next(keys), (D, D)),
                     "ln": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
                 },
-                "ffn2": {
-                    "w1": _glorot(next(keys), (D, F)), "b1": jnp.zeros((F,)),
-                    "w2": _glorot(next(keys), (F, D)), "b2": jnp.zeros((D,)),
-                    "ln": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
-                },
+                "ffn2": (
+                    init_moe_ffn(
+                        next(keys), D, F, config.moe_experts
+                    )
+                    if config.moe_experts
+                    else {
+                        "w1": _glorot(next(keys), (D, F)),
+                        "b1": jnp.zeros((F,)),
+                        "w2": _glorot(next(keys), (F, D)),
+                        "b2": jnp.zeros((D,)),
+                        "ln": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+                    }
+                ),
                 "ln_out": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
             }
         )
@@ -444,14 +466,33 @@ def apply_block(
     """One conformer block (½FFN → MHSA → conv → ½FFN → LN).  All blocks
     are the same (B, T, D) → (B, T, D) map with different weights — the
     homogeneity pipeline parallelism relies on (parallel/pipeline.py).
-    Returns (x, new_conv_tail)."""
+    Returns (x, new_conv_tail, moe_aux) — moe_aux is the block's
+    weighted router aux loss (0 when ``config.moe_experts == 0``)."""
     x = x + 0.5 * _ffn(block["ffn1"], x, cd)
     x = x + _attention(block["attn"], x, config, lengths, positions, cd)
     conv_out, new_tail = _conv_module(block["conv"], x, tail, cd, valid)
     x = x + conv_out
-    x = x + 0.5 * _ffn(block["ffn2"], x, cd)
+    if config.moe_experts:
+        # token validity for the router: inside the recording (absolute
+        # position within [0, length)); invalid tokens neither consume
+        # capacity nor contribute to the balance statistics
+        B, T = x.shape[0], x.shape[1]
+        tok_valid = jnp.broadcast_to(positions >= 0, (B, T))
+        if lengths is not None:
+            tok_valid = tok_valid & (
+                positions[None, :] < lengths[:, None]
+            )
+        moe_out, aux = moe_ffn(
+            block["ffn2"],
+            _layernorm(block["ffn2"]["ln"], x),
+            config, cd, tok_valid,
+        )
+        x = x + 0.5 * moe_out
+    else:
+        x = x + 0.5 * _ffn(block["ffn2"], x, cd)
+        aux = jnp.zeros((), jnp.float32)
     x = _layernorm(block["ln_out"], x)
-    return x, new_tail
+    return x, new_tail, aux
 
 
 def conformer_encode(
@@ -463,14 +504,19 @@ def conformer_encode(
     carry: list | None = None,
     compute_dtype=jnp.float32,
     mask_invalid: bool = False,
+    return_aux: bool = False,
 ):
     """Full-sequence (training) or continuation (streaming) encode.
 
     ``carry``: per-block streaming state [{'kv': (B, C, 2, H, Dh) cached
     chunks' k/v — None in training}, conv tail].  Returns (out (B,T,D),
-    new_carry).  Under ``compute_dtype=bfloat16`` every GEMM runs in
-    bf16 on the MXU; layernorm statistics and the attention softmax stay
-    f32 (numerics-neutral at the loss level, ~2× MXU throughput)."""
+    new_carry) — or (out, new_carry, moe_aux) with ``return_aux=True``,
+    where moe_aux is the mean weighted router aux loss over the MoE
+    blocks (0 when ``config.moe_experts == 0``; the training loss
+    consumes it, see seq2seq_loss).  Under ``compute_dtype=bfloat16``
+    every GEMM runs in bf16 on the MXU; layernorm statistics and the
+    attention softmax stay f32 (numerics-neutral at the loss level,
+    ~2× MXU throughput)."""
     cd = compute_dtype
     x = (
         _dot(xs.astype(cd), params["in_proj"]["w"], cd)
@@ -493,12 +539,16 @@ def conformer_encode(
             )(block, x, lengths, positions, tail, valid)
 
     new_carry = []
+    aux_total = jnp.zeros((), jnp.float32)
     for bi, block in enumerate(params["blocks"]):
         tail = carry[bi] if carry is not None else None
-        x, new_tail = blk(
+        x, new_tail, aux = blk(
             block, x, config, lengths, positions, cd, tail, valid
         )
         new_carry.append(new_tail)
+        aux_total = aux_total + aux
+    if return_aux:
+        return x, new_carry, aux_total / max(len(params["blocks"]), 1)
     return x, new_carry
 
 
@@ -537,6 +587,14 @@ class ConformerStream:
         self, params: dict, config: ConformerConfig,
         compute_dtype=jnp.float32,
     ):
+        if config.moe_experts and config.moe_capacity_factor > 0:
+            raise ValueError(
+                "streaming requires the exact no-drop MoE path "
+                "(moe_capacity_factor=0): capacity drops depend on the "
+                "token POPULATION, and a streaming window's population "
+                "differs from the offline encode's — the streamed == "
+                "offline contract would not hold"
+            )
         self.params = params
         self.config = config
         self.compute_dtype = compute_dtype

@@ -1,0 +1,188 @@
+"""Routed mixture-of-experts FFN for the conformer encoder.
+
+The reference has no sparse-expert model (its encoder families are the
+biLSTM stack and nothing else — SURVEY §2.8), so expert parallelism was
+documented n/a in PARITY §2.9.  This module makes the EP row real: a
+top-k routed MoE FFN (Shazeer 2017 / GShard / Switch lineage — all
+public) replacing the conformer's second macaron FFN, designed so the
+EXPERT axis is the shardable axis (`parallel.expert.shard_params_ep`):
+every expert-stacked tensor carries experts on dim 0 and the expert
+einsums contract over token/feature dims only, so placing the weights
+``P('model')`` on a mesh makes XLA partition expert compute across
+devices and insert the all-to-all-style collectives on its own (the
+scaling-book recipe; no hand-written collectives).
+
+Two compute paths, the SAME routed function when no token is dropped:
+
+* **no-drop** (``moe_capacity_factor == 0``, the default): every expert
+  runs on every token and the top-k gate mask combines the outputs.
+  Executes E× the routed FLOPs but is exact, static-shape, and — being
+  strictly per-token — preserves the streamed == offline contract
+  (`ConformerStream` windows see different token POPULATIONS than the
+  offline encode; any population-dependent drop would break equality).
+  The right path for this model family's scale (E ≤ ~8).
+* **capacity** (``moe_capacity_factor > 0``): GShard-style static
+  dispatch — per expert a fixed ``C = ceil(topk·S/E · cf)`` token
+  buffer, tokens placed by a cumsum position, overflow dropped (output
+  falls back to the residual).  O(k·S) expert FLOPs — the
+  production-scale path; its (E, C, D) buffers are the tensors expert
+  parallelism shards.  Population-dependent, so the streaming wrapper
+  refuses it (`models/conformer.py::ConformerStream`).
+
+Router details (all standard): softmax over expert logits in f32,
+top-k renormalized gates, Switch load-balance loss ``E·Σ_e f_e·P_e``
+over valid tokens plus a router z-loss; both are weighted by static
+config fields inside :func:`moe_ffn` and surface in
+``seq2seq_loss``'s metrics as ``moe_aux``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_moe_ffn(rng: jax.Array, D: int, F: int, E: int) -> dict:
+    """Expert-stacked FFN params: experts on dim 0 (the EP shard axis)."""
+    def glorot(key, shape):
+        scale = np.sqrt(6.0 / (shape[-2] + shape[-1]))
+        return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+    kg, k1, k2 = jax.random.split(rng, 3)
+    return {
+        "wg": glorot(kg, (D, E)),
+        "w1": glorot(k1, (E, D, F)),
+        "b1": jnp.zeros((E, F)),
+        "w2": glorot(k2, (E, F, D)),
+        "b2": jnp.zeros((E, D)),
+        "ln": {"g": jnp.ones((D,)), "b": jnp.zeros((D,))},
+    }
+
+
+def _route(p: dict, xn: jax.Array, topk: int):
+    """Router on the LayerNormed input.  Logits/softmax in f32 (router
+    decisions are control flow — bf16 ties would make the argmax
+    compile-dependent).  Returns (logits, probs, gates, gate_idx)."""
+    logits = jnp.dot(xn.astype(jnp.float32), p["wg"].astype(jnp.float32))
+    probs = jax.nn.softmax(logits, axis=-1)  # (B, T, E)
+    gate_vals, gate_idx = jax.lax.top_k(probs, topk)  # (B, T, k)
+    gates = gate_vals / jnp.maximum(
+        gate_vals.sum(axis=-1, keepdims=True), 1e-9
+    )
+    return logits, probs, gates, gate_idx
+
+
+def _aux_loss(config, logits, probs, gate_idx, valid: jax.Array):
+    """Weighted load-balance + z losses over VALID tokens.
+
+    balance = E · Σ_e f_e·P_e (Switch): f_e the fraction of routed
+    choices sent to e, P_e the mean router probability of e; minimized
+    (at 1.0) by a uniform router.  z-loss = mean logsumexp(logits)² —
+    keeps logits bounded (bf16-activation safety at scale)."""
+    E = probs.shape[-1]
+    validf = valid.astype(jnp.float32)  # (B, T)
+    n = jnp.maximum(validf.sum(), 1.0)
+    assign = jax.nn.one_hot(gate_idx, E) * validf[..., None, None]
+    f = assign.sum(axis=(0, 1, 2)) / (n * gate_idx.shape[-1])  # (E,)
+    pmean = (probs * validf[..., None]).sum(axis=(0, 1)) / n  # (E,)
+    balance = E * jnp.sum(f * pmean)
+    z = jnp.sum(
+        jax.nn.logsumexp(logits, axis=-1) ** 2 * validf
+    ) / n
+    return (
+        config.moe_aux_weight * balance + config.moe_zloss_weight * z
+    )
+
+
+def _combine_weights(gates, gate_idx, E, valid):
+    """(B, T, E) full combine weights: top-k renormalized gates
+    scattered to their expert slots, zero for invalid tokens."""
+    w = (jax.nn.one_hot(gate_idx, E) * gates[..., None]).sum(axis=-2)
+    return w * valid[..., None].astype(w.dtype)
+
+
+def _experts_dense(p, xn, cd):
+    """All experts on all tokens: (B, T, E, D) stack of expert outputs.
+    The einsums keep experts on a free axis, so EP-sharded weights
+    shard this compute by expert."""
+    h = jnp.einsum(
+        "btd,edf->btef", xn, p["w1"].astype(cd)
+    ) + p["b1"].astype(cd)
+    h = jax.nn.swish(h)
+    return jnp.einsum(
+        "btef,efd->bted", h, p["w2"].astype(cd)
+    ) + p["b2"].astype(cd)
+
+
+def _moe_nodrop(p, xn, config, cd, valid):
+    _, probs, gates, gate_idx = _route(p, xn, config.moe_topk)
+    E = probs.shape[-1]
+    y = _experts_dense(p, xn, cd)  # (B, T, E, D)
+    w = _combine_weights(gates, gate_idx, E, valid).astype(cd)
+    return jnp.einsum("bte,bted->btd", w, y)
+
+
+def _moe_capacity(p, xn, config, cd, valid):
+    """GShard-style static-capacity dispatch.
+
+    Token priority is (choice rank, flat token order): first choices
+    fill before second choices, earlier tokens before later ones —
+    deterministic and jit-static.  A dropped choice contributes nothing
+    (its gate weight is simply absent from the combine; the block's
+    residual connection carries the token through)."""
+    B, T, D = xn.shape
+    E = config.moe_experts
+    k = config.moe_topk
+    S = B * T
+    C = max(int(np.ceil(k * S / E * config.moe_capacity_factor)), 1)
+    _, probs, gates, gate_idx = _route(p, xn, k)
+    xs = xn.reshape(S, D)
+    validf = valid.reshape(S).astype(jnp.float32)
+    idx = gate_idx.reshape(S, k)
+    gts = gates.reshape(S, k)
+
+    dispatch = jnp.zeros((S, E, C), jnp.float32)
+    combine = jnp.zeros((S, E, C), jnp.float32)
+    base = jnp.zeros((E,), jnp.float32)  # slots already filled per expert
+    for j in range(k):
+        oh = jax.nn.one_hot(idx[:, j], E) * validf[:, None]  # (S, E)
+        pos = jnp.cumsum(oh, axis=0) - oh + base[None, :]  # (S, E)
+        keep = oh * (pos < C)  # (S, E)
+        slot = jax.nn.one_hot(
+            jnp.minimum(pos, C - 1).astype(jnp.int32), C
+        )  # (S, E, C)
+        dispatch = dispatch + keep[..., None] * slot
+        combine = combine + (keep * gts[:, j : j + 1])[..., None] * slot
+        base = base + keep.sum(axis=0)
+    ein = jnp.einsum(
+        "sec,sd->ecd", dispatch.astype(cd), xs.astype(cd)
+    )  # (E, C, D) — the EP-sharded buffer
+    h = jax.nn.swish(
+        jnp.einsum("ecd,edf->ecf", ein, p["w1"].astype(cd))
+        + p["b1"].astype(cd)[:, None, :]
+    )
+    y = jnp.einsum(
+        "ecf,efd->ecd", h, p["w2"].astype(cd)
+    ) + p["b2"].astype(cd)[:, None, :]
+    out = jnp.einsum("sec,ecd->sd", combine.astype(cd), y)
+    return out.reshape(B, T, D)
+
+
+def moe_ffn(
+    p: dict,
+    xn: jax.Array,  # (B, T, D) already LayerNormed, compute dtype
+    config,  # ConformerConfig with moe_* fields
+    cd,
+    valid: jax.Array,  # (B, T) bool — tokens inside the recording
+):
+    """Routed MoE FFN.  Returns (out (B, T, D), weighted aux scalar)."""
+    if config.moe_capacity_factor > 0:
+        out = _moe_capacity(p, xn, config, cd, valid)
+    else:
+        out = _moe_nodrop(p, xn, config, cd, valid)
+    # aux on its own (cheap) router pass — XLA CSEs it with the one
+    # inside the compute path (identical subgraph, same operands)
+    logits, probs, _, gate_idx = _route(p, xn, config.moe_topk)
+    aux = _aux_loss(config, logits, probs, gate_idx, valid)
+    return out, aux

@@ -320,7 +320,8 @@ def encode(
     train: bool = False,
     sp: tuple | None = None,
     pp: tuple | None = None,
-) -> tuple[jax.Array, tuple[jax.Array, jax.Array], jax.Array]:
+    return_aux: bool = False,
+) -> tuple:
     """Full encoder: reversal → conv → biLSTM stack.
 
     ``sp=(mesh, axis)`` shards the conformer encode's TIME axis over
@@ -331,7 +332,9 @@ def encode(
     ``encoder_type='conformer'``.
 
     Returns (enc_outputs (T', B, 2H), final (h, c) (B, 2H),
-    enc_lengths (B,))."""
+    enc_lengths (B,)) — plus a trailing moe_aux scalar with
+    ``return_aux=True`` (the MoE conformer's weighted router loss;
+    0 for every non-MoE configuration)."""
     xs = jnp.moveaxis(inputs, 0, 1)  # (T, B, C)
     rng, conv_rng = jax.random.split(rng)
     reverse = config.encoder_type != "conformer"
@@ -363,6 +366,19 @@ def encode(
         # the decoder initial state comes from a masked mean over the
         # valid steps (bridged/tanh-projected in _decoder_init_state)
         ccfg = config.conformer or ConformerConfig()
+        moe_aux = jnp.zeros((), jnp.float32)
+        if ccfg.moe_experts and (sp is not None or pp is not None):
+            # the sharded encodes return outputs only; threading the
+            # router statistics through their shard_map bodies (psum of
+            # per-expert counts/prob sums before the nonlinear combine)
+            # is future work — fail loudly rather than silently train
+            # an unbalanced router
+            raise NotImplementedError(
+                "MoE conformer does not yet compose with sp/pp training "
+                "(the router aux loss is not plumbed through the "
+                "sharded encodes); use dp × expert parallelism "
+                "(parallel.shard_params_ep)"
+            )
         xs_bm = jnp.moveaxis(xs, 0, 1)  # (B, T', F)
         if sp is not None:
             # time-sharded encode (one input-halo ppermute); pad the
@@ -391,9 +407,9 @@ def encode(
                 lengths=enc_lengths, compute_dtype=config.compute_dtype,
             )
         else:
-            out_bm, _ = conformer_encode(
+            out_bm, _, moe_aux = conformer_encode(
                 params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths,
-                compute_dtype=config.compute_dtype,
+                compute_dtype=config.compute_dtype, return_aux=True,
             )
         T_out = out_bm.shape[1]
         step_mask = (
@@ -402,6 +418,8 @@ def encode(
         denom = jnp.maximum(enc_lengths[:, None], 1).astype(out_bm.dtype)
         pooled = jnp.sum(out_bm * step_mask, axis=1) / denom
         out = jnp.moveaxis(out_bm * step_mask, 0, 1)  # (T', B, D) masked
+        if return_aux:
+            return out, (pooled, pooled), enc_lengths, moe_aux
         return out, (pooled, pooled), enc_lengths
 
     out = xs
@@ -437,6 +455,10 @@ def encode(
             )
         if i < len(params["encoder"]["rnn"]) - 1:
             out = _ff_dropout(d_rng, out, config.FF_dropout, train)
+    if return_aux:
+        return out, (final_h, final_c), enc_lengths, jnp.zeros(
+            (), jnp.float32
+        )
     return out, (final_h, final_c), enc_lengths
 
 
@@ -576,7 +598,7 @@ def seq2seq_loss(
     """
     penalty_scales = penalty_scales or {}
     rng_enc, rng_dec = jax.random.split(rng)
-    enc_out, enc_final, enc_lengths = encode(
+    enc_out, enc_final, enc_lengths, moe_aux = encode(
         params,
         config,
         batch["encoder_inputs"],
@@ -586,6 +608,7 @@ def seq2seq_loss(
         train,
         sp=sp,
         pp=pp,
+        return_aux=True,
     )
     T_out = enc_out.shape[0]
     step_mask = (
@@ -594,6 +617,14 @@ def seq2seq_loss(
 
     metrics: dict[str, jax.Array] = {}
     total = 0.0
+    if (
+        config.encoder_type == "conformer"
+        and (config.conformer or ConformerConfig()).moe_experts
+    ):
+        # already weighted (moe_aux_weight / moe_zloss_weight inside
+        # models/moe.py) — keeps the router balanced across experts
+        total = total + moe_aux
+        metrics["moe_aux"] = moe_aux
 
     # auxiliary encoder heads
     for head in config.aux_heads:

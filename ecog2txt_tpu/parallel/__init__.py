@@ -7,6 +7,10 @@ from .mesh import (  # noqa: F401
     shard_params_tp,
     make_dp_train_step,
 )
+from .expert import (  # noqa: F401
+    ep_spec,
+    shard_params_ep,
+)
 from .multihost import (  # noqa: F401
     initialize_distributed,
     make_global,

@@ -116,7 +116,9 @@ def pipeline_conformer_encode(
             y_len = jnp.where(is_first, len_mb[mb], act_len)
             for j in range(blocks_per_stage):
                 blk = jax.tree.map(lambda a: a[j], stage_blocks)
-                y, _ = apply_block(blk, y, config, y_len, positions, cd)
+                y, _, _ = apply_block(
+                    blk, y, config, y_len, positions, cd
+                )
             out_idx = t - (S - 1)  # microbatch the LAST stage finished
             if 0 <= out_idx < M:
                 outbuf = outbuf.at[out_idx].set(

@@ -111,7 +111,13 @@ def quantize_conformer_params(params: dict) -> dict:
         for mod, keys in _BLOCK_KEYS.items():
             nm = dict(block[mod])
             for k in keys:
-                nm[k] = quantize_weight(block[mod][k])
+                w = block[mod].get(k)
+                # 2-D dense kernels only: a MoE ffn2 carries
+                # expert-STACKED (E, ·, ·) weights (models/moe.py),
+                # which stay float (per-expert quantization is future
+                # work; the MoE einsums are not plain dots)
+                if w is not None and getattr(w, "ndim", 0) == 2:
+                    nm[k] = quantize_weight(w)
             nb[mod] = nm
         blocks.append(nb)
     new_conf["blocks"] = blocks

@@ -696,6 +696,14 @@ class StreamingSessionPool:
         self.targets_list = list(targets_list)
         self.capacity = int(capacity)
         self.ccfg = config.conformer or ConformerConfig()
+        if self.ccfg.moe_experts and self.ccfg.moe_capacity_factor > 0:
+            # same contract as ConformerStream: capacity drops depend
+            # on the token population, which differs between a pooled
+            # window and the offline encode
+            raise ValueError(
+                "streaming requires the exact no-drop MoE path "
+                "(moe_capacity_factor=0)"
+            )
         self.window_steps = (
             receptive_field_steps(self.ccfg) + self.ccfg.chunk_size
         )

@@ -373,6 +373,12 @@ def encode(
         from .models.conformer import ConformerConfig
 
         ccfg = config.conformer or ConformerConfig()
+        if ccfg.moe_experts:
+            raise NotImplementedError(
+                "the torch engine covers the dense conformer family "
+                "only; the MoE conformer (models/moe.py) is "
+                "JAX-engine-only"
+            )
         xs_bm = xs.movedim(0, 1)  # (B, T', F)
         out_bm = conformer_encode(
             params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths

@@ -535,7 +535,41 @@ class MultiSubjectTrainer:
             pp_mesh = Mesh(np.array(jax.devices()[:n_pp]), ("pp",))
             M = int(self.SN_kwargs.get("pipeline_microbatches") or n_pp)
             self.pp = (pp_mesh, "pp", M)
-        if self.SN_kwargs.get("data_parallel") or n_seq > 1:
+        # SN_kwargs expert_parallel=K shards the MoE conformer's expert
+        # axis over K devices (parallel/expert.py): expert weights AND
+        # their Adam moments live P('model'), everything else
+        # replicated; composes with data_parallel (dp × ep — the
+        # standard MoE deployment shape)
+        self.ep = None
+        n_ep = int(self.SN_kwargs.get("expert_parallel") or 0)
+        if n_ep > 1:
+            ccfg = self.net_config.conformer
+            if self.net_config.encoder_type != "conformer" or not (
+                ccfg and ccfg.moe_experts
+            ):
+                raise ValueError(
+                    "expert_parallel requires a MoE conformer "
+                    "(SN_kwargs conformer={'moe_experts': E, ...})"
+                )
+            if ccfg.moe_experts % n_ep:
+                raise ValueError(
+                    f"moe_experts={ccfg.moe_experts} must divide "
+                    f"expert_parallel={n_ep}"
+                )
+            if n_pp > 1 or n_seq > 1:
+                raise ValueError(
+                    "expert_parallel composes with data_parallel only"
+                )
+            from .parallel import make_mesh
+
+            n_data = (
+                len(jax.devices()) // n_ep
+                if self.SN_kwargs.get("data_parallel")
+                else 1
+            )
+            self.mesh = make_mesh(n_data=max(n_data, 1), n_model=n_ep)
+            self.ep = ("model", int(ccfg.moe_experts))
+        elif self.SN_kwargs.get("data_parallel") or n_seq > 1:
             from .parallel import make_mesh
 
             if n_seq > 1:
@@ -708,6 +742,20 @@ class MultiSubjectTrainer:
             )
         return opt
 
+    def _place_state(self, state):
+        """Mesh placement for the TrainState: fully replicated, except
+        under expert parallelism where the MoE expert leaves (params,
+        EMA, and their Adam moments — matched by path) are sharded on
+        their leading expert axis (parallel/expert.py)."""
+        if self.ep is not None:
+            from .parallel import shard_params_ep
+
+            axis, n_experts = self.ep
+            return shard_params_ep(state, self.mesh, n_experts, axis=axis)
+        from .parallel import replicate
+
+        return replicate(state, self.mesh)
+
     # -- core fit engine ----------------------------------------------------
 
     def fit(
@@ -827,19 +875,17 @@ class MultiSubjectTrainer:
 
                 shards = shard_dataset(train_data, int(max_dev))
             if self.mesh is not None:
-                from .parallel import replicate
-
                 # same placement contract as the resident path: params
-                # replicated, per-step batches constrained to the data
-                # axis inside the runner
-                self.state = replicate(self.state, self.mesh)
+                # replicated (expert leaves sharded under ep), per-step
+                # batches constrained to the data axis inside the runner
+                self.state = self._place_state(self.state)
         else:
             data = self.device_data("training")
             if self.mesh is not None:
                 from .parallel import replicate
 
                 data = replicate(data, self.mesh)
-                self.state = replicate(self.state, self.mesh)
+                self.state = self._place_state(self.state)
         rng_np = np.random.default_rng(self.seed + int(self.state.epoch))
         history: dict[str, dict] = {}
         done = 0

@@ -31,8 +31,21 @@ def conformer_encoder_forward_flops_per_step(
     kv_span = (ccfg.left_context + 1) * ccfg.chunk_size
     if t is not None:
         kv_span = min(kv_span, t)
+    if getattr(ccfg, "moe_experts", 0):
+        # MoE ffn2: router GEMM + top-k routed expert FFNs per token —
+        # the MODEL-FLOPs convention counts the routed work (k experts
+        # per token); the exact no-drop execution path
+        # (moe_capacity_factor=0) physically runs all E experts, so its
+        # executed FLOPs exceed this count — same band-only spirit as
+        # the attention convention above
+        ffn2 = 2.0 * D * ccfg.moe_experts + ccfg.moe_topk * (
+            2.0 * D * F + 2.0 * F * D
+        )
+    else:
+        ffn2 = 2.0 * D * F + 2.0 * F * D
     per_block = (
-        2 * (2.0 * D * F + 2.0 * F * D)  # ffn1 + ffn2 (two GEMMs each)
+        (2.0 * D * F + 2.0 * F * D)  # ffn1 (two GEMMs)
+        + ffn2
         + 2.0 * D * (3 * D)  # qkv
         + 2.0 * D * D  # wo
         + 2 * (2.0 * kv_span * D)  # qk^T and attn·v

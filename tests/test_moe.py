@@ -1,0 +1,296 @@
+"""MoE conformer (models/moe.py) + expert parallelism (parallel/expert.py).
+
+The reference has no sparse-expert model; these are TPU-native
+extensions (PARITY §2.9 EP row).  Contracts pinned here:
+
+* the capacity (GShard dispatch) path equals the exact no-drop path
+  whenever capacity is ample — they are the same routed function;
+* gradients flow through experts AND router, and the weighted aux loss
+  reaches seq2seq_loss's total/metrics;
+* expert-sharded (dp × ep) training steps match the single-device step
+  (CPU mesh tolerances — see CLAUDE.md on cross-sharding bit-equality);
+* the no-drop path is per-token, so MoE streaming == MoE offline
+  exactly; the population-dependent capacity path refuses to stream.
+"""
+
+import numpy as np
+import pytest
+
+
+def _ccfg(**kw):
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+
+    base = dict(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=4, left_context=1,
+        moe_experts=4, moe_topk=2,
+    )
+    base.update(kw)
+    return ConformerConfig(**base)
+
+
+def _cfg(**kw):
+    from ecog2txt_tpu.models.seq2seq import Seq2SeqConfig
+
+    return Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(),
+        aux_heads=(), dec_embedding_size=12, dec_rnn_sizes=(48,),
+        max_dec_len=6, encoder_type="conformer", conformer=_ccfg(**kw),
+    )
+
+
+def test_capacity_path_matches_nodrop_when_ample():
+    import jax
+    import jax.numpy as jnp
+
+    import ecog2txt_tpu.models.conformer as cf
+
+    ccfg = _ccfg()
+    p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 20)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 40, 20))
+    lens = jnp.asarray([40, 25, 40])
+    out, _, aux = cf.conformer_encode(p, ccfg, x, lens, return_aux=True)
+    out_cap, _, aux_cap = cf.conformer_encode(
+        p, ccfg._replace(moe_capacity_factor=8.0), x, lens,
+        return_aux=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_cap), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(aux), float(aux_cap), rtol=1e-5
+    )
+    # tight capacity drops tokens: still finite, now differs
+    out_t, _, _ = cf.conformer_encode(
+        p, ccfg._replace(moe_capacity_factor=0.25), x, lens,
+        return_aux=True,
+    )
+    assert np.isfinite(np.asarray(out_t)).all()
+    assert np.abs(np.asarray(out_t) - np.asarray(out)).max() > 1e-4
+
+
+def test_grads_flow_and_aux_reaches_loss():
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.models.seq2seq import init_seq2seq, seq2seq_loss
+
+    cfg = _cfg()
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    B, T = 4, 64
+    batch = {
+        "encoder_inputs": jax.random.normal(
+            jax.random.PRNGKey(1), (B, T, 8)
+        ),
+        "encoder_lengths": jnp.asarray([64, 48, 64, 32]),
+        "decoder_targets": jnp.asarray(
+            [[3, 4, 1, 0], [5, 1, 0, 0], [6, 7, 1, 0], [8, 1, 0, 0]]
+        ),
+        "decoder_lengths": jnp.asarray([3, 2, 3, 2]),
+        "subject_idx": jnp.asarray(0, jnp.int32),
+    }
+
+    def loss_fn(p):
+        return seq2seq_loss(p, cfg, batch, jax.random.PRNGKey(2))
+
+    (loss, metrics), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    assert "moe_aux" in metrics and np.isfinite(float(metrics["moe_aux"]))
+    assert float(metrics["moe_aux"]) > 0  # weighted balance+z > 0
+    ffn2 = grads["encoder"]["conformer"]["blocks"][0]["ffn2"]
+    for key in ("wg", "w1", "w2"):
+        assert float(jnp.abs(ffn2[key]).sum()) > 0, key
+    # the aux term is part of the total: zeroing its weights changes loss
+    cfg0 = _cfg(moe_aux_weight=0.0, moe_zloss_weight=0.0)
+    loss0, m0 = seq2seq_loss(params, cfg0, batch, jax.random.PRNGKey(2))
+    assert float(m0["moe_aux"]) == 0.0
+    np.testing.assert_allclose(
+        float(loss) - float(metrics["moe_aux"]), float(loss0),
+        rtol=1e-5,
+    )
+
+
+def test_ep_sharded_step_matches_single_device():
+    """dp=2 × ep=4 over the 8-device CPU mesh: loss and every gradient
+    leaf match the unsharded computation (the EP einsums + XLA's
+    inserted collectives compute the same function)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import make_mesh, shard_params_ep
+
+    ccfg = _ccfg(moe_capacity_factor=2.0)
+    p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 20)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 40, 20))
+    lens = jnp.full((8,), 40)
+
+    def loss(p, x):
+        o, _, a = cf.conformer_encode(
+            p, ccfg, x, lens, return_aux=True
+        )
+        return jnp.sum(o**2) * 1e-3 + a
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss))(p, x)
+    mesh = make_mesh(n_data=2, n_model=4)
+    pe = shard_params_ep(p, mesh, 4, axis="model")
+    assert pe["blocks"][0]["ffn2"]["w1"].sharding.spec == P("model")
+    assert pe["blocks"][0]["ffn2"]["wg"].sharding.spec == P()
+    xe = jax.device_put(x, NamedSharding(mesh, P("data")))
+    l1, g1 = jax.jit(jax.value_and_grad(loss))(pe, xe)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_ep_requires_divisible_experts():
+    import jax
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import make_mesh, shard_params_ep
+
+    p = cf.init_conformer(jax.random.PRNGKey(0), _ccfg(moe_experts=6), 20)
+    mesh = make_mesh(n_data=2, n_model=4)
+    with pytest.raises(ValueError):
+        shard_params_ep(p, mesh, 6, axis="model")
+
+
+def test_moe_streamed_equals_offline():
+    """The no-drop MoE is per-token — the streamed == offline contract
+    holds EXACTLY, like the dense conformer."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.models.seq2seq import greedy_decode, init_seq2seq
+    from ecog2txt_tpu.serve import StreamingConformerSession
+
+    cfg = _cfg()
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    targets = ["<pad>", "<EOS>", "<OOV>"] + [f"w{i}_" for i in range(9)]
+    rng = np.random.default_rng(3)
+    raw = rng.normal(size=(117, 8)).astype(np.float32)
+    L = len(raw)
+    T = ((L + 3) // 4) * 4
+    inputs = np.zeros((1, T, 8), np.float32)
+    inputs[:, :L] = raw
+    off = np.asarray(greedy_decode(
+        params, cfg, jnp.asarray(inputs), jnp.asarray([L]),
+        jnp.asarray(0, jnp.int32), temperature=0.0,
+    ))
+    sess = StreamingConformerSession(params, cfg, targets)
+    for lo in range(0, L, 29):
+        sess.push(raw[lo : lo + 29])
+    out = sess.endpoint()
+    np.testing.assert_array_equal(np.asarray(out["tokens"]), off)
+
+
+def test_capacity_streaming_refused():
+    import jax
+
+    from ecog2txt_tpu.models.conformer import ConformerStream
+    from ecog2txt_tpu.models.seq2seq import init_seq2seq
+    from ecog2txt_tpu.serve import StreamingSessionPool
+
+    cfg = _cfg(moe_capacity_factor=1.0)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="no-drop"):
+        ConformerStream(
+            params["encoder"]["conformer"], cfg.conformer
+        )
+    with pytest.raises(ValueError, match="no-drop"):
+        StreamingSessionPool(
+            params, cfg, ["<pad>", "<EOS>", "<OOV>"], capacity=2
+        )
+
+
+def test_moe_flops_accounting():
+    from ecog2txt_tpu.utils.flops import (
+        conformer_encoder_forward_flops_per_step,
+    )
+
+    dense = conformer_encoder_forward_flops_per_step(
+        _ccfg(moe_experts=0), 20
+    )
+    moe = conformer_encoder_forward_flops_per_step(_ccfg(), 20)
+    ccfg = _ccfg()
+    D, F, E = ccfg.model_dim, ccfg.ffn_dim, ccfg.moe_experts
+    # per block: ffn2 (4DF) replaced by router (2DE) + topk·4DF
+    expected = dense + ccfg.num_blocks * (
+        2.0 * D * E + (ccfg.moe_topk - 1) * 4.0 * D * F
+    )
+    assert moe == expected
+
+
+@pytest.mark.slow
+def test_trainer_expert_parallel_fit(tmp_path):
+    """dp=2 × ep=4 end-to-end through MultiSubjectTrainer.fit on the
+    8-device CPU mesh: the jitted segment runs with the expert leaves
+    sharded, the loss falls, and moe_aux is live in the loss metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.models.seq2seq import seq2seq_loss
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(str(tmp_path / "exp"))
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "batch_size": 8, "temperature": 0.0,
+            "learning_rate": 3e-3, "N_epochs": 30,
+            "data_parallel": True, "expert_parallel": 4,
+            "conformer": {"num_blocks": 2, "model_dim": 32,
+                          "num_heads": 2, "ffn_dim": 64,
+                          "chunk_size": 2, "left_context": 1,
+                          "conv_kernel": 2, "moe_experts": 4,
+                          "moe_topk": 2},
+        },
+        VERBOSE=False,
+    )
+    assert tr.ep == ("model", 4)
+    assert dict(tr.mesh.shape) == {"data": 2, "model": 4}
+
+    def probe():
+        data = tr.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, metrics = seq2seq_loss(
+            tr.state.params, tr.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss), metrics
+
+    loss0, _ = probe()
+    tr.fit(assess=False)
+    loss1, metrics = probe()
+    assert np.isfinite(loss1) and loss1 < loss0
+    assert np.isfinite(float(metrics["moe_aux"]))
+    # expert leaves stayed sharded through the jitted steps
+    from jax.sharding import PartitionSpec as P
+
+    w1 = tr.state.params["encoder"]["conformer"]["blocks"][0]["ffn2"]["w1"]
+    assert w1.sharding.spec == P("model")
+
+
+def test_trainer_ep_requires_moe():
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        mp = make_demo_experiment(
+            d, subject_ids=(1,), encoder_type="conformer"
+        )
+        with pytest.raises(ValueError, match="MoE"):
+            MultiSubjectTrainer(
+                mp, [1],
+                SN_kwargs={"expert_parallel": 4},
+                VERBOSE=False,
+            )
