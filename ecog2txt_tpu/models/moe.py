@@ -124,49 +124,74 @@ def _moe_nodrop(p, xn, config, cd, valid):
 
 
 def _moe_capacity(p, xn, config, cd, valid):
-    """GShard-style static-capacity dispatch.
+    """GShard-style static-capacity dispatch, GROUPED.
 
-    Token priority is (choice rank, flat token order): first choices
-    fill before second choices, earlier tokens before later ones —
-    deterministic and jit-static.  A dropped choice contributes nothing
-    (its gate weight is simply absent from the combine; the block's
-    residual connection carries the token through)."""
+    Tokens are partitioned into groups — one group per batch row, or
+    per ``moe_group_size``-step time segment of a row when that is set
+    — and each group gets its own ``C = ceil(topk·S_g/E · cf)`` slots
+    per expert.  Grouping is what bounds the one-hot dispatch tensor:
+    it is (G, S_g, E, C) ≈ k·cf·S_g² per group, and the dispatch/
+    combine einsums cost k·cf·S_g·D FLOPs per token — a GLOBAL (one
+    group) dispatch would grow quadratically with the whole batch
+    (B·T ≈ 32k tokens at training scale makes it dominant).  Groups
+    never cross batch rows, so each example's outputs are independent
+    of how the batch is packed (assessment == per-example decode).
+
+    Within a group, priority is (choice rank, time order): first
+    choices fill before second choices, earlier tokens before later
+    ones — deterministic and jit-static.  A dropped choice contributes
+    nothing (its gate weight is absent from the combine; the block's
+    residual carries the token through)."""
     B, T, D = xn.shape
     E = config.moe_experts
     k = config.moe_topk
-    S = B * T
+    seg = int(getattr(config, "moe_group_size", 0) or 0)
+    if seg and seg < T:
+        pad = (-T) % seg
+        if pad:
+            xn = jnp.pad(xn, ((0, 0), (0, pad), (0, 0)))
+            valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        G = (T + pad) // seg
+        xg = xn.reshape(B * G, seg, D)
+        vg = valid.reshape(B * G, seg)
+        out = _moe_capacity_grouped(p, xg, config, cd, vg)
+        return out.reshape(B, G * seg, D)[:, :T]
+    return _moe_capacity_grouped(p, xn, config, cd, valid)
+
+
+def _moe_capacity_grouped(p, xn, config, cd, valid):
+    """One dispatch group per leading-dim row.  xn: (G, S, D)."""
+    G, S, D = xn.shape
+    E = config.moe_experts
+    k = config.moe_topk
     C = max(int(np.ceil(k * S / E * config.moe_capacity_factor)), 1)
     _, probs, gates, gate_idx = _route(p, xn, k)
-    xs = xn.reshape(S, D)
-    validf = valid.reshape(S).astype(jnp.float32)
-    idx = gate_idx.reshape(S, k)
-    gts = gates.reshape(S, k)
+    validf = valid.astype(jnp.float32)  # (G, S)
 
-    dispatch = jnp.zeros((S, E, C), jnp.float32)
-    combine = jnp.zeros((S, E, C), jnp.float32)
-    base = jnp.zeros((E,), jnp.float32)  # slots already filled per expert
+    dispatch = jnp.zeros((G, S, E, C), jnp.float32)
+    combine = jnp.zeros((G, S, E, C), jnp.float32)
+    base = jnp.zeros((G, E), jnp.float32)  # filled slots per expert
     for j in range(k):
-        oh = jax.nn.one_hot(idx[:, j], E) * validf[:, None]  # (S, E)
-        pos = jnp.cumsum(oh, axis=0) - oh + base[None, :]  # (S, E)
-        keep = oh * (pos < C)  # (S, E)
+        oh = jax.nn.one_hot(gate_idx[..., j], E) * validf[..., None]
+        pos = jnp.cumsum(oh, axis=1) - oh + base[:, None, :]  # (G, S, E)
+        keep = oh * (pos < C)
         slot = jax.nn.one_hot(
             jnp.minimum(pos, C - 1).astype(jnp.int32), C
-        )  # (S, E, C)
+        )  # (G, S, E, C)
         dispatch = dispatch + keep[..., None] * slot
-        combine = combine + (keep * gts[:, j : j + 1])[..., None] * slot
-        base = base + keep.sum(axis=0)
+        combine = combine + (keep * gates[..., j : j + 1])[..., None] * slot
+        base = base + keep.sum(axis=1)
     ein = jnp.einsum(
-        "sec,sd->ecd", dispatch.astype(cd), xs.astype(cd)
-    )  # (E, C, D) — the EP-sharded buffer
+        "gsec,gsd->gecd", dispatch.astype(cd), xn.astype(cd)
+    )  # (G, E, C, D) — the EP-sharded buffers
     h = jax.nn.swish(
-        jnp.einsum("ecd,edf->ecf", ein, p["w1"].astype(cd))
-        + p["b1"].astype(cd)[:, None, :]
+        jnp.einsum("gecd,edf->gecf", ein, p["w1"].astype(cd))
+        + p["b1"].astype(cd)[None, :, None, :]
     )
     y = jnp.einsum(
-        "ecf,efd->ecd", h, p["w2"].astype(cd)
-    ) + p["b2"].astype(cd)[:, None, :]
-    out = jnp.einsum("sec,ecd->sd", combine.astype(cd), y)
-    return out.reshape(B, T, D)
+        "gecf,efd->gecd", h, p["w2"].astype(cd)
+    ) + p["b2"].astype(cd)[None, :, None, :]
+    return jnp.einsum("gsec,gecd->gsd", combine.astype(cd), y)
 
 
 def moe_ffn(

@@ -61,6 +61,16 @@ def test_capacity_path_matches_nodrop_when_ample():
     np.testing.assert_allclose(
         float(aux), float(aux_cap), rtol=1e-5
     )
+    # grouped dispatch (time segments, incl. a non-dividing length →
+    # internal padding) is the same function when capacity is ample
+    out_seg, _, aux_seg = cf.conformer_encode(
+        p, ccfg._replace(moe_capacity_factor=8.0, moe_group_size=12),
+        x, lens, return_aux=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_seg), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(float(aux), float(aux_seg), rtol=1e-5)
     # tight capacity drops tokens: still finite, now differs
     out_t, _, _ = cf.conformer_encode(
         p, ccfg._replace(moe_capacity_factor=0.25), x, lens,
