@@ -1366,6 +1366,23 @@ class MultiSubjectTrainer:
                 sizes.get("BIDIRECTIONAL", cfg.BIDIRECTIONAL)
             ),
         )
+        if sizes.get("encoder_type") == "lstm" and cfg.encoder_type != "lstm":
+            new_cfg = dataclasses.replace(new_cfg, encoder_type="lstm")
+        if sizes.get("encoder_type") == "conformer":
+            # blocks/dims/kernel (and MoE width) come from the shapes;
+            # num_heads / chunk_size / left_context are not
+            # shape-recoverable and carry over from the constructed
+            # config (utils/introspect.py)
+            base = cfg.conformer or ConformerConfig()
+            new_cfg = dataclasses.replace(
+                new_cfg,
+                encoder_type="conformer",
+                conformer=base._replace(**sizes["conformer"]),
+                # the conformer checkpoint has no encoder rnn stack;
+                # keep the constructed sizes rather than () so a later
+                # family switch still has sane defaults
+                rnn_sizes=cfg.rnn_sizes,
+            )
         if new_cfg.vocab_size != cfg.vocab_size:
             self.vprint(
                 f"warning: checkpoint vocab size {new_cfg.vocab_size} != "

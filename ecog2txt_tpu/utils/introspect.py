@@ -78,6 +78,30 @@ def recover_model_sizes(
         i += 1
     out["layer_sizes"]["encoder_rnn"] = rnn_sizes
     out["BIDIRECTIONAL"] = "encoder/rnn/0/bwd/wh" in shapes
+    if rnn_sizes:
+        out["encoder_type"] = "lstm"
+
+    if "encoder/conformer/in_proj/w" in shapes:
+        # conformer family: blocks/dims/kernel (and MoE width) are
+        # shape-recoverable; num_heads / chunk_size / left_context are
+        # NOT (they leave no trace in the weight shapes) and carry over
+        # from the constructed config — same limitation class as the
+        # reference's name/shape parsing
+        out["encoder_type"] = "conformer"
+        conf: dict[str, int] = {
+            "model_dim": shapes["encoder/conformer/in_proj/w"][1]
+        }
+        nb = 0
+        while f"encoder/conformer/blocks/{nb}/ln_out/g" in shapes:
+            nb += 1
+        conf["num_blocks"] = nb
+        if nb:
+            b0 = "encoder/conformer/blocks/0"
+            conf["ffn_dim"] = shapes[f"{b0}/ffn1/w1"][1]
+            conf["conv_kernel"] = shapes[f"{b0}/conv/dw"][0]
+            if f"{b0}/ffn2/wg" in shapes:  # MoE ffn2 (models/moe.py)
+                conf["moe_experts"] = shapes[f"{b0}/ffn2/wg"][1]
+        out["conformer"] = conf
 
     aux_sizes: list[int] = []
     for key, shape in sorted(shapes.items()):

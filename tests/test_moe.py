@@ -289,6 +289,48 @@ def test_trainer_expert_parallel_fit(tmp_path):
     assert w1.sharding.spec == P("model")
 
 
+@pytest.mark.slow
+def test_assess_saved_moe_conformer_rebuilds(tmp_path):
+    """assess_saved_model on a MoE-conformer checkpoint constructed
+    with DIFFERENT conformer dims rebuilds blocks/dims/experts from the
+    tensor shapes (utils/introspect.py conformer branch) and assesses."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    conf_a = {"num_blocks": 2, "model_dim": 32, "num_heads": 2,
+              "ffn_dim": 64, "chunk_size": 4, "left_context": 1,
+              "conv_kernel": 4, "moe_experts": 4, "moe_topk": 2}
+    mp_a = make_demo_experiment(str(tmp_path / "a"), subject_ids=(1,))
+    tr_a = MultiSubjectTrainer(
+        mp_a, [1],
+        SN_kwargs={"encoder_type": "conformer", "conformer": conf_a,
+                   "batch_size": 16, "max_dec_len": 10,
+                   "learning_rate": 3e-3, "temperature": 0.0},
+        VERBOSE=False,
+    )
+    tr_a.fit(num_epochs=10, assess=False)
+    tr_a.save_checkpoint()
+    wer_a = tr_a.assess(["validation"])["validation"]["word_error_rate"]
+
+    conf_b = dict(conf_a, num_blocks=1, model_dim=16, ffn_dim=32,
+                  moe_experts=0)
+    mp_b = make_demo_experiment(str(tmp_path / "b"), subject_ids=(1,))
+    tr_b = MultiSubjectTrainer(
+        mp_b, [1],
+        SN_kwargs={"encoder_type": "conformer", "conformer": conf_b,
+                   "max_dec_len": 10, "temperature": 0.0,
+                   "checkpoint_dir": tr_a.checkpoint_dir},
+        VERBOSE=False,
+    )
+    out = tr_b.assess_saved_model()
+    cc = tr_b.net_config.conformer
+    assert (cc.num_blocks, cc.model_dim, cc.ffn_dim, cc.conv_kernel,
+            cc.moe_experts) == (2, 32, 64, 4, 4)
+    # non-shape-recoverable fields carry over from construction
+    assert (cc.num_heads, cc.chunk_size) == (2, 4)
+    assert out["validation"]["word_error_rate"] == wer_a
+
+
 def test_trainer_ep_requires_moe():
     from ecog2txt_tpu.demo import make_demo_experiment
     from ecog2txt_tpu.train import MultiSubjectTrainer

@@ -53,6 +53,41 @@ def test_recover_model_sizes_roundtrip():
     assert out["use_attention"]
 
 
+def test_recover_model_sizes_conformer_moe():
+    """Conformer (incl. MoE) checkpoints are shape-recoverable too:
+    blocks/dims/kernel/expert count; heads/chunking are not (no trace
+    in the weight shapes) and stay with the constructed config."""
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+
+    cfg = Seq2SeqConfig(
+        vocab_size=30, num_subjects=1, in_channels=16, conv_sizes=(32,),
+        decimation_factor=4, rnn_sizes=(48,), aux_proj_sizes=(),
+        aux_heads=(), dec_embedding_size=24, dec_rnn_sizes=(96,),
+        max_dec_len=10, encoder_type="conformer",
+        conformer=ConformerConfig(
+            num_blocks=3, model_dim=64, num_heads=4, ffn_dim=128,
+            conv_kernel=6, chunk_size=8, left_context=1,
+            moe_experts=4, moe_topk=2,
+        ),
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    out = recover_model_sizes(params, in_channels=16)
+    assert out["encoder_type"] == "conformer"
+    assert out["conformer"] == {
+        "model_dim": 64, "num_blocks": 3, "ffn_dim": 128,
+        "conv_kernel": 6, "moe_experts": 4,
+    }
+    # a dense (non-MoE) tree recovers without the moe key
+    import dataclasses
+
+    dense_cfg = dataclasses.replace(
+        cfg, conformer=cfg.conformer._replace(moe_experts=0)
+    )
+    dense = init_seq2seq(jax.random.PRNGKey(0), dense_cfg)
+    out_d = recover_model_sizes(dense, in_channels=16)
+    assert "moe_experts" not in out_d["conformer"]
+
+
 def test_recover_from_checkpoint_dir(tmp_path):
     import orbax.checkpoint as ocp
 
