@@ -468,12 +468,17 @@ def apply_block(
     cd=jnp.float32,
     tail: jax.Array | None = None,
     valid: jax.Array | None = None,
+    stats_start=None,
 ):
     """One conformer block (½FFN → MHSA → conv → ½FFN → LN).  All blocks
     are the same (B, T, D) → (B, T, D) map with different weights — the
     homogeneity pipeline parallelism relies on (parallel/pipeline.py).
-    Returns (x, new_conv_tail, moe_aux) — moe_aux is the block's
-    weighted router aux loss (0 when ``config.moe_experts == 0``)."""
+    Returns (x, new_conv_tail, moe_stats) — moe_stats is the block's
+    additive router-statistics dict (models/moe.py::router_stats;
+    ``None`` when ``config.moe_experts == 0``).  Stats, not the loss:
+    sharded callers psum/add them across time shards or microbatches
+    BEFORE the nonlinear loss, which is what makes the sharded aux
+    equal the single-device aux exactly."""
     x = x + 0.5 * _ffn(block["ffn1"], x, cd)
     x = x + _attention(block["attn"], x, config, lengths, positions, cd)
     conv_out, new_tail = _conv_module(block["conv"], x, tail, cd, valid)
@@ -488,17 +493,24 @@ def apply_block(
             tok_valid = tok_valid & (
                 positions[None, :] < lengths[:, None]
             )
-        moe_out, aux = moe_ffn(
+        stats_valid = None
+        if stats_start is not None:
+            # sequence parallelism: halo tokens (below this shard's own
+            # span) compute but don't count — see moe_ffn
+            stats_valid = tok_valid & (
+                positions[None, :] >= stats_start
+            )
+        moe_out, stats = moe_ffn(
             block["ffn2"],
             _layernorm(block["ffn2"]["ln"], x),
-            config, cd, tok_valid,
+            config, cd, tok_valid, stats_valid,
         )
         x = x + 0.5 * moe_out
     else:
         x = x + 0.5 * _ffn(block["ffn2"], x, cd)
-        aux = jnp.zeros((), jnp.float32)
+        stats = None
     x = _layernorm(block["ln_out"], x)
-    return x, new_tail, aux
+    return x, new_tail, stats
 
 
 def conformer_encode(
@@ -511,6 +523,8 @@ def conformer_encode(
     compute_dtype=jnp.float32,
     mask_invalid: bool = False,
     return_aux: bool = False,
+    return_moe_stats: bool = False,
+    stats_start=None,
 ):
     """Full-sequence (training) or continuation (streaming) encode.
 
@@ -519,10 +533,14 @@ def conformer_encode(
     new_carry) — or (out, new_carry, moe_aux) with ``return_aux=True``,
     where moe_aux is the mean weighted router aux loss over the MoE
     blocks (0 when ``config.moe_experts == 0``; the training loss
-    consumes it, see seq2seq_loss).  Under ``compute_dtype=bfloat16``
-    every GEMM runs in bf16 on the MXU; layernorm statistics and the
-    attention softmax stay f32 (numerics-neutral at the loss level,
-    ~2× MXU throughput)."""
+    consumes it, see seq2seq_loss).  ``return_moe_stats=True`` instead
+    appends the per-block list of ADDITIVE router-stats dicts — the
+    model-parallel encodes psum those across shards before the
+    nonlinear loss (models/moe.py::aux_from_stats), which makes the
+    sharded aux equal the unsharded one exactly.  Under
+    ``compute_dtype=bfloat16`` every GEMM runs in bf16 on the MXU;
+    layernorm statistics and the attention softmax stay f32
+    (numerics-neutral at the loss level, ~2× MXU throughput)."""
     cd = compute_dtype
     x = (
         _dot(xs.astype(cd), params["in_proj"]["w"], cd)
@@ -537,25 +555,42 @@ def conformer_encode(
     if getattr(config, "remat", False):
         # activation rematerialization per block (memory ↔ one extra
         # forward); config/cd are static via closure, arrays are args
-        def blk(block, x, config, lengths, positions, cd, tail, valid):
+        def blk(block, x, config, lengths, positions, cd, tail, valid,
+                stats_start=None):
             return jax.checkpoint(
-                lambda b, xx, ln, pos, tl, vd: apply_block(
-                    b, xx, config, ln, pos, cd, tl, vd
+                lambda b, xx, ln, pos, tl, vd, ss: apply_block(
+                    b, xx, config, ln, pos, cd, tl, vd, stats_start=ss
                 )
-            )(block, x, lengths, positions, tail, valid)
+            )(block, x, lengths, positions, tail, valid, stats_start)
 
     new_carry = []
-    aux_total = jnp.zeros((), jnp.float32)
+    stats_list = []
     for bi, block in enumerate(params["blocks"]):
         tail = carry[bi] if carry is not None else None
-        x, new_tail, aux = blk(
-            block, x, config, lengths, positions, cd, tail, valid
+        x, new_tail, stats = blk(
+            block, x, config, lengths, positions, cd, tail, valid,
+            stats_start=stats_start,
         )
         new_carry.append(new_tail)
-        aux_total = aux_total + aux
+        stats_list.append(stats)
+    if return_moe_stats:
+        return x, new_carry, stats_list
     if return_aux:
-        return x, new_carry, aux_total / max(len(params["blocks"]), 1)
+        return x, new_carry, moe_aux_from_stats(config, stats_list)
     return x, new_carry
+
+
+def moe_aux_from_stats(config: ConformerConfig, stats_list) -> jax.Array:
+    """Mean weighted router aux loss over the MoE blocks, from their
+    per-block additive stats (``None`` entries are non-MoE blocks)."""
+    from ecog2txt_tpu.models.moe import aux_from_stats
+
+    losses = [
+        aux_from_stats(config, s) for s in stats_list if s is not None
+    ]
+    if not losses:
+        return jnp.zeros((), jnp.float32)
+    return sum(losses) / len(losses)
 
 
 def receptive_field_steps(config: ConformerConfig) -> int:

@@ -31,9 +31,14 @@ Two compute paths, the SAME routed function when no token is dropped:
 
 Router details (all standard): softmax over expert logits in f32,
 top-k renormalized gates, Switch load-balance loss ``E·Σ_e f_e·P_e``
-over valid tokens plus a router z-loss; both are weighted by static
-config fields inside :func:`moe_ffn` and surface in
-``seq2seq_loss``'s metrics as ``moe_aux``.
+over valid tokens plus a router z-loss, weighted by static config
+fields and surfaced in ``seq2seq_loss``'s metrics as ``moe_aux``.
+The blocks hand back ADDITIVE sufficient statistics
+(:func:`router_stats`) rather than the loss itself, so model-parallel
+callers psum shard statistics BEFORE the nonlinear combine
+(:func:`aux_from_stats`) — sequence-parallel and pipelined training
+reproduce the single-device aux exactly (parallel/sequence.py,
+parallel/pipeline.py).
 """
 
 from __future__ import annotations
@@ -73,23 +78,45 @@ def _route(p: dict, xn: jax.Array, topk: int):
     return logits, probs, gates, gate_idx
 
 
-def _aux_loss(config, logits, probs, gate_idx, valid: jax.Array):
-    """Weighted load-balance + z losses over VALID tokens.
+def router_stats(logits, probs, gate_idx, valid: jax.Array) -> dict:
+    """SUMS over valid tokens — the additive sufficient statistics of
+    the aux loss.  Additivity is the point: statistics from
+    sequence-parallel time shards (or pipeline microbatches) psum/add
+    into exactly the unsharded statistics, so :func:`aux_from_stats`
+    after a collective equals the single-device loss (the balance loss
+    is nonlinear in the MEANS — per-shard losses cannot just be
+    averaged)."""
+    E = probs.shape[-1]
+    validf = valid.astype(jnp.float32)
+    # leading dims may be (B, T) or (G, S) — reduce all but the last
+    red = tuple(range(validf.ndim))
+    assign = jax.nn.one_hot(gate_idx, E) * validf[..., None, None]
+    return {
+        "fsum": assign.sum(axis=red + (validf.ndim,)),  # (E,) choices→e
+        "psum": (probs * validf[..., None]).sum(axis=red),  # (E,)
+        "zsum": jnp.sum(
+            jax.nn.logsumexp(logits, axis=-1) ** 2 * validf
+        ),
+        "n": validf.sum(),
+        # valid routed choices (n·k) as its OWN sum so every field of
+        # the dict is additive across shards
+        "csum": validf.sum() * gate_idx.shape[-1],
+    }
+
+
+def aux_from_stats(config, stats: dict) -> jax.Array:
+    """Weighted load-balance + z losses from :func:`router_stats` sums.
 
     balance = E · Σ_e f_e·P_e (Switch): f_e the fraction of routed
     choices sent to e, P_e the mean router probability of e; minimized
     (at 1.0) by a uniform router.  z-loss = mean logsumexp(logits)² —
     keeps logits bounded (bf16-activation safety at scale)."""
-    E = probs.shape[-1]
-    validf = valid.astype(jnp.float32)  # (B, T)
-    n = jnp.maximum(validf.sum(), 1.0)
-    assign = jax.nn.one_hot(gate_idx, E) * validf[..., None, None]
-    f = assign.sum(axis=(0, 1, 2)) / (n * gate_idx.shape[-1])  # (E,)
-    pmean = (probs * validf[..., None]).sum(axis=(0, 1)) / n  # (E,)
+    E = stats["psum"].shape[-1]
+    n = jnp.maximum(stats["n"], 1.0)
+    f = stats["fsum"] / jnp.maximum(stats["csum"], 1.0)
+    pmean = stats["psum"] / n
     balance = E * jnp.sum(f * pmean)
-    z = jnp.sum(
-        jax.nn.logsumexp(logits, axis=-1) ** 2 * validf
-    ) / n
+    z = stats["zsum"] / n
     return (
         config.moe_aux_weight * balance + config.moe_zloss_weight * z
     )
@@ -200,14 +227,37 @@ def moe_ffn(
     config,  # ConformerConfig with moe_* fields
     cd,
     valid: jax.Array,  # (B, T) bool — tokens inside the recording
+    stats_valid: jax.Array | None = None,
 ):
-    """Routed MoE FFN.  Returns (out (B, T, D), weighted aux scalar)."""
+    """Routed MoE FFN.  Returns (out (B, T, D), router stats sums —
+    :func:`router_stats`; the caller turns them into the weighted aux
+    loss via :func:`aux_from_stats`, possibly after psum-ing shard
+    stats (parallel/sequence.py, parallel/pipeline.py)).
+
+    ``stats_valid``: validity mask for the STATISTICS only (defaults
+    to ``valid``).  Sequence parallelism passes a tighter mask here so
+    a shard's halo replica — whose MoE outputs must still compute,
+    later blocks read them — does not double-count its left neighbor's
+    tokens in the psum-ed balance statistics."""
     if config.moe_capacity_factor > 0:
         out = _moe_capacity(p, xn, config, cd, valid)
     else:
         out = _moe_nodrop(p, xn, config, cd, valid)
-    # aux on its own (cheap) router pass — XLA CSEs it with the one
-    # inside the compute path (identical subgraph, same operands)
+    # stats on their own (cheap) router pass — XLA CSEs it with the
+    # one inside the compute path (identical subgraph, same operands)
     logits, probs, _, gate_idx = _route(p, xn, config.moe_topk)
-    aux = _aux_loss(config, logits, probs, gate_idx, valid)
-    return out, aux
+    return out, router_stats(
+        logits, probs, gate_idx,
+        valid if stats_valid is None else stats_valid,
+    )
+
+
+def zero_stats(n_experts: int) -> dict:
+    """Additive identity of :func:`router_stats` (non-MoE blocks)."""
+    return {
+        "fsum": jnp.zeros((n_experts,), jnp.float32),
+        "psum": jnp.zeros((n_experts,), jnp.float32),
+        "zsum": jnp.zeros((), jnp.float32),
+        "n": jnp.zeros((), jnp.float32),
+        "csum": jnp.zeros((), jnp.float32),
+    }

@@ -367,18 +367,6 @@ def encode(
         # valid steps (bridged/tanh-projected in _decoder_init_state)
         ccfg = config.conformer or ConformerConfig()
         moe_aux = jnp.zeros((), jnp.float32)
-        if ccfg.moe_experts and (sp is not None or pp is not None):
-            # the sharded encodes return outputs only; threading the
-            # router statistics through their shard_map bodies (psum of
-            # per-expert counts/prob sums before the nonlinear combine)
-            # is future work — fail loudly rather than silently train
-            # an unbalanced router
-            raise NotImplementedError(
-                "MoE conformer does not yet compose with sp/pp training "
-                "(the router aux loss is not plumbed through the "
-                "sharded encodes); use dp × expert parallelism "
-                "(parallel.shard_params_ep)"
-            )
         xs_bm = jnp.moveaxis(xs, 0, 1)  # (B, T', F)
         if sp is not None:
             # time-sharded encode (one input-halo ppermute); pad the
@@ -392,20 +380,37 @@ def encode(
             padT = (-Tq) % mult
             if padT:
                 xs_bm = jnp.pad(xs_bm, ((0, 0), (0, padT), (0, 0)))
-            out_bm = sequence_parallel_encode(
-                params["encoder"]["conformer"], ccfg, xs_bm, mesh,
-                axis=axis, lengths=enc_lengths,
-                compute_dtype=config.compute_dtype,
-            )[:, :Tq]
+            if ccfg.moe_experts:
+                out_bm, moe_aux = sequence_parallel_encode(
+                    params["encoder"]["conformer"], ccfg, xs_bm, mesh,
+                    axis=axis, lengths=enc_lengths,
+                    compute_dtype=config.compute_dtype, return_aux=True,
+                )
+                out_bm = out_bm[:, :Tq]
+            else:
+                out_bm = sequence_parallel_encode(
+                    params["encoder"]["conformer"], ccfg, xs_bm, mesh,
+                    axis=axis, lengths=enc_lengths,
+                    compute_dtype=config.compute_dtype,
+                )[:, :Tq]
         elif pp is not None:
             from ..parallel.pipeline import pipeline_conformer_encode
 
             mesh, axis, microbatches = pp
-            out_bm = pipeline_conformer_encode(
-                params["encoder"]["conformer"], ccfg, xs_bm, mesh,
-                axis=axis, microbatches=microbatches,
-                lengths=enc_lengths, compute_dtype=config.compute_dtype,
-            )
+            if ccfg.moe_experts:
+                out_bm, moe_aux = pipeline_conformer_encode(
+                    params["encoder"]["conformer"], ccfg, xs_bm, mesh,
+                    axis=axis, microbatches=microbatches,
+                    lengths=enc_lengths,
+                    compute_dtype=config.compute_dtype, return_aux=True,
+                )
+            else:
+                out_bm = pipeline_conformer_encode(
+                    params["encoder"]["conformer"], ccfg, xs_bm, mesh,
+                    axis=axis, microbatches=microbatches,
+                    lengths=enc_lengths,
+                    compute_dtype=config.compute_dtype,
+                )
         else:
             out_bm, _, moe_aux = conformer_encode(
                 params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths,

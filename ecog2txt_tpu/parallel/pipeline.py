@@ -61,12 +61,23 @@ def pipeline_conformer_encode(
     lengths: jax.Array | None = None,
     compute_dtype=jnp.float32,
     stacked_params=None,
-) -> jax.Array:
+    return_aux: bool = False,
+):
     """Encode with the block stack pipelined over ``mesh[axis]``.
 
     ``microbatches`` defaults to the stage count (a full pipe).  The
     batch must divide evenly into microbatches.  Returns the (B, T, D)
     encoder output, replicated (same values as ``conformer_encode``).
+
+    ``return_aux=True`` (MoE conformer) additionally returns the
+    weighted router aux loss, equal to the unsharded one: each stage
+    accumulates its own blocks' additive router statistics over its
+    REAL ticks only (fill/drain ticks process garbage activations and
+    are masked out), the per-block losses are computed stage-locally
+    from the full-batch sums, and one ``psum`` over the ring averages
+    them.  Both MoE paths compose — capacity dispatch groups never
+    cross batch rows (models/moe.py), so microbatching leaves every
+    group's population (and therefore its drops) unchanged.
 
     Repeated calls should pass ``stacked_params`` — the output of
     :func:`stack_block_params` placed with ``NamedSharding(mesh,
@@ -101,7 +112,11 @@ def pipeline_conformer_encode(
     len_mb = lengths.reshape(M, b)
     positions = jnp.arange(T)
 
+    moe = bool(config.moe_experts) and return_aux
+
     def body(stage_blocks, x_mb, len_mb):
+        from ..models.moe import aux_from_stats, zero_stats
+
         stage_blocks = jax.tree.map(lambda a: a[0], stage_blocks)
         s = jax.lax.axis_index(axis)
         is_first = s == 0
@@ -109,6 +124,9 @@ def pipeline_conformer_encode(
         act = jnp.zeros((b, T, D), x_mb.dtype)  # activation in flight
         act_len = jnp.zeros((b,), jnp.int32)
         outbuf = jnp.zeros((M, b, T, D), x_mb.dtype)
+        stats_acc = [
+            zero_stats(config.moe_experts) for _ in range(blocks_per_stage)
+        ] if moe else None
         perm = [(i, i + 1) for i in range(S - 1)]
         for t in range(M + S - 1):
             mb = min(t, M - 1)  # stage 0 consumes microbatch t
@@ -116,9 +134,18 @@ def pipeline_conformer_encode(
             y_len = jnp.where(is_first, len_mb[mb], act_len)
             for j in range(blocks_per_stage):
                 blk = jax.tree.map(lambda a: a[j], stage_blocks)
-                y, _, _ = apply_block(
+                y, _, stats = apply_block(
                     blk, y, config, y_len, positions, cd
                 )
+                if moe and stats is not None:
+                    # this stage's REAL microbatch at tick t is t−s;
+                    # fill/drain ticks (outside [0, M)) carry garbage
+                    # activations and must not pollute the statistics
+                    real = (t >= s) & (t - s < M)
+                    stats_acc[j] = jax.tree.map(
+                        lambda acc, v: acc + jnp.where(real, v, 0.0),
+                        stats_acc[j], stats,
+                    )
             out_idx = t - (S - 1)  # microbatch the LAST stage finished
             if 0 <= out_idx < M:
                 outbuf = outbuf.at[out_idx].set(
@@ -129,12 +156,25 @@ def pipeline_conformer_encode(
                 act_len = jax.lax.ppermute(y_len, axis, perm)
         # non-last stages hold zeros → the sum is the last stage's buffer,
         # replicated (satisfies the unsharded out_spec)
-        return jax.lax.psum(outbuf, axis)
+        out = jax.lax.psum(outbuf, axis)
+        if not moe:
+            return out
+        # per-block losses from full-batch sums, stage-local; the psum
+        # totals them over the ring → mean over ALL blocks
+        partial = sum(
+            aux_from_stats(config, st) for st in stats_acc
+        )
+        aux = jax.lax.psum(partial, axis) / config.num_blocks
+        return out, aux
 
-    out_mb = jax.shard_map(
+    out_specs = (P(), P()) if moe else P()
+    res = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(axis), P(), P()),
-        out_specs=P(),
+        out_specs=out_specs,
     )(stacked_params, x_mb, len_mb)
-    return out_mb.reshape(B, T, D)
+    if moe:
+        out_mb, aux = res
+        return out_mb.reshape(B, T, D), aux
+    return res.reshape(B, T, D)

@@ -59,7 +59,8 @@ def sequence_parallel_encode(
     axis: str = "seq",
     lengths: jax.Array | None = None,
     compute_dtype=jnp.float32,
-) -> jax.Array:
+    return_aux: bool = False,
+):
     """Encode ``xs`` with its time axis sharded over ``mesh[axis]``.
 
     Returns the (B, T, D) encoder output, time-sharded over ``axis``
@@ -68,7 +69,23 @@ def sequence_parallel_encode(
     XLA gather it).  Requires ``T % (n·chunk_size) == 0`` and per-shard
     length ≥ the halo; pad the recording to the chunk grid first (the
     offline encode needs that too) and pass ``lengths`` to mask the pad.
+
+    ``return_aux=True`` (MoE conformer) additionally returns the
+    weighted router aux loss, EXACTLY equal to the unsharded one: each
+    shard contributes its additive router statistics, which are
+    ``psum``-ed over the shard axis BEFORE the nonlinear loss
+    (models/moe.py::aux_from_stats).  Halo tokens sit at absolute
+    positions the owning shard already counts, so they are EXCLUDED
+    from the halo replica's statistics (masked by position) — no
+    double counting.
     """
+    if config.moe_experts and config.moe_capacity_factor > 0:
+        raise ValueError(
+            "sequence parallelism requires the exact no-drop MoE path "
+            "(moe_capacity_factor=0): capacity drops depend on the "
+            "dispatch-group population, which differs between a time "
+            "shard's halo window and the offline encode"
+        )
     n = mesh.shape[axis]
     B, T, _ = xs.shape
     halo = halo_steps(config)
@@ -95,7 +112,24 @@ def sequence_parallel_encode(
         )
         window = jnp.concatenate([prev_tail, x_local], axis=1)
         offset = idx * S - halo
-        out, _ = conformer_encode(
+        if not return_aux:
+            out, _ = conformer_encode(
+                params,
+                config,
+                window,
+                lengths=lengths_local,
+                position_offset=offset,
+                compute_dtype=compute_dtype,
+                mask_invalid=True,
+            )
+            return out[:, halo:]
+        # MoE: router stats must count every recording token exactly
+        # once, but the halo replica recomputes tokens its left
+        # neighbor owns.  `stats_start` masks positions below this
+        # shard's own span OUT OF THE STATISTICS ONLY — the halo
+        # tokens' MoE outputs still compute normally (later blocks'
+        # attention reads them), they just don't count twice.
+        out, _, stats = conformer_encode(
             params,
             config,
             window,
@@ -103,8 +137,13 @@ def sequence_parallel_encode(
             position_offset=offset,
             compute_dtype=compute_dtype,
             mask_invalid=True,
+            return_moe_stats=True,
+            stats_start=idx * S,
         )
-        return out[:, halo:]
+        stats = jax.lax.psum(stats, axis)
+        from ..models.conformer import moe_aux_from_stats
+
+        return out[:, halo:], moe_aux_from_stats(config, stats)
 
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
@@ -115,9 +154,12 @@ def sequence_parallel_encode(
         xs = jax.lax.with_sharding_constraint(xs, sharding)
     else:
         xs = jax.device_put(xs, sharding)
+    out_specs = (
+        (P(None, axis, None), P()) if return_aux else P(None, axis, None)
+    )
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis, None), P(None)),
-        out_specs=P(None, axis, None),
+        out_specs=out_specs,
     )(xs, lengths)

@@ -289,6 +289,137 @@ def test_trainer_expert_parallel_fit(tmp_path):
     assert w1.sharding.spec == P("model")
 
 
+def test_sp_moe_encode_and_aux_parity():
+    """Sequence-parallel MoE encode: valid-region outputs AND the aux
+    loss equal the single-device encode — the per-shard router stats
+    psum before the nonlinear loss, halo replicas excluded
+    (stats_start).  Gradients (incl. the router's) match too."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import halo_steps, sequence_parallel_encode
+
+    ccfg = _ccfg()
+    p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 8)
+    mesh = Mesh(np.array(jax.devices()), ("seq",))
+    n = 8
+    T = n * max(halo_steps(ccfg), 2 * ccfg.chunk_size)
+    xs = jax.random.normal(jax.random.PRNGKey(3), (2, T, 8))
+    lens = jnp.asarray([T, T - 10])
+    m = (np.arange(T)[None, :] < np.asarray(lens)[:, None])[..., None]
+    ref, _, aux_ref = cf.conformer_encode(p, ccfg, xs, lens, return_aux=True)
+    out, aux = sequence_parallel_encode(
+        p, ccfg, xs, mesh, axis="seq", lengths=lens, return_aux=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
+
+    def loss_sp(p):
+        o, a = sequence_parallel_encode(
+            p, ccfg, xs, mesh, axis="seq", lengths=lens, return_aux=True
+        )
+        return jnp.sum((o * m) ** 2) * 1e-3 + a
+
+    def loss_1(p):
+        o, _, a = cf.conformer_encode(p, ccfg, xs, lens, return_aux=True)
+        return jnp.sum((o * m) ** 2) * 1e-3 + a
+
+    g_sp = jax.jit(jax.grad(loss_sp))(p)
+    g_1 = jax.jit(jax.grad(loss_1))(p)
+    for a, b in zip(jax.tree.leaves(g_1), jax.tree.leaves(g_sp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+    # the population-dependent capacity path cannot time-shard
+    with pytest.raises(ValueError, match="no-drop"):
+        sequence_parallel_encode(
+            p, ccfg._replace(moe_capacity_factor=1.0), xs, mesh,
+            axis="seq", lengths=lens,
+        )
+
+
+def test_pp_moe_encode_and_aux_parity():
+    """Pipelined MoE encode equals the single-device encode for BOTH
+    MoE paths (capacity groups never cross batch rows, so microbatching
+    preserves every group's drops); fill/drain ticks are excluded from
+    the psum-ed statistics."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import pipeline_conformer_encode
+
+    for extra in ({}, {"moe_capacity_factor": 2.0, "moe_group_size": 16}):
+        ccfg = _ccfg(num_blocks=4, **extra)
+        p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 8)
+        B, T = 8, 48
+        xs = jax.random.normal(jax.random.PRNGKey(3), (B, T, 8))
+        lens = jnp.asarray([48, 30, 48, 48, 20, 48, 48, 41])
+        m = (np.arange(T)[None, :] < np.asarray(lens)[:, None])[..., None]
+        ref, _, aux_ref = cf.conformer_encode(
+            p, ccfg, xs, lens, return_aux=True
+        )
+        mesh = Mesh(np.array(jax.devices()[:4]), ("pp",))
+        out, aux = pipeline_conformer_encode(
+            p, ccfg, xs, mesh, axis="pp", microbatches=4, lengths=lens,
+            return_aux=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out) * m, np.asarray(ref) * m, rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_trainer_sp_moe_fit(tmp_path):
+    """SN_kwargs sequence_parallel trains a MoE conformer end-to-end
+    (the aux loss flows through the time-sharded encode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.models.seq2seq import seq2seq_loss
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(str(tmp_path / "exp"))
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "sequence_parallel": 2,
+            "batch_size": 8, "temperature": 0.0,
+            "learning_rate": 3e-3, "N_epochs": 20,
+            "conformer": {"num_blocks": 2, "model_dim": 32,
+                          "num_heads": 2, "ffn_dim": 64,
+                          "chunk_size": 2, "left_context": 1,
+                          "conv_kernel": 2, "moe_experts": 4,
+                          "moe_topk": 2},
+        },
+        VERBOSE=False,
+    )
+
+    def probe():
+        data = tr.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, metrics = seq2seq_loss(
+            tr.state.params, tr.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss), metrics
+
+    loss0, _ = probe()
+    tr.fit(assess=False)
+    loss1, metrics = probe()
+    assert np.isfinite(loss1) and loss1 < loss0
+    assert float(metrics["moe_aux"]) > 0
+
+
 @pytest.mark.slow
 def test_assess_saved_moe_conformer_rebuilds(tmp_path):
     """assess_saved_model on a MoE-conformer checkpoint constructed
