@@ -187,7 +187,21 @@ def _moe_capacity(p, xn, config, cd, valid):
 
 
 def _moe_capacity_grouped(p, xn, config, cd, valid):
-    """One dispatch group per leading-dim row.  xn: (G, S, D)."""
+    """One dispatch group per leading-dim row.  xn: (G, S, D).
+
+    The dispatch/combine are GShard-style one-hot MATMULS by design: a
+    sort-based construction (argsort by expert id + gathers/scatter-
+    adds) computing the identical routed function measured 1.6x SLOWER
+    on-chip (29.9 vs 18.4 ms/step fwd at the RESULTS.md r3 config, and
+    78 vs 56 fwd+bwd) — TPU gathers and argsort are serial/VPU work
+    while one-hot einsums ride the MXU.  That is WHY the GShard
+    formulation is einsums; the negative result is recorded in
+    RESULTS.md and the sort path was removed rather than kept as a
+    dead twin."""
+    return _moe_capacity_grouped_einsum(p, xn, config, cd, valid)
+
+
+def _moe_capacity_grouped_einsum(p, xn, config, cd, valid):
     G, S, D = xn.shape
     E = config.moe_experts
     k = config.moe_topk
