@@ -270,6 +270,57 @@ def main():
     )
     long_mfu = long_tokens_per_sec * enc_flops_tok / TPU_V5E_BF16_PEAK_FLOPS
 
+    # MoE conformer TRAINING (beyond-parity family, models/moe.py):
+    # fwd+bwd through the E=8 top-2 grouped-capacity encoder — the
+    # scaled-deployment configuration (8× the ffn2 parameter capacity
+    # at 2× its routed FLOPs; RESULTS.md r3 table).  MFU uses the
+    # routed-FLOPs convention (router + top-k expert FFNs per token).
+    moe_ccfg = ccfg._replace(
+        moe_experts=8, moe_topk=2, moe_capacity_factor=1.25,
+        moe_group_size=512,
+    )
+    from ecog2txt_tpu.models.conformer import init_conformer
+
+    moe_params = init_conformer(jax.random.PRNGKey(13), moe_ccfg, 100)
+    T_moe, B_moe = 2048, 16
+    moe_in = jax.random.normal(
+        jax.random.PRNGKey(12), (B_moe, T_moe, 100), jnp.bfloat16
+    )
+    moe_len = jnp.full((B_moe,), T_moe, jnp.int32)
+
+    def moe_loss(p, x):
+        out, _, aux = conformer_encode(
+            p, moe_ccfg, x, moe_len, compute_dtype=jnp.bfloat16,
+            return_aux=True,
+        )
+        return jnp.sum(out.astype(jnp.float32) ** 2) * 1e-9 + aux
+
+    moe_grad = jax.grad(moe_loss)
+
+    @jax.jit
+    def moe_step(p, x):
+        def body(carry, _):
+            xp = x * (1 + 1e-30 * carry)
+            g = moe_grad(p, xp)
+            s = sum(jnp.sum(l) for l in jax.tree.leaves(g))
+            return carry + s * 1e-30, s
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=LONG_STEPS)
+        return c
+
+    float(moe_step(moe_params, moe_in))  # compile+warm
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(moe_step(moe_params, moe_in))
+        reps.append((time.perf_counter() - t0) / LONG_STEPS)
+    moe_dt = sorted(reps)[len(reps) // 2]
+    moe_tokens_per_sec = B_moe * T_moe / moe_dt
+    moe_flops_tok = 3.0 * conformer_encoder_forward_flops_per_step(
+        moe_ccfg, 100
+    )
+    moe_mfu = moe_tokens_per_sec * moe_flops_tok / TPU_V5E_BF16_PEAK_FLOPS
+
     # streaming serving (BASELINE configs[4]): per-chunk latency of the
     # incremental raw-ECoG path (jitted conv + fixed-window encode).
     # One chunk = decimation·chunk_size samples = 0.96 s of signal at
@@ -324,6 +375,10 @@ def main():
                     long_tokens_per_sec, 0
                 ),
                 "long8k_encoder_mfu": round(long_mfu, 4),
+                "moe_train_tokens_per_sec": round(
+                    moe_tokens_per_sec, 0
+                ),
+                "moe_encoder_mfu": round(moe_mfu, 4),
                 "peak_tflops": TPU_V5E_BF16_PEAK_FLOPS / 1e12,
                 "platform": jax.devices()[0].platform,
             }
