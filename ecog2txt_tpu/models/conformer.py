@@ -83,9 +83,10 @@ class ConformerConfig(NamedTuple):
     moe_capacity_factor: float = 0.0
     # capacity-path dispatch group length in steps (0 → one group per
     # batch row).  Groups bound the one-hot dispatch cost (≈ k·cf·S_g
-    # extra FLOPs per token) and never cross rows, so per-example
-    # outputs stay independent of batch packing.  ~512 is a good
-    # training-scale setting (RESULTS.md r3).
+    # extra FLOPs per token) and never cross rows; with a segment size
+    # set, per-expert capacity is a CONFIG constant, so per-example
+    # outputs are fully independent of batch packing AND padded batch
+    # length.  ~512 is a good training-scale setting (RESULTS.md r3).
     moe_group_size: int = 0
     moe_aux_weight: float = 1e-2
     moe_zloss_weight: float = 1e-3

@@ -161,8 +161,11 @@ def _moe_capacity(p, xn, config, cd, valid):
     combine einsums cost k·cf·S_g·D FLOPs per token — a GLOBAL (one
     group) dispatch would grow quadratically with the whole batch
     (B·T ≈ 32k tokens at training scale makes it dominant).  Groups
-    never cross batch rows, so each example's outputs are independent
-    of how the batch is packed (assessment == per-example decode).
+    never cross batch rows, so other examples in the batch never
+    affect an example's drops; with ``moe_group_size`` set the
+    capacity is additionally a config constant (independent of the
+    batch's padded length), making assessment == per-example decode
+    exactly.
 
     Within a group, priority is (choice rank, time order): first
     choices fill before second choices, earlier tokens before later
@@ -173,7 +176,13 @@ def _moe_capacity(p, xn, config, cd, valid):
     E = config.moe_experts
     k = config.moe_topk
     seg = int(getattr(config, "moe_group_size", 0) or 0)
-    if seg and seg < T:
+    if seg:
+        # group whenever a segment size is set — including T < seg
+        # (padded up to ONE full segment), so the per-expert capacity
+        # C = ceil(k·seg/E·cf) is a CONFIG constant: the same example
+        # gets the same drops whatever length its batch was padded to
+        # (assessment == per-example decode).  Pad tokens are invalid
+        # and never consume slots.
         pad = (-T) % seg
         if pad:
             xn = jnp.pad(xn, ((0, 0), (0, pad), (0, 0)))
@@ -183,6 +192,10 @@ def _moe_capacity(p, xn, config, cd, valid):
         vg = valid.reshape(B * G, seg)
         out = _moe_capacity_grouped(p, xg, config, cd, vg)
         return out.reshape(B, G * seg, D)[:, :T]
+    # moe_group_size=0: one group per batch row — C then scales with
+    # the row's PADDED length, so drops (hence outputs) can differ
+    # between batch paddings of the same example; set moe_group_size
+    # for batch-length-invariant serving
     return _moe_capacity_grouped(p, xn, config, cd, valid)
 
 

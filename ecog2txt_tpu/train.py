@@ -553,8 +553,8 @@ class MultiSubjectTrainer:
                 )
             if ccfg.moe_experts % n_ep:
                 raise ValueError(
-                    f"moe_experts={ccfg.moe_experts} must divide "
-                    f"expert_parallel={n_ep}"
+                    f"expert_parallel={n_ep} must divide evenly into "
+                    f"moe_experts={ccfg.moe_experts}"
                 )
             if n_pp > 1 or n_seq > 1:
                 raise ValueError(

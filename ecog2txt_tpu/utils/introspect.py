@@ -99,8 +99,15 @@ def recover_model_sizes(
             b0 = "encoder/conformer/blocks/0"
             conf["ffn_dim"] = shapes[f"{b0}/ffn1/w1"][1]
             conf["conv_kernel"] = shapes[f"{b0}/conv/dw"][0]
-            if f"{b0}/ffn2/wg" in shapes:  # MoE ffn2 (models/moe.py)
-                conf["moe_experts"] = shapes[f"{b0}/ffn2/wg"][1]
+            # MoE ffn2 (models/moe.py) — explicitly 0 for a dense tree
+            # so restoring a dense checkpoint into an MoE-constructed
+            # trainer switches the family OFF (the constructed
+            # moe_experts must not survive the _replace)
+            conf["moe_experts"] = (
+                shapes[f"{b0}/ffn2/wg"][1]
+                if f"{b0}/ffn2/wg" in shapes
+                else 0
+            )
         out["conformer"] = conf
 
     aux_sizes: list[int] = []

@@ -158,6 +158,65 @@ def test_ep_sharded_step_matches_single_device():
         )
 
 
+def test_capacity_independent_of_batch_padding():
+    """With moe_group_size set, an example's capacity-path outputs are
+    identical whatever length its batch was padded to — capacity is a
+    config constant, pad tokens never consume slots.  Capacity is
+    TIGHT here so drops actually occur and would differ if C scaled
+    with the padded length (the bug this test pins)."""
+    import jax
+    import jax.numpy as jnp
+
+    import ecog2txt_tpu.models.conformer as cf
+
+    ccfg = _ccfg(moe_capacity_factor=0.5, moe_group_size=16)
+    p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 20)
+    row = jax.random.normal(jax.random.PRNGKey(1), (1, 40, 20))
+    lens = jnp.asarray([40])
+    outs = []
+    for T in (40, 64, 96):  # includes T < and > multiples of seg
+        x = jnp.zeros((1, T, 20)).at[:, :40].set(row)
+        o, _, _ = cf.conformer_encode(p, ccfg, x, lens, return_aux=True)
+        outs.append(np.asarray(o)[:, :40])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-6)
+
+
+def test_dense_checkpoint_into_moe_trainer_switches_family_off():
+    """update_net_from_saved_model on a DENSE conformer tree must turn
+    moe_experts off in an MoE-constructed config (recover_model_sizes
+    reports moe_experts=0 explicitly), so the restored dense params
+    run the dense ffn2 branch."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.models.seq2seq import init_seq2seq
+    from ecog2txt_tpu.utils.introspect import recover_model_sizes
+
+    dense_cfg = _cfg(moe_experts=0)
+    dense_params = init_seq2seq(jax.random.PRNGKey(0), dense_cfg)
+    sizes = recover_model_sizes(dense_params, in_channels=8)
+    assert sizes["conformer"]["moe_experts"] == 0
+
+    moe_cfg = _cfg()  # constructed WITH experts
+    rebuilt = dataclasses.replace(
+        moe_cfg,
+        conformer=moe_cfg.conformer._replace(**sizes["conformer"]),
+    )
+    assert rebuilt.conformer.moe_experts == 0
+    # the dense tree runs under the rebuilt config
+    import ecog2txt_tpu.models.conformer as cf
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16))
+    out, _ = cf.conformer_encode(
+        dense_params["encoder"]["conformer"], rebuilt.conformer, x,
+        jnp.asarray([16, 16]),
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_ep_requires_divisible_experts():
     import jax
 

@@ -85,7 +85,9 @@ def test_recover_model_sizes_conformer_moe():
     )
     dense = init_seq2seq(jax.random.PRNGKey(0), dense_cfg)
     out_d = recover_model_sizes(dense, in_channels=16)
-    assert "moe_experts" not in out_d["conformer"]
+    # explicitly 0 (not absent): restoring a dense checkpoint into an
+    # MoE-constructed trainer must switch the MoE family OFF
+    assert out_d["conformer"]["moe_experts"] == 0
 
 
 def test_recover_from_checkpoint_dir(tmp_path):
