@@ -27,9 +27,12 @@ Design contract with the JAX engine:
 
 Both encoder families are covered: the reversed-conv + biLSTM stack
 AND the conformer (natural-order conv, rotary chunk-causal attention in
-its dense parity form, macaron FFNs, causal depthwise conv module) —
+its dense parity form, macaron FFNs, causal depthwise conv module,
+incl. the MoE second macaron FFN — both the no-drop and the grouped
+capacity dispatch paths, with the same weighted router aux loss) —
 cross-engine parity is tested for both.  The JAX engine remains the
-TPU path; streaming/banded-kernel serving stays JAX-only.
+TPU path; streaming/banded-kernel serving and expert PARALLELISM stay
+JAX-only (torch runs the experts locally).
 """
 
 from __future__ import annotations
@@ -323,20 +326,139 @@ def _conformer_conv(p, x):
     return F.silu(out) @ p["pw2"]
 
 
+def _moe_route(p, xn, k):
+    """Twin of models/moe.py::_route (f32 router)."""
+    logits = xn @ p["wg"]  # (B, T, E)
+    probs = torch.softmax(logits, dim=-1)
+    gate_vals, gate_idx = torch.topk(probs, k, dim=-1)
+    gates = gate_vals / torch.clamp(
+        gate_vals.sum(dim=-1, keepdim=True), min=1e-9
+    )
+    return logits, probs, gates, gate_idx
+
+
+def _moe_aux(ccfg, logits, probs, gate_idx, valid):
+    """Twin of models/moe.py::router_stats + aux_from_stats (single
+    device — no shard merge needed here)."""
+    E = probs.shape[-1]
+    validf = valid.float()
+    n = torch.clamp(validf.sum(), min=1.0)
+    assign = F.one_hot(gate_idx, E).float() * validf[..., None, None]
+    f = assign.sum(dim=(0, 1, 2)) / (n * gate_idx.shape[-1])
+    pmean = (probs * validf[..., None]).sum(dim=(0, 1)) / n
+    balance = E * (f * pmean).sum()
+    z = (torch.logsumexp(logits, dim=-1) ** 2 * validf).sum() / n
+    return ccfg.moe_aux_weight * balance + ccfg.moe_zloss_weight * z
+
+
+def _moe_combine_weights(gates, gate_idx, E, valid):
+    w = (F.one_hot(gate_idx, E).float() * gates[..., None]).sum(dim=-2)
+    return w * valid[..., None].float()
+
+
+def _moe_nodrop(p, xn, ccfg, valid):
+    _, probs, gates, gate_idx = _moe_route(p, xn, ccfg.moe_topk)
+    E = probs.shape[-1]
+    h = F.silu(
+        torch.einsum("btd,edf->btef", xn, p["w1"]) + p["b1"]
+    )
+    y = torch.einsum("btef,efd->bted", h, p["w2"]) + p["b2"]
+    w = _moe_combine_weights(gates, gate_idx, E, valid)
+    return torch.einsum("bte,bted->btd", w, y)
+
+
+def _moe_capacity(p, xn, ccfg, valid):
+    """Twin of models/moe.py::_moe_capacity — grouped GShard dispatch
+    with the identical (choice rank, time order) priority, so the same
+    keep/drop set as the JAX engine."""
+    B, T, D = xn.shape
+    seg = int(ccfg.moe_group_size or 0)
+    if seg:
+        pad = (-T) % seg
+        if pad:
+            xn = F.pad(xn, (0, 0, 0, pad))
+            valid = F.pad(valid, (0, pad))
+        G = (T + pad) // seg
+        out = _moe_capacity_grouped(
+            p, xn.reshape(B * G, seg, D), ccfg,
+            valid.reshape(B * G, seg),
+        )
+        return out.reshape(B, G * seg, D)[:, :T]
+    return _moe_capacity_grouped(p, xn, ccfg, valid)
+
+
+def _moe_capacity_grouped(p, xn, ccfg, valid):
+    G, S, D = xn.shape
+    E = ccfg.moe_experts
+    k = ccfg.moe_topk
+    C = max(int(math.ceil(k * S / E * ccfg.moe_capacity_factor)), 1)
+    _, probs, gates, gate_idx = _moe_route(p, xn, k)
+    validf = valid.float()
+    dispatch = xn.new_zeros((G, S, E, C))
+    combine = xn.new_zeros((G, S, E, C))
+    base = xn.new_zeros((G, E))
+    for j in range(k):
+        oh = F.one_hot(gate_idx[..., j], E).float() * validf[..., None]
+        pos = torch.cumsum(oh, dim=1) - oh + base[:, None, :]
+        keep = oh * (pos < C).float()
+        slot = F.one_hot(
+            torch.clamp(pos, max=C - 1).long(), C
+        ).float()  # (G, S, E, C)
+        dispatch = dispatch + keep[..., None] * slot
+        combine = combine + (keep * gates[..., j : j + 1])[..., None] * slot
+        base = base + keep.sum(dim=1)
+    ein = torch.einsum("gsec,gsd->gecd", dispatch, xn)
+    h = F.silu(
+        torch.einsum("gecd,edf->gecf", ein, p["w1"])
+        + p["b1"][None, :, None, :]
+    )
+    y = torch.einsum(
+        "gecf,efd->gecd", h, p["w2"]
+    ) + p["b2"][None, :, None, :]
+    return torch.einsum("gsec,gecd->gsd", combine, y)
+
+
+def _moe_ffn(p, x, ccfg, lengths, positions):
+    """MoE second macaron FFN (twin of the apply_block MoE branch).
+    Returns (out, weighted aux)."""
+    B, T = x.shape[0], x.shape[1]
+    tok_valid = (positions >= 0).expand(B, T)
+    if lengths is not None:
+        tok_valid = tok_valid & (
+            positions[None, :] < lengths[:, None]
+        )
+    xn = _conformer_layernorm(p["ln"], x)
+    if ccfg.moe_capacity_factor > 0:
+        out = _moe_capacity(p, xn, ccfg, tok_valid)
+    else:
+        out = _moe_nodrop(p, xn, ccfg, tok_valid)
+    logits, probs, _, gate_idx = _moe_route(p, xn, ccfg.moe_topk)
+    return out, _moe_aux(ccfg, logits, probs, gate_idx, tok_valid)
+
+
 def conformer_encode(params, ccfg, xs_bm, lengths):
     """Twin of ``models/conformer.py::conformer_encode`` (offline
-    training path: no carry, no mask_invalid)."""
+    training path: no carry, no mask_invalid).  Returns (x, moe_aux) —
+    aux is 0 for the dense family."""
     x = xs_bm @ params["in_proj"]["w"] + params["in_proj"]["b"]
     positions = torch.arange(x.shape[1], device=x.device)
+    aux_total = x.new_zeros(())
     for block in params["blocks"]:
         x = x + 0.5 * _conformer_ffn(block["ffn1"], x)
         x = x + _conformer_attention(
             block["attn"], x, ccfg, lengths, positions
         )
         x = x + _conformer_conv(block["conv"], x)
-        x = x + 0.5 * _conformer_ffn(block["ffn2"], x)
+        if ccfg.moe_experts:
+            moe_out, aux = _moe_ffn(
+                block["ffn2"], x, ccfg, lengths, positions
+            )
+            x = x + 0.5 * moe_out
+            aux_total = aux_total + aux
+        else:
+            x = x + 0.5 * _conformer_ffn(block["ffn2"], x)
         x = _conformer_layernorm(block["ln_out"], x)
-    return x
+    return x, aux_total / max(len(params["blocks"]), 1)
 
 
 def encode(
@@ -347,10 +469,13 @@ def encode(
     subject_idx: int,
     train: bool = False,
     gen=None,
+    return_aux: bool = False,
 ):
     """Twin of ``models/seq2seq.py::encode`` (both encoder families:
-    reversed conv + biLSTM stack, or natural-order conv + conformer
-    with the masked-mean decoder bridge)."""
+    reversed conv + biLSTM stack, or natural-order conv + conformer —
+    dense or MoE — with the masked-mean decoder bridge).
+    ``return_aux=True`` appends the MoE router aux loss (0 for every
+    non-MoE configuration)."""
     xs = inputs.movedim(0, 1)  # (T, B, C)
     reverse = config.encoder_type != "conformer"
     if config.conv_sizes:
@@ -373,14 +498,8 @@ def encode(
         from .models.conformer import ConformerConfig
 
         ccfg = config.conformer or ConformerConfig()
-        if ccfg.moe_experts:
-            raise NotImplementedError(
-                "the torch engine covers the dense conformer family "
-                "only; the MoE conformer (models/moe.py) is "
-                "JAX-engine-only"
-            )
         xs_bm = xs.movedim(0, 1)  # (B, T', F)
-        out_bm = conformer_encode(
+        out_bm, moe_aux = conformer_encode(
             params["encoder"]["conformer"], ccfg, xs_bm, enc_lengths
         )
         T_out = out_bm.shape[1]
@@ -393,6 +512,8 @@ def encode(
         )
         pooled = (out_bm * step_mask).sum(dim=1) / denom
         out = (out_bm * step_mask).movedim(0, 1)  # (T', B, D) masked
+        if return_aux:
+            return out, (pooled, pooled), enc_lengths, moe_aux
         return out, (pooled, pooled), enc_lengths
 
     out = xs
@@ -428,6 +549,8 @@ def encode(
             )
         if i < len(layers) - 1:
             out = _ff_dropout(out, config.FF_dropout, train, gen)
+    if return_aux:
+        return out, (final_h, final_c), enc_lengths, out.new_zeros(())
     return out, (final_h, final_c), enc_lengths
 
 
@@ -518,9 +641,10 @@ def seq2seq_loss(
     matching optax.ctc_loss + models/ctc.py)."""
     penalty_scales = penalty_scales or {}
     subject_idx = int(batch["subject_idx"])
-    enc_out, enc_final, enc_lengths = encode(
+    enc_out, enc_final, enc_lengths, moe_aux = encode(
         params, config, batch["encoder_inputs"],
         batch["encoder_lengths"], subject_idx, train, gen,
+        return_aux=True,
     )
     T_out = enc_out.shape[0]
     step_mask = (
@@ -530,6 +654,12 @@ def seq2seq_loss(
 
     metrics: dict[str, float] = {}
     total = enc_out.new_zeros(())
+    if config.encoder_type == "conformer" and (
+        config.conformer is not None and config.conformer.moe_experts
+    ):
+        # already weighted inside _moe_ffn (twin of the JAX engine)
+        total = total + moe_aux
+        metrics["moe_aux"] = float(moe_aux.detach())
 
     for head in config.aux_heads:
         head_params = params["aux"][head.name]

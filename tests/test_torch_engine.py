@@ -268,8 +268,69 @@ def test_conformer_loss_and_greedy_parity(batch):
     )
 
 
+@pytest.mark.parametrize(
+    "moe_kw",
+    [
+        {},  # exact no-drop path
+        {"moe_capacity_factor": 0.5},  # TIGHT capacity: drops occur
+        {"moe_capacity_factor": 2.0, "moe_group_size": 8},
+    ],
+)
+def test_moe_conformer_cross_engine_parity(batch, moe_kw):
+    """Torch MoE conformer == JAX MoE conformer: encoder outputs, the
+    loss INCLUDING the weighted router aux, and greedy tokens.  The
+    tight-capacity case only passes if both engines drop the identical
+    token-choice set (same priority order)."""
+    import dataclasses
+
+    base = _conformer_cfg()
+    cfg = dataclasses.replace(
+        base,
+        conformer=base.conformer._replace(
+            moe_experts=4, moe_topk=2, **moe_kw
+        ),
+    )
+    params = init_seq2seq(jax.random.PRNGKey(5), cfg)
+    net = te.TorchSequenceNetwork(cfg, params)
+    tb = _torch_batch(batch)
+    out_j, (h_j, _), len_j = jax_encode(
+        params, cfg, jnp.asarray(batch["encoder_inputs"]),
+        jnp.asarray(batch["encoder_lengths"]), 1, jax.random.PRNGKey(0),
+        train=False,
+    )
+    out_t, (h_t, _), len_t = te.encode(
+        net.params, cfg, tb["encoder_inputs"], tb["encoder_lengths"], 1,
+    )
+    np.testing.assert_array_equal(np.asarray(len_j), len_t.numpy())
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.detach().numpy(), rtol=1e-4, atol=1e-5
+    )
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss_j, metrics_j = jax_loss(
+        params, cfg, jb, jax.random.PRNGKey(0), train=False
+    )
+    loss_t, metrics_t = te.seq2seq_loss(net.params, cfg, tb, train=False)
+    np.testing.assert_allclose(
+        float(loss_j), float(loss_t), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics_j["moe_aux"]), float(metrics_t["moe_aux"]),
+        rtol=1e-4,
+    )
+    tokens_j = jax_greedy_decode(
+        params, cfg, jnp.asarray(batch["encoder_inputs"]),
+        jnp.asarray(batch["encoder_lengths"]),
+        jnp.asarray(1, jnp.int32), temperature=0.0,
+    )
+    tokens_t = te.greedy_decode(
+        net.params, cfg, tb["encoder_inputs"], tb["encoder_lengths"],
+        1, temperature=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(tokens_j), tokens_t.numpy())
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("encoder", ["lstm", "conformer"])
+@pytest.mark.parametrize("encoder", ["lstm", "conformer", "moe"])
 def test_torch_learn_e2e(tmp_path, encoder):
     """Train with the torch engine from the trainer surface (BOTH
     encoder families): WER falls, and the pushed-back weights reproduce
@@ -278,7 +339,7 @@ def test_torch_learn_e2e(tmp_path, encoder):
     from ecog2txt_tpu.train import MultiSubjectTrainer
 
     overrides = (
-        {"encoder_type": "conformer"} if encoder == "conformer" else {}
+        {"encoder_type": "conformer"} if encoder != "lstm" else {}
     )
     mp = make_demo_experiment(
         str(tmp_path / "exp"),
@@ -296,12 +357,14 @@ def test_torch_learn_e2e(tmp_path, encoder):
     sn = {
         "batch_size": 16, "max_dec_len": 10, "learning_rate": 3e-3,
     }
-    if encoder == "conformer":
+    if encoder != "lstm":
         sn["conformer"] = {
             "num_blocks": 2, "model_dim": 32, "num_heads": 2,
             "ffn_dim": 64, "chunk_size": 8, "left_context": 1,
             "conv_kernel": 4,
         }
+    if encoder == "moe":
+        sn["conformer"].update({"moe_experts": 4, "moe_topk": 2})
     tr = MultiSubjectTrainer(
         mp, [1],
         SN_kwargs=sn,
