@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ecog2txt_tpu.models.moe import init_moe_ffn, moe_ffn
+from ecog2txt_tpu.models.moe import glorot, init_moe_ffn, moe_ffn
 from ecog2txt_tpu.quantize import QuantizedWeight, int8_dot
 
 
@@ -92,9 +92,7 @@ class ConformerConfig(NamedTuple):
     moe_zloss_weight: float = 1e-3
 
 
-def _glorot(rng, shape):
-    scale = np.sqrt(6.0 / (shape[-2] + shape[-1]))
-    return jax.random.uniform(rng, shape, jnp.float32, -scale, scale)
+_glorot = glorot  # shared init (models/moe.py)
 
 
 def init_conformer(rng: jax.Array, config: ConformerConfig, in_dim: int) -> dict:

@@ -48,12 +48,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def glorot(rng: jax.Array, shape) -> jax.Array:
+    """Glorot-uniform over the trailing (fan_in, fan_out) dims — shared
+    with the conformer's dense init (conformer.py imports this module)."""
+    scale = np.sqrt(6.0 / (shape[-2] + shape[-1]))
+    return jax.random.uniform(rng, shape, jnp.float32, -scale, scale)
+
+
 def init_moe_ffn(rng: jax.Array, D: int, F: int, E: int) -> dict:
     """Expert-stacked FFN params: experts on dim 0 (the EP shard axis)."""
-    def glorot(key, shape):
-        scale = np.sqrt(6.0 / (shape[-2] + shape[-1]))
-        return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
-
     kg, k1, k2 = jax.random.split(rng, 3)
     return {
         "wg": glorot(kg, (D, E)),
@@ -211,10 +214,6 @@ def _moe_capacity_grouped(p, xn, config, cd, valid):
     formulation is einsums; the negative result is recorded in
     RESULTS.md and the sort path was removed rather than kept as a
     dead twin."""
-    return _moe_capacity_grouped_einsum(p, xn, config, cd, valid)
-
-
-def _moe_capacity_grouped_einsum(p, xn, config, cd, valid):
     G, S, D = xn.shape
     E = config.moe_experts
     k = config.moe_topk

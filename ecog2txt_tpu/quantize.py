@@ -132,15 +132,9 @@ def quantize_conformer_params(params: dict) -> dict:
 
 def is_quantized(tree) -> bool:
     """True if any leaf subtree in ``tree`` is a QuantizedWeight."""
-    found = False
-
-    def visit(x):
-        nonlocal found
-        if isinstance(x, QuantizedWeight):
-            found = True
-        return x
-
-    jax.tree.map(
-        visit, tree, is_leaf=lambda x: isinstance(x, QuantizedWeight)
+    return any(
+        isinstance(leaf, QuantizedWeight)
+        for leaf in jax.tree.leaves(
+            tree, is_leaf=lambda x: isinstance(x, QuantizedWeight)
+        )
     )
-    return found
