@@ -560,6 +560,14 @@ class MultiSubjectTrainer:
                 raise ValueError(
                     "expert_parallel composes with data_parallel only"
                 )
+            if self.SN_kwargs.get("distributed"):
+                # shard_params_ep places with single-controller
+                # device_put; the multihost make_global path does not
+                # carry per-leaf shardings yet
+                raise NotImplementedError(
+                    "expert_parallel is single-controller for now "
+                    "(does not compose with SN_kwargs['distributed'])"
+                )
             from .parallel import make_mesh
 
             n_data = (
