@@ -76,6 +76,29 @@ def _host_input_dtype(config: Seq2SeqConfig) -> np.dtype:
     return np.dtype(np.float32)
 
 
+def _quantize_host_block(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(B, T, C) f32 → (int8 block, (B, C) f32 scales): symmetric
+    per-row-per-channel quantization over the block's T samples.
+
+    The opt-in ``host_upload='int8'`` path for the streaming classes:
+    raw-ECoG upload bytes drop 2× vs bf16 (4× vs f32) through the
+    host link that bounds the pooled serving tick (RESULTS.md r3
+    capacity sweep).  LOSSY — unlike the bf16 pre-cast this changes
+    the decoded function; the contract becomes streamed == offline on
+    the SAME int8-dequantized inputs (tested), with per-chunk dynamic
+    scales tracking the signal so the rounding is ≤ 1/254 of each
+    channel's chunk amplitude."""
+    amax = np.abs(raw).max(axis=1)  # (B, C)
+    scales = (np.maximum(amax, 1e-12) / 127.0).astype(np.float32)
+    q = np.clip(
+        np.round(raw / scales[:, None, :]), -127, 127
+    ).astype(np.int8)
+    return q, scales
+
+
+_HOST_UPLOAD_MODES = (None, "int8")
+
+
 class OnlinePredictor:
     """Jitted single/multi-trial predictor over fixed padded shapes."""
 
@@ -313,17 +336,29 @@ class StreamingConformerSession:
         subject_idx: int = 0,
         phoneme_list: Sequence[str] | None = None,
         quantize: str | None = None,
+        host_upload: str | None = None,
     ):
         """``phoneme_list``: class list of a CTC aux head, enabling
         :meth:`partial` (live phoneme/word hypotheses mid-utterance).
         ``quantize='int8'`` rewrites the conformer encoder weights to
         per-channel int8 with dynamic activation scales (quantize.py) —
         the session then matches the offline decode run with the SAME
-        quantized parameters."""
+        quantized parameters.  ``host_upload='int8'`` quantizes the
+        raw-ECoG blocks on the HOST (per-chunk per-channel scales,
+        dequantized as the first device op) — 2× fewer upload bytes
+        than bf16 through a slow host link, but LOSSY: the exactness
+        contract becomes streamed == offline on the same
+        int8-dequantized inputs (see _quantize_host_block)."""
         if config.encoder_type != "conformer":
             raise ValueError(
                 "StreamingConformerSession requires encoder_type='conformer'"
             )
+        if host_upload not in _HOST_UPLOAD_MODES:
+            raise ValueError(
+                f"unknown host_upload mode {host_upload!r} "
+                f"(supported: {_HOST_UPLOAD_MODES})"
+            )
+        self._host_upload = host_upload
         from .models.conformer import ConformerConfig, ConformerStream
 
         params = _maybe_quantize(params, quantize)
@@ -387,11 +422,18 @@ class StreamingConformerSession:
 
         Cp = self.config.in_channels
         B, T, C = raw.shape
-        padded = np.zeros((B, T, Cp), _host_input_dtype(self.config))
+        int8_upload = self._host_upload == "int8"
+        host_dtype = (
+            np.float32 if int8_upload else _host_input_dtype(self.config)
+        )
+        padded = np.zeros((B, T, Cp), host_dtype)
         padded[..., :C] = raw[..., :Cp]
         if self._conv_jit is None:
+            cd = self.config.compute_dtype
 
-            def conv(xs_bm):
+            def conv(xs_bm, scales=None):
+                if scales is not None:  # int8 host upload: dequantize
+                    xs_bm = xs_bm.astype(cd) * scales[:, None, :].astype(cd)
                 xs = jnp.moveaxis(xs_bm, 0, 1)  # (T, B, C)
                 out = convolve_sequences(
                     self.params, self.config, xs, self._subject_idx,
@@ -400,6 +442,9 @@ class StreamingConformerSession:
                 return jnp.moveaxis(out, 0, 1)  # (B, n, F)
 
             self._conv_jit = jax.jit(conv)
+        if int8_upload:
+            q, scales = _quantize_host_block(padded)
+            return self._conv_jit(jnp.asarray(q), jnp.asarray(scales))
         return self._conv_jit(jnp.asarray(padded))
 
     def push(self, chunk: np.ndarray) -> None:
@@ -661,18 +706,28 @@ class StreamingSessionPool:
         max_pending_chunks: int = 2,
         phoneme_list: Sequence[str] | None = None,
         quantize: str | None = None,
+        host_upload: str | None = None,
     ):
         """``max_pending_chunks``: a tick normally waits until EVERY
         active slot has a full chunk buffered (so one batched device
         step serves all streams — the throughput point of the pool);
         if a straggler idles while another slot accumulates this many
         chunks, the pool ticks the ready slots anyway, bounding
-        per-stream latency.  ``quantize='int8'``: see
-        :class:`StreamingConformerSession`."""
+        per-stream latency.  ``quantize='int8'`` /
+        ``host_upload='int8'``: see
+        :class:`StreamingConformerSession` — host_upload matters MOST
+        here, because the pooled tick is host-upload-bound through a
+        slow link (RESULTS.md r3 capacity sweep)."""
         if config.encoder_type != "conformer":
             raise ValueError(
                 "StreamingSessionPool requires encoder_type='conformer'"
             )
+        if host_upload not in _HOST_UPLOAD_MODES:
+            raise ValueError(
+                f"unknown host_upload mode {host_upload!r} "
+                f"(supported: {_HOST_UPLOAD_MODES})"
+            )
+        self._host_upload = host_upload
         params = _maybe_quantize(params, quantize)
         from .models.conformer import (
             ConformerConfig, receptive_field_steps,
@@ -751,8 +806,11 @@ class StreamingSessionPool:
         import jax.numpy as jnp
 
         if self._conv_jit is None:
+            cd = self.config.compute_dtype
 
-            def conv(xs_bm):
+            def conv(xs_bm, scales=None):
+                if scales is not None:  # int8 host upload: dequantize
+                    xs_bm = xs_bm.astype(cd) * scales[:, None, :].astype(cd)
                 xs = jnp.moveaxis(xs_bm, 0, 1)
                 out = convolve_sequences(
                     self.params, self.config, xs, self._subject_idx,
@@ -761,6 +819,9 @@ class StreamingSessionPool:
                 return jnp.moveaxis(out, 0, 1)
 
             self._conv_jit = jax.jit(conv)
+        if self._host_upload == "int8":
+            q, scales = _quantize_host_block(raw)
+            return self._conv_jit(jnp.asarray(q), jnp.asarray(scales))
         return self._conv_jit(jnp.asarray(raw))
 
     def _make_step(self):
@@ -807,7 +868,8 @@ class StreamingSessionPool:
         Cp = self.config.in_channels
         raws = np.zeros(
             (self.capacity, self.samples_per_chunk, Cp),
-            _host_input_dtype(self.config),
+            np.float32 if self._host_upload == "int8"
+            else _host_input_dtype(self.config),
         )
         for i, blk in ready.items():
             raws[i, :, : blk.shape[1]] = blk[:, :Cp]

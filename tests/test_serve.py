@@ -594,3 +594,87 @@ def test_streaming_bf16_host_upload_parity():
     out_pool = pool.endpoint(a)
     out_sess = sess2.endpoint()
     np.testing.assert_array_equal(out_pool["tokens"], out_sess["tokens"])
+
+
+def test_streaming_int8_host_upload_contract():
+    """host_upload='int8' (opt-in, LOSSY): the exactness contract
+    becomes streamed == offline decode on the SAME int8-dequantized
+    inputs (quantized per spc-block with per-row-per-channel scales,
+    exactly as _quantize_host_block does on each upload), and the pool
+    must agree with a dedicated session chunk for chunk.  Also pins
+    the closeness of the dequantized signal (<=1/254 of each channel's
+    chunk amplitude) and that an unknown mode raises."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+    from ecog2txt_tpu.models.seq2seq import (
+        Seq2SeqConfig, greedy_decode, init_seq2seq,
+    )
+    from ecog2txt_tpu.serve import (
+        StreamingConformerSession, StreamingSessionPool,
+        _quantize_host_block,
+    )
+
+    ccfg = ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=4, left_context=1,
+    )
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(),
+        aux_heads=(), dec_embedding_size=12, dec_rnn_sizes=(48,),
+        max_dec_len=6, encoder_type="conformer", conformer=ccfg,
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    targets = ["<pad>", "<EOS>", "<OOV>"] + [f"w{i}_" for i in range(9)]
+    rng = np.random.default_rng(7)
+    L = 147  # ragged: full chunks + a partial final block
+    raw = rng.normal(size=(L, 8)).astype(np.float32)
+
+    sess = StreamingConformerSession(
+        params, cfg, targets, host_upload="int8"
+    )
+    pool = StreamingSessionPool(
+        params, cfg, targets, capacity=2, host_upload="int8"
+    )
+    a = pool.add()
+    for lo in range(0, L, 29):
+        sess.push(raw[lo : lo + 29])
+        pool.push(a, raw[lo : lo + 29])
+
+    # offline reference on the int8-dequantized inputs: quantize each
+    # spc block (and the zero-padded partial tail) exactly like the
+    # upload path does
+    spc = sess.samples_per_chunk
+    T = ((L + cfg.decimation_factor - 1) // cfg.decimation_factor
+         ) * cfg.decimation_factor
+    dq = np.zeros((1, T, 8), np.float32)
+    for lo in range(0, L, spc):
+        block = np.zeros((1, spc, 8), np.float32)
+        n = min(spc, L - lo)
+        block[0, :n] = raw[lo : lo + n]
+        q, scales = _quantize_host_block(block)
+        deq = q.astype(np.float32) * scales[:, None, :]
+        # rounding half-step is amax/254; allow float slack at the tie
+        bound = np.abs(block).max(axis=1, keepdims=True) / 252 + 1e-7
+        assert (np.abs(deq - block) < bound).all()
+        dq[0, lo : lo + n] = deq[0, :n]
+    off = np.asarray(greedy_decode(
+        params, cfg, jnp.asarray(dq), jnp.asarray([L]),
+        jnp.asarray(0, jnp.int32), temperature=0.0,
+    ))
+    out_sess = sess.endpoint()
+    out_pool = pool.endpoint(a)
+    np.testing.assert_array_equal(np.asarray(out_sess["tokens"]), off)
+    np.testing.assert_array_equal(np.asarray(out_pool["tokens"]), off)
+
+    with pytest.raises(ValueError, match="host_upload"):
+        StreamingConformerSession(
+            params, cfg, targets, host_upload="fp8"
+        )
+    with pytest.raises(ValueError, match="host_upload"):
+        StreamingSessionPool(
+            params, cfg, targets, capacity=2, host_upload="fp8"
+        )
