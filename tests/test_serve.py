@@ -678,3 +678,90 @@ def test_streaming_int8_host_upload_contract():
         StreamingSessionPool(
             params, cfg, targets, capacity=2, host_upload="fp8"
         )
+
+
+def test_pool_fuzz_random_join_leave_matches_sessions():
+    """Property test: a random schedule of join / ragged-push / endpoint
+    / leave events over a small pool must produce, for EVERY stream,
+    exactly the tokens a dedicated session produces for the same
+    samples — slot reuse, straggler ticks, and partial-chunk endpoints
+    included.  Seeded; two generations exercise different interleavings."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+    from ecog2txt_tpu.models.seq2seq import Seq2SeqConfig, init_seq2seq
+    from ecog2txt_tpu.serve import (
+        StreamingConformerSession, StreamingSessionPool,
+    )
+
+    ccfg = ConformerConfig(
+        num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+        conv_kernel=4, chunk_size=4, left_context=1,
+    )
+    cfg = Seq2SeqConfig(
+        vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(24,), aux_proj_sizes=(),
+        aux_heads=(), dec_embedding_size=12, dec_rnn_sizes=(48,),
+        max_dec_len=6, encoder_type="conformer", conformer=ccfg,
+    )
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    targets = ["<pad>", "<EOS>", "<OOV>"] + [f"w{i}_" for i in range(9)]
+
+    for seed in (1, 2):
+        rng = np.random.default_rng(seed)
+        pool = StreamingSessionPool(
+            params, cfg, targets, capacity=3, max_pending_chunks=2
+        )
+        live: dict[int, list] = {}  # slot -> [stream samples so far]
+        finished = 0
+        for _ in range(60):
+            roll = rng.random()
+            if (roll < 0.25 and len(live) < 3) or not live:
+                slot = pool.add()
+                live[slot] = []
+            elif roll < 0.85:
+                slot = int(rng.choice(list(live)))
+                n = int(rng.integers(1, 40))
+                pkt = rng.normal(size=(n, 8)).astype(np.float32)
+                live[slot].append(pkt)
+                pool.push(slot, pkt)
+            else:
+                slot = int(rng.choice(list(live)))
+                # reconstruct this stream's full sample history
+                samples = np.concatenate(live[slot], axis=0) if live[slot] \
+                    else np.zeros((0, 8), np.float32)
+                del live[slot]
+                out_pool = pool.endpoint(slot)
+                pool.release(slot)
+                sess = StreamingConformerSession(params, cfg, targets)
+                if len(samples):
+                    sess.push(samples)
+                out_sess = sess.endpoint()
+                if out_pool["tokens"] is None:
+                    assert out_sess["tokens"] is None
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(out_pool["tokens"]),
+                        np.asarray(out_sess["tokens"]),
+                    )
+                finished += 1
+        # drain the rest
+        for slot in list(live):
+            samples = np.concatenate(live[slot], axis=0) if live[slot] \
+                else np.zeros((0, 8), np.float32)
+            out_pool = pool.endpoint(slot)
+            pool.release(slot)
+            sess = StreamingConformerSession(params, cfg, targets)
+            if len(samples):
+                sess.push(samples)
+            out_sess = sess.endpoint()
+            if out_pool["tokens"] is None:
+                assert out_sess["tokens"] is None
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(out_pool["tokens"]),
+                    np.asarray(out_sess["tokens"]),
+                )
+            finished += 1
+        assert finished >= 5  # the schedule actually exercised endpoints
