@@ -441,7 +441,14 @@ def _conv_module(
     # (41.6 vs 37.2 ms/push), so small shapes keep the adds.  The two
     # differ only in accumulation order (parity-tested); every
     # streamed-vs-offline comparison runs both sides at the same scale.
-    if B * T >= 4096:
+    try:
+        big = bool(B * T >= 4096)
+    except jax.core.InconclusiveDimensionOperation:
+        # symbolic batch (jax.export serving artifacts): the crossover
+        # can't be decided at trace time — keep the fused primitive,
+        # the branch every at-scale batch would take anyway
+        big = True
+    if big:
         kernel = p["dw"].astype(cd)[:, None, :]  # (K, 1, D)
         out = jax.lax.conv_general_dilated(
             h_padded, kernel, window_strides=(1,), padding="VALID",

@@ -239,6 +239,131 @@ def construct_online_predictor(
     return predict
 
 
+_EXPORT_MODULE = "predictor.stablehlo"
+_EXPORT_META = "predictor_meta.json"
+
+
+def export_predictor(
+    predictor: OnlinePredictor,
+    path: str,
+    *,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> str:
+    """Serialize ``predictor`` into a self-contained serving artifact.
+
+    The TPU-native counterpart of the reference's deployment artifact —
+    a TF1 saved-model GraphDef + Saver checkpoint driven by a live
+    session (trainers.py:925-949): the jitted predict function is
+    lowered to StableHLO with the trained weights baked into the module
+    as constants and serialized via ``jax.export``.  The resulting
+    directory serves under ANY jax install with a matching backend —
+    no dependency on this framework's model code, the checkpoint
+    format, or the training-time Python environment.
+
+    The batch dimension is exported symbolically, so one artifact
+    serves any batch size (each new size triggers one XLA compile at
+    the serving side, then caches).  Time is fixed at the predictor's
+    ``max_samples`` padded window, matching :meth:`OnlinePredictor.__call__`.
+
+    Returns the artifact directory (creates ``predictor.stablehlo`` +
+    ``predictor_meta.json`` under ``path``).
+    """
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    params = predictor.params
+    predict = predictor._predict
+
+    def fn(inputs, lengths):
+        # closure over params bakes the weights in as module constants
+        return predict(params, inputs, lengths)
+
+    (b,) = jexport.symbolic_shape("b")
+    exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct(
+            (b, predictor.max_samples, predictor.config.in_channels),
+            jnp.float32,
+        ),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _EXPORT_MODULE), "wb") as f:
+        f.write(exported.serialize())
+    meta = {
+        "format": "ecog2txt_tpu.exported_predictor/1",
+        "targets_list": list(predictor.targets_list),
+        "max_samples": predictor.max_samples,
+        "in_channels": int(predictor.config.in_channels),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "outputs": ["tokens (B, L) int32", "token probabilities (B, L) f32"],
+    }
+    with open(os.path.join(path, _EXPORT_META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return path
+
+
+class ExportedPredictor:
+    """Serving-side loader for :func:`export_predictor` artifacts.
+
+    Same call contract as :class:`OnlinePredictor` (pad/clip to the
+    exported window, channel-overflow check, detokenized sentences) but
+    runs the deserialized StableHLO module — the model weights live
+    inside the module, so no checkpoint or config object is needed.
+    """
+
+    def __init__(self, path: str):
+        import json
+
+        from jax import export as jexport
+
+        with open(os.path.join(path, _EXPORT_META)) as f:
+            self.meta = json.load(f)
+        fmt = self.meta.get("format", "")
+        if not fmt.startswith("ecog2txt_tpu.exported_predictor/"):
+            raise ValueError(f"not an exported-predictor artifact: {path}")
+        with open(os.path.join(path, _EXPORT_MODULE), "rb") as f:
+            self._exported = jexport.deserialize(f.read())
+        self.targets_list = list(self.meta["targets_list"])
+        self.max_samples = int(self.meta["max_samples"])
+        self.in_channels = int(self.meta["in_channels"])
+
+    def __call__(self, inputs: np.ndarray) -> dict:
+        import jax.numpy as jnp
+
+        inputs = np.asarray(inputs, np.float32)
+        if inputs.ndim == 2:
+            inputs = inputs[None]
+        B, T, C = inputs.shape
+        if C > self.in_channels:
+            raise ValueError(
+                f"inputs have {C} channels; the artifact was exported "
+                f"for {self.in_channels}"
+            )
+        padded = np.zeros((B, self.max_samples, self.in_channels), np.float32)
+        padded[:, : min(T, self.max_samples), :C] = inputs[
+            :, : self.max_samples
+        ]
+        lengths = np.full((B,), min(T, self.max_samples), np.int32)
+        tokens, probs = self._exported.call(
+            jnp.asarray(padded), jnp.asarray(lengths)
+        )
+        tokens = np.asarray(tokens)
+        return {
+            "tokens": tokens,
+            "probabilities": np.asarray(probs),
+            "sequences": target_inds_to_sequences(tokens, self.targets_list),
+        }
+
+
+def load_exported_predictor(path: str) -> ExportedPredictor:
+    """Deserialize an :func:`export_predictor` artifact."""
+    return ExportedPredictor(path)
+
+
 class StreamingSession:
     """Chunked-arrival inference over a ring buffer of raw ECoG.
 
