@@ -36,10 +36,11 @@ def _lstm_predictor():
     return OnlinePredictor(params, cfg, TARGETS, max_samples=64)
 
 
-def _conformer_predictor():
+def _conformer_predictor(moe_experts=0):
     ccfg = ConformerConfig(
         num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
         conv_kernel=4, chunk_size=4, left_context=1,
+        moe_experts=moe_experts,
     )
     cfg = Seq2SeqConfig(
         vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
@@ -51,9 +52,14 @@ def _conformer_predictor():
     return OnlinePredictor(params, cfg, TARGETS, max_samples=64)
 
 
-@pytest.mark.parametrize("family", ["lstm", "conformer"])
+@pytest.mark.parametrize("family", ["lstm", "conformer", "moe"])
 def test_export_roundtrip_exact(tmp_path, family):
-    pred = _lstm_predictor() if family == "lstm" else _conformer_predictor()
+    pred = {
+        "lstm": _lstm_predictor,
+        "conformer": _conformer_predictor,
+        # routed top-k MoE FFN exports too (no-drop dispatch path)
+        "moe": lambda: _conformer_predictor(moe_experts=4),
+    }[family]()
     path = export_predictor(pred, str(tmp_path / family), platforms=("cpu",))
     loaded = load_exported_predictor(path)
 
