@@ -68,6 +68,16 @@ def shard_params_ep(
             f"moe_experts={n_experts} must divide evenly over "
             f"mesh axis {axis!r} of size {mesh.shape[axis]}"
         )
+    if jax.process_count() > 1:
+        # ep × distributed: the mesh spans hosts, so leaves are built
+        # from each process's addressable shards with the SAME per-leaf
+        # specs (multihost.make_global)
+        from .multihost import make_global
+
+        return make_global(
+            tree, mesh,
+            spec_fn=lambda path, leaf: ep_spec(path, leaf, n_experts, axis),
+        )
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     placed = [
         jax.device_put(

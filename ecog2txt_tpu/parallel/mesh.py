@@ -81,8 +81,18 @@ def _tp_spec(path: tuple, leaf: jax.Array, n_model: int) -> P:
 
 def shard_params_tp(params: Any, mesh: Mesh) -> Any:
     """Place a param pytree with tensor-parallel shardings on the
-    ``model`` axis (replicated over ``data``)."""
+    ``model`` axis (replicated over ``data``).  Accepts any
+    params-shaped pytree (param tree, EMA, TrainState with optimizer
+    state — Adam moments mirror the kernels' shapes, so they pick up
+    the same specs)."""
     n_model = mesh.shape["model"]
+    if jax.process_count() > 1:
+        from .multihost import make_global
+
+        return make_global(
+            params, mesh,
+            spec_fn=lambda path, leaf: _tp_spec(path, leaf, n_model),
+        )
     flat = jax.tree_util.tree_flatten_with_path(params)
     placed = [
         jax.device_put(

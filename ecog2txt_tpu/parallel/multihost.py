@@ -54,19 +54,34 @@ def initialize_distributed(
     )
 
 
-def make_global(tree: Any, mesh, spec=None) -> Any:
+def make_global(tree: Any, mesh, spec=None, spec_fn=None) -> Any:
     """Host-local (numpy/device) pytree → global jax.Arrays under
-    ``mesh``.  Default spec is fully replicated: every process provides
-    the SAME full array (deterministic data pipeline), and each shard
-    is served by its local devices."""
+    ``mesh``.  Every process holds the SAME full host copy of each leaf
+    (deterministic data pipeline / replicated init) and contributes the
+    shards its local devices own via ``jax.make_array_from_callback`` —
+    which is what lets PER-LEAF shardings (expert/tensor parallelism
+    across hosts) work: a process slices its devices' blocks out of its
+    full copy, whatever the leaf's PartitionSpec.
+
+    ``spec``: one PartitionSpec for every leaf (default replicated).
+    ``spec_fn(path, leaf) -> PartitionSpec``: per-leaf rule (e.g.
+    ``parallel.expert.ep_spec`` under ep × distributed)."""
     import jax
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, spec if spec is not None else P())
-
-    def one(a):
-        a = np.asarray(a)
-        return jax.make_array_from_process_local_data(sharding, a)
-
-    return jax.tree.map(one, tree)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for path, leaf in flat:
+        p = spec_fn(path, leaf) if spec_fn is not None else (
+            spec if spec is not None else P()
+        )
+        a = np.asarray(leaf)
+        out.append(
+            jax.make_array_from_callback(
+                a.shape,
+                NamedSharding(mesh, p),
+                lambda idx, a=a: a[idx],
+            )
+        )
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -25,6 +25,14 @@ Outputs equal the unsharded ``conformer_encode`` — the same ops run in
 the same order per microbatch (tested on the 8-device CPU mesh, f32 and
 bf16, ragged lengths; off-TPU the comparison allows CPU-threading
 reduction-order noise).
+
+**dp × pp** (the standard 2-D pipeline deployment shape): when the mesh
+carries a ``data`` axis alongside the pipeline axis, each microbatch's
+batch dim is additionally sharded over ``data`` — every (data, pp)
+device holds one stage's weights and 1/n_data of every microbatch.  The
+ring collectives stay on the ``pp`` axis; the gradient all-reduce over
+``data`` falls out of shard_map AD (stage weights are replicated over
+``data``, so their cotangents psum over it automatically).
 """
 
 from __future__ import annotations
@@ -96,6 +104,17 @@ def pipeline_conformer_encode(
     if B % M:
         raise ValueError(f"batch {B} does not split into {M} microbatches")
     b = B // M
+    # dp × pp: a 'data' mesh axis shards each microbatch's batch dim
+    data_axis = (
+        "data"
+        if "data" in mesh.axis_names and mesh.shape["data"] > 1
+        else None
+    )
+    if data_axis and b % mesh.shape[data_axis]:
+        raise ValueError(
+            f"microbatch size {b} does not shard over "
+            f"data axis of {mesh.shape[data_axis]} devices"
+        )
     cd = compute_dtype
     blocks_per_stage = config.num_blocks // S
 
@@ -121,9 +140,10 @@ def pipeline_conformer_encode(
         s = jax.lax.axis_index(axis)
         is_first = s == 0
         is_last = s == S - 1
-        act = jnp.zeros((b, T, D), x_mb.dtype)  # activation in flight
-        act_len = jnp.zeros((b,), jnp.int32)
-        outbuf = jnp.zeros((M, b, T, D), x_mb.dtype)
+        b_loc = x_mb.shape[1]  # per-device batch rows (b / n_data)
+        act = jnp.zeros((b_loc, T, D), x_mb.dtype)  # activation in flight
+        act_len = jnp.zeros((b_loc,), jnp.int32)
+        outbuf = jnp.zeros((M, b_loc, T, D), x_mb.dtype)
         stats_acc = [
             zero_stats(config.moe_experts) for _ in range(blocks_per_stage)
         ] if moe else None
@@ -159,19 +179,27 @@ def pipeline_conformer_encode(
         out = jax.lax.psum(outbuf, axis)
         if not moe:
             return out
-        # per-block losses from full-batch sums, stage-local; the psum
-        # totals them over the ring → mean over ALL blocks
+        # per-block losses from full-batch sums, stage-local; under
+        # dp the stats are per-data-shard partial sums and must psum
+        # over 'data' BEFORE the nonlinear loss (exactly the
+        # sequence-parallel rule); the psum over the ring then totals
+        # the per-stage losses → mean over ALL blocks
+        if data_axis:
+            stats_acc = [
+                jax.lax.psum(st, data_axis) for st in stats_acc
+            ]
         partial = sum(
             aux_from_stats(config, st) for st in stats_acc
         )
         aux = jax.lax.psum(partial, axis) / config.num_blocks
         return out, aux
 
-    out_specs = (P(), P()) if moe else P()
+    mb_spec = P(None, data_axis) if data_axis else P()
+    out_specs = (mb_spec, P()) if moe else mb_spec
     res = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis), P(), P()),
+        in_specs=(P(axis), mb_spec, mb_spec),
         out_specs=out_specs,
     )(stacked_params, x_mb, len_mb)
     if moe:

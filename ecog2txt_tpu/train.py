@@ -202,6 +202,10 @@ class MultiSubjectTrainer:
         )
         self.SN_kwargs = dict(SN_kwargs or {})
         self.DG_kwargs = dict(DG_kwargs or {})
+        if text_dir is not None:
+            # generators resolve vocab files / the default bad_electrodes
+            # against text_dir; a trainer-level override must reach them
+            self.DG_kwargs.setdefault("text_dir", text_dir)
         self.ES_kwargs = dict(ES_kwargs or {})
         self.RP_kwargs = dict(RP_kwargs or {})
         self.kwargs = kwargs
@@ -293,15 +297,25 @@ class MultiSubjectTrainer:
             if class_list is None:
                 vocab_file = self.manifest.resolve(f"{seq_type}_vocab_file")
                 if vocab_file is not None:
+                    # the vocab file lives in text_dir (reference
+                    # README.md:49, data_generators.py:235-245): try the
+                    # trainer's text_dir (where the manifest was loaded
+                    # from), then the packaged auxiliary/ default
                     from . import text_dir as default_text_dir
 
-                    path = (
-                        vocab_file
+                    candidates = (
+                        [vocab_file]
                         if os.path.isabs(vocab_file)
-                        else os.path.join(default_text_dir, vocab_file)
+                        else [
+                            os.path.join(d, vocab_file)
+                            for d in (self._text_dir, default_text_dir)
+                            if d
+                        ]
                     )
-                    if os.path.exists(path):
-                        class_list = read_vocab_file(path)
+                    for path in candidates:
+                        if os.path.exists(path):
+                            class_list = read_vocab_file(path)
+                            break
             if class_list is None:
                 pkl = os.path.join(
                     self.checkpoint_dir, f"{seq_type}_vocab_file.pkl"
@@ -525,23 +539,51 @@ class MultiSubjectTrainer:
                 raise ValueError(
                     "pipeline_parallel requires encoder_type='conformer'"
                 )
-            if self.SN_kwargs.get("data_parallel") or n_seq > 1:
+            if n_seq > 1:
                 raise ValueError(
                     "pipeline_parallel does not compose with "
-                    "data_parallel/sequence_parallel (pick one)"
+                    "sequence_parallel (pick one)"
                 )
             from jax.sharding import Mesh
 
-            pp_mesh = Mesh(np.array(jax.devices()[:n_pp]), ("pp",))
+            # dp × pp (the standard 2-D pipeline shape): a 'data' axis
+            # shards every microbatch's batch dim; stage weights stay
+            # replicated over it, so shard_map AD emits the gradient
+            # all-reduce on its own (parallel/pipeline.py)
+            n_data = (
+                len(jax.devices()) // n_pp
+                if self.SN_kwargs.get("data_parallel")
+                else 1
+            )
+            n_data = max(n_data, 1)
+            pp_mesh = Mesh(
+                np.array(jax.devices()[: n_data * n_pp]).reshape(
+                    n_data, n_pp
+                ),
+                ("data", "pp"),
+            )
             M = int(self.SN_kwargs.get("pipeline_microbatches") or n_pp)
             self.pp = (pp_mesh, "pp", M)
+            self.mesh = pp_mesh
         # SN_kwargs expert_parallel=K shards the MoE conformer's expert
         # axis over K devices (parallel/expert.py): expert weights AND
         # their Adam moments live P('model'), everything else
         # replicated; composes with data_parallel (dp × ep — the
         # standard MoE deployment shape)
         self.ep = None
+        # SN_kwargs tensor_parallel=K shards the wide param matrices'
+        # output axes over a K-device 'model' axis
+        # (parallel/mesh.py::shard_params_tp); params, EMA, and Adam
+        # moments all live sharded and XLA GSPMD propagates the
+        # shardings through the jitted segment (no hand-written
+        # collectives).  Composes with data_parallel (dp × tp).
+        self.tp = None
+        n_tp = int(self.SN_kwargs.get("tensor_parallel") or 0)
         n_ep = int(self.SN_kwargs.get("expert_parallel") or 0)
+        if n_tp > 1 and (n_ep > 1 or n_pp > 1 or n_seq > 1):
+            raise ValueError(
+                "tensor_parallel composes with data_parallel only"
+            )
         if n_ep > 1:
             ccfg = self.net_config.conformer
             if self.net_config.encoder_type != "conformer" or not (
@@ -560,14 +602,6 @@ class MultiSubjectTrainer:
                 raise ValueError(
                     "expert_parallel composes with data_parallel only"
                 )
-            if self.SN_kwargs.get("distributed"):
-                # shard_params_ep places with single-controller
-                # device_put; the multihost make_global path does not
-                # carry per-leaf shardings yet
-                raise NotImplementedError(
-                    "expert_parallel is single-controller for now "
-                    "(does not compose with SN_kwargs['distributed'])"
-                )
             from .parallel import make_mesh
 
             n_data = (
@@ -577,6 +611,18 @@ class MultiSubjectTrainer:
             )
             self.mesh = make_mesh(n_data=max(n_data, 1), n_model=n_ep)
             self.ep = ("model", int(ccfg.moe_experts))
+        elif n_tp > 1:
+            from .parallel import make_mesh
+
+            n_data = (
+                len(jax.devices()) // n_tp
+                if self.SN_kwargs.get("data_parallel")
+                else 1
+            )
+            self.mesh = make_mesh(n_data=max(n_data, 1), n_model=n_tp)
+            self.tp = "model"
+        elif n_pp > 1:
+            pass  # (data, pp) mesh already built above
         elif self.SN_kwargs.get("data_parallel") or n_seq > 1:
             from .parallel import make_mesh
 
@@ -760,6 +806,10 @@ class MultiSubjectTrainer:
 
             axis, n_experts = self.ep
             return shard_params_ep(state, self.mesh, n_experts, axis=axis)
+        if self.tp is not None:
+            from .parallel import shard_params_tp
+
+            return shard_params_tp(state, self.mesh)
         from .parallel import replicate
 
         return replicate(state, self.mesh)

@@ -4,7 +4,13 @@ CPU devices; the dp mesh spans all 8 across both processes (Gloo
 collectives over the coordinator) — the same code path a multi-slice
 TPU deployment takes over DCN.
 
-argv: process_id num_processes port workdir
+argv: process_id num_processes port workdir [mode]
+
+``mode`` (default "dp"): "ep" trains a MoE conformer with
+``expert_parallel=4`` over the global (data=2, model=4) mesh — the
+ep × distributed composition (expert weights + Adam moments sharded
+P('model'), assembled per process via multihost.make_global's
+per-leaf specs).
 """
 
 import json
@@ -16,6 +22,7 @@ def main() -> None:
     process_id, num_processes, port, workdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -39,27 +46,39 @@ def main() -> None:
         os.path.join(workdir, f"exp_p{process_id}"),
         subject_ids=(1,), layer_sizes=TINY,
     )
-    tr = MultiSubjectTrainer(
-        mp, [1],
-        SN_kwargs={
-            "batch_size": 16,
-            "max_dec_len": 10,
-            "learning_rate": 3e-3,
-            "data_parallel": True,
-            # SHARED checkpoint dir: all processes call save on the same
-            # path; Orbax coordinates the multi-controller write
-            "checkpoint_dir": os.path.join(workdir, "ckpts"),
-            "distributed": {
-                "coordinator_address": f"localhost:{port}",
-                "num_processes": num_processes,
-                "process_id": process_id,
-            },
+    SN_kwargs = {
+        "batch_size": 16,
+        "max_dec_len": 10,
+        "learning_rate": 3e-3,
+        "data_parallel": True,
+        # SHARED checkpoint dir: all processes call save on the same
+        # path; Orbax coordinates the multi-controller write
+        "checkpoint_dir": os.path.join(workdir, "ckpts"),
+        "distributed": {
+            "coordinator_address": f"localhost:{port}",
+            "num_processes": num_processes,
+            "process_id": process_id,
         },
-        VERBOSE=False,
-    )
+    }
+    if mode == "ep":
+        SN_kwargs.update(
+            encoder_type="conformer",
+            conformer=dict(
+                num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+                conv_kernel=2, chunk_size=2, left_context=1,
+                moe_experts=4, moe_topk=2,
+            ),
+            expert_parallel=4,
+        )
+    tr = MultiSubjectTrainer(mp, [1], SN_kwargs=SN_kwargs, VERBOSE=False)
     assert jax.process_count() == num_processes
     assert len(jax.devices()) == 4 * num_processes
-    assert tr.mesh.shape["data"] == 4 * num_processes
+    if mode == "ep":
+        assert dict(tr.mesh.shape) == {
+            "data": 4 * num_processes // 4, "model": 4
+        }, dict(tr.mesh.shape)
+    else:
+        assert tr.mesh.shape["data"] == 4 * num_processes
 
     history = tr.fit(num_epochs=4, assess=False)
     # report the final loss so the parent can assert cross-process
@@ -69,6 +88,23 @@ def main() -> None:
     loss = float(
         jnp.sum(jax.tree.leaves(tr.state.params)[0].astype(jnp.float32))
     )
+    if mode == "ep":
+        # the expert-stacked MoE leaves must ACTUALLY live sharded on
+        # the model axis of the global (multi-process) mesh, and their
+        # Adam moments with them
+        from jax.sharding import PartitionSpec as P
+
+        w1 = tr.state.params["encoder"]["conformer"]["blocks"][0][
+            "ffn2"]["w1"]
+        assert w1.sharding.spec == P("model"), w1.sharding
+        sharded_moments = sum(
+            1
+            for leaf in jax.tree.leaves(tr.state.opt_state)
+            if hasattr(leaf, "sharding")
+            and getattr(leaf.sharding, "spec", None) == P("model")
+        )
+        assert sharded_moments >= 2, sharded_moments  # Adam mu + nu
+        loss += float(jnp.sum(w1.astype(jnp.float32)))
     # multi-controller checkpointing: every process calls save on the
     # SAME shared path, then restores and must see identical params.
     # ASYNC save — restore() waits for the in-flight multi-controller

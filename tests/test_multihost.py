@@ -19,8 +19,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dp_training(tmp_path):
+def _run_workers(tmp_path, mode="dp"):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
@@ -31,7 +30,10 @@ def test_two_process_dp_training(tmp_path):
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+            [
+                sys.executable, worker, str(pid), "2", str(port),
+                str(tmp_path), mode,
+            ],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -47,6 +49,12 @@ def test_two_process_dp_training(tmp_path):
     for pid in range(2):
         with open(tmp_path / f"result_p{pid}.json") as f:
             results.append(json.load(f))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_dp_training(tmp_path):
+    results = _run_workers(tmp_path, mode="dp")
     # global mesh seen by both processes; replicated state stays in
     # lockstep (bitwise-identical parameters after training)
     assert all(r["devices"] == 8 for r in results)
@@ -56,5 +64,22 @@ def test_two_process_dp_training(tmp_path):
     )
     # multi-controller checkpointing: both processes saved the SAME
     # shared checkpoint and restored identical params from it
+    assert all(r["restored_ok"] for r in results)
+    assert results[0]["ckpt_path"] == results[1]["ckpt_path"]
+
+
+@pytest.mark.slow
+def test_two_process_ep_training(tmp_path):
+    """ep × distributed (VERDICT r3 next #1): a MoE conformer with
+    expert_parallel=4 trains over a global 2-process (data=2, model=4)
+    mesh — expert weights and Adam moments assembled sharded via
+    multihost.make_global's per-leaf specs — and both processes stay in
+    bitwise lockstep, including through a shared sharded checkpoint."""
+    results = _run_workers(tmp_path, mode="ep")
+    assert all(r["devices"] == 8 for r in results)
+    assert all(r["epoch"] == 4 for r in results)
+    assert results[0]["param_sum"] == pytest.approx(
+        results[1]["param_sum"], rel=0, abs=0
+    )
     assert all(r["restored_ok"] for r in results)
     assert results[0]["ckpt_path"] == results[1]["ckpt_path"]

@@ -134,7 +134,7 @@ def test_trainer_pipeline_parallel_fit(tmp_path, rng):
     assert loss1 < loss0
 
 
-def test_pp_does_not_compose_with_dp(tmp_path):
+def test_pp_does_not_compose_with_sp(tmp_path):
     from ecog2txt_tpu.demo import make_demo_experiment
     from ecog2txt_tpu.train import MultiSubjectTrainer
 
@@ -145,8 +145,145 @@ def test_pp_does_not_compose_with_dp(tmp_path):
             SN_kwargs={
                 "encoder_type": "conformer",
                 "pipeline_parallel": 2,
-                "data_parallel": True,
+                "sequence_parallel": 2,
             },
+        )
+    with pytest.raises(ValueError, match="compose"):
+        MultiSubjectTrainer(
+            manifest, [1],
+            SN_kwargs={
+                "encoder_type": "conformer",
+                "tensor_parallel": 2,
+                "sequence_parallel": 2,
+            },
+        )
+
+
+@pytest.mark.slow
+def test_dp_pp_training_grads_match_single_device(rng):
+    """dp × pp (the standard 2-D pipeline shape): gradients with the
+    block ring on a (data=2, pp=2) mesh — microbatch batch rows sharded
+    over 'data', stage weights over 'pp' — match the unsharded step."""
+    cfg, params, batch = _cfg_and_batch(rng)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "pp"))
+    l_ref, g_ref = _grads(cfg, params, batch)
+    l_pp, g_pp = _grads(cfg, params, batch, pp=(mesh, "pp", 2))
+    np.testing.assert_allclose(float(l_ref), float(l_pp), rtol=1e-5)
+    _assert_tree_close(g_ref, g_pp)
+
+
+@pytest.mark.slow
+def test_moe_dp_pp_aux_and_grads_match(rng):
+    """MoE conformer under dp × pp: the router aux loss (whose stats
+    are per-data-shard partial sums psummed over 'data' before the
+    nonlinear loss) and all gradients match the unsharded step."""
+    import dataclasses
+
+    cfg, params, batch = _cfg_and_batch(rng)
+    moe_ccfg = CCFG._replace(moe_experts=4, moe_topk=2)
+    cfg = dataclasses.replace(cfg, conformer=moe_ccfg)
+    params = init_seq2seq(jax.random.PRNGKey(0), cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "pp"))
+
+    def loss_and_grads(**kw):
+        def loss_fn(p):
+            return seq2seq_loss(
+                p, cfg, batch, jax.random.PRNGKey(1), train=True, **kw
+            )
+
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    (l_ref, m_ref), g_ref = loss_and_grads()
+    (l_pp, m_pp), g_pp = loss_and_grads(pp=(mesh, "pp", 2))
+    np.testing.assert_allclose(float(l_ref), float(l_pp), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_ref["moe_aux"]), float(m_pp["moe_aux"]), rtol=1e-5
+    )
+    _assert_tree_close(g_ref, g_pp)
+
+
+@pytest.mark.slow
+def test_trainer_dp_pp_fit(tmp_path, rng):
+    """SN_kwargs pipeline_parallel=2 + data_parallel=True builds the
+    (data=4, pp=2) mesh over the 8 virtual devices and trains."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    manifest = make_demo_experiment(str(tmp_path / "exp"))
+    trainer = MultiSubjectTrainer(
+        manifest,
+        [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "pipeline_parallel": 2,
+            "pipeline_microbatches": 2,
+            "data_parallel": True,
+            "conformer": dict(
+                num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+                conv_kernel=2, chunk_size=2, left_context=1,
+            ),
+            "N_epochs": 30,
+            "batch_size": 8,
+            "learning_rate": 3e-3,
+        },
+    )
+    assert dict(trainer.mesh.shape) == {"data": 4, "pp": 2}
+    assert trainer.pp is not None and trainer.pp[1] == "pp"
+
+    def probe_loss():
+        data = trainer.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, _ = seq2seq_loss(
+            trainer.state.params, trainer.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss)
+
+    loss0 = probe_loss()
+    trainer.fit(assess=False)
+    loss1 = probe_loss()
+    assert np.isfinite(loss1)
+    assert loss1 < loss0
+
+
+@pytest.mark.slow
+def test_trainer_tensor_parallel_matches_unsharded(tmp_path):
+    """SN_kwargs tensor_parallel=2 (+dp): wide kernels, EMA, and Adam
+    moments live sharded on the 'model' axis, and the training
+    trajectory matches the unsharded trainer (CPU reduction-order
+    tolerance)."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    TINY = {
+        "encoder_embedding": [16], "encoder_rnn": [24],
+        "encoder_1_projection": [16], "decoder_embedding": [12],
+        "decoder_rnn": [48], "decoder_projection": [],
+    }
+    manifest = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY
+    )
+    kw = dict(
+        batch_size=16, max_dec_len=10, learning_rate=3e-3, N_epochs=4
+    )
+    ref = MultiSubjectTrainer(manifest, [1], SN_kwargs=dict(kw), VERBOSE=False)
+    ref.fit(assess=False)
+    tp = MultiSubjectTrainer(
+        manifest, [1],
+        SN_kwargs=dict(kw, tensor_parallel=2, data_parallel=True),
+        VERBOSE=False,
+    )
+    assert dict(tp.mesh.shape) == {"data": 4, "model": 2}
+    tp.fit(assess=False)
+    wh = tp.state.params["encoder"]["rnn"][0]["fwd"]["wh"]
+    assert wh.sharding.spec[-1] == "model", wh.sharding
+    for a, b in zip(
+        jax.tree.leaves(ref.state.params), jax.tree.leaves(tp.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-3, atol=5e-4,
         )
 
 
