@@ -86,14 +86,19 @@ class ECoGDataGenerator(ABC):
         self.USE_MFCC_DELTAS = bool(res("USE_MFCC_DELTAS", False))
         self.mfcc_winlen = float(res("mfcc_winlen", 0.02))
         self._tf_record_partial_path = res("tf_record_partial_path")
+        # text_dir: where vocab files and the default bad_electrodes
+        # file live (reference __init__.py:10, README.md:49); kwarg or
+        # manifest may override the packaged auxiliary/ default (e.g.
+        # the trainer forwards its text_dir argument here)
+        from . import text_dir as _text_dir
+
+        self.text_dir = res("text_dir", _text_dir)
         # default falls back to text_dir/bad_electrodes like the
         # reference (data_generators.py:205-215); the file is only
         # consulted if it exists
-        from . import text_dir as _text_dir
-
         self.bad_electrodes_path = res(
             "bad_electrodes_path",
-            os.path.join(_text_dir, "bad_electrodes"),
+            os.path.join(self.text_dir, "bad_electrodes"),
         )
         # explicit bad/good electrode overrides (reference allows direct
         # manifest/kwarg override, data_generators.py:173-197)
@@ -229,15 +234,13 @@ class ECoGDataGenerator(ABC):
         return sentence_tokenize(sentence, self.token_type, subword_encoder)
 
     def _subword_encoder(self) -> SubwordEncoder:
-        from . import text_dir
-
         vocab_file = self.manifest.resolve("text_sequence_vocab_file")
         if vocab_file is None:
             raise ValueError("word_piece_sequence requires a vocab file")
         path = (
             vocab_file
             if os.path.isabs(vocab_file)
-            else os.path.join(text_dir, vocab_file)
+            else os.path.join(self.text_dir, vocab_file)
         )
         return SubwordEncoder.from_vocab_file(path)
 
@@ -245,14 +248,12 @@ class ECoGDataGenerator(ABC):
         """Vocab for a sequence type: vocab file in text_dir if configured
         (one token per line), else induced from the records (reference
         data_generators.py:427-444)."""
-        from . import text_dir
-
         vocab_file = self.manifest.resolve(f"{sequence_type}_vocab_file")
         if vocab_file is not None:
             path = (
                 vocab_file
                 if os.path.isabs(vocab_file)
-                else os.path.join(text_dir, vocab_file)
+                else os.path.join(self.text_dir, vocab_file)
             )
             if os.path.exists(path):
                 return read_vocab_file(path)

@@ -174,7 +174,23 @@ class ECoGSubject:
         self.target_specs = target_specs or {}
         self.input_mask: np.ndarray | None = None
 
+        # block_breakdowns.json lives in the manifest's json_dir; when
+        # that path does not exist on this machine (reference manifests
+        # hardcode lab paths) fall back to text_dir — first an explicit
+        # 'text_dir' override, then the packaged auxiliary/ directory
+        # (which ships a demo block_breakdowns.json)
         json_dir = manifest.resolve("json_dir")
+        if not (json_dir and os.path.isdir(json_dir)):
+            from . import text_dir as _default_text_dir
+
+            for candidate in (
+                manifest.resolve("text_dir"), _default_text_dir
+            ):
+                if candidate and os.path.isfile(
+                    os.path.join(candidate, "block_breakdowns.json")
+                ):
+                    json_dir = candidate
+                    break
         self.block_breakdowns = (
             load_block_breakdowns(json_dir).get(self.subject_id, {})
             if json_dir and os.path.isdir(json_dir)
