@@ -64,9 +64,30 @@ def perf_vs_training_size(
     with different trial subsets; write the perf-vs-training-size
     archive and return its path."""
     rng = np.random.default_rng(seed)
-    full = trainer.packed_dataset("training")
     s_target = len(trainer.ecog_subjects) - 1
-    n_trials = int(full.num_trials[s_target])
+    max_host = trainer.SN_kwargs.get("max_host_trials")
+    if max_host:
+        # host-memory-bounded corpus: learn trial counts/lengths from a
+        # streaming probe (O(shard) memory) instead of packing the
+        # whole training partition resident
+        from .pipeline import LazyShardedDataset
+
+        trainer.write_tf_records_maybe()
+        probe = LazyShardedDataset(
+            trainer.ecog_subjects, "training", int(max_host),
+            pad_channels_to=trainer.net_config.in_channels,
+            pad_time_multiple=trainer.net_config.decimation_factor,
+        )
+        n_trials = int(probe.num_trials[s_target])
+        target_lengths = probe.trial_lengths(s_target)
+        probe.close()
+    else:
+        full = trainer.packed_dataset("training")
+        n_trials = int(full.num_trials[s_target])
+        target_lengths = np.asarray(
+            full.encoder_lengths[s_target][full.trial_mask[s_target]],
+            np.int64,
+        )
     sampling_rate = float(
         trainer.manifest.resolve("sampling_rate", default=200.0)
     )

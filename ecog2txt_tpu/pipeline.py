@@ -295,6 +295,7 @@ class LazyShardedDataset:
         pad_channels_to: int | None = None,
         pad_time_multiple: int | None = None,
         max_samples: int | None = None,
+        trial_subset: dict[int, Sequence[int]] | None = None,
     ):
         from .records import read_examples
 
@@ -396,12 +397,32 @@ class LazyShardedDataset:
                 default=1,
             )
         dims.N_max = self.shard_trials
+        # restricted trial subsets (perf-vs-training-size sweeps on a
+        # host-memory-bounded corpus): keep only the chosen trials of a
+        # subject, compacted to the front — the lazy mirror of
+        # restrict_trials.  Applied AFTER the dims probe, so padding
+        # dims match the resident path (restrict_trials slices rows of
+        # the already-packed full partition and keeps its padding).
+        for s, indices in (trial_subset or {}).items():
+            trials = self._meta[s]["trials"]
+            self._meta[s]["trials"] = [
+                trials[i] for i in sorted(int(i) for i in indices)
+            ]
         self.dims = dims
         self._record_files: dict[str, Any] = {}
 
     @property
     def num_trials(self) -> np.ndarray:
         return np.asarray([len(m["trials"]) for m in self._meta])
+
+    def trial_lengths(self, subject_index: int) -> np.ndarray:
+        """Raw (pre-pad) time lengths of one subject's trials — lets
+        the perf-vs-training-size sweep compute seconds-of-speech
+        without materializing the corpus."""
+        return np.asarray(
+            [t["T"] for t in self._meta[subject_index]["trials"]],
+            np.int64,
+        )
 
     @property
     def num_subjects(self) -> int:

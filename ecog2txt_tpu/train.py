@@ -848,11 +848,6 @@ class MultiSubjectTrainer:
         max_host = self.SN_kwargs.get("max_host_trials")
         lazy_shards = None
         if max_host:
-            if self._trial_subset:
-                raise NotImplementedError(
-                    "max_host_trials with restricted trial subsets "
-                    "(perf-vs-size sweeps) is not supported"
-                )
             from .pipeline import LazyShardedDataset
 
             max_dev_b = self.SN_kwargs.get("max_device_trials")
@@ -865,6 +860,7 @@ class MultiSubjectTrainer:
                 shard_trials,
                 pad_channels_to=self.net_config.in_channels,
                 pad_time_multiple=self.net_config.decimation_factor,
+                trial_subset=self._trial_subset or None,
             )
             train_counts = lazy_shards.num_trials
         else:

@@ -112,6 +112,88 @@ def test_lazy_shards_equal_eager_slices(demo_records):
     lazy.close()
 
 
+def test_lazy_restricted_shards_equal_eager(demo_records):
+    """A lazy dataset with a trial_subset == shard_dataset over
+    restrict_trials of the fully packed partition (the resident
+    perf-vs-size path): identical tensors shard for shard, so
+    host-memory-bounded sweeps see the exact batches the resident
+    sweep does (VERDICT r3 #4)."""
+    from ecog2txt_tpu.pipeline import (
+        LazyShardedDataset,
+        pack_partition,
+        restrict_trials,
+        shard_dataset,
+    )
+
+    _, tr = demo_records
+    kw = dict(
+        pad_channels_to=tr.net_config.in_channels,
+        pad_time_multiple=tr.net_config.decimation_factor,
+    )
+    subset = [1, 4, 7, 2, 9, 11, 13, 0]  # unsorted on purpose
+    full = pack_partition(tr.ecog_subjects, "training", **kw)
+    eager = shard_dataset(restrict_trials(full, 0, subset), 6)
+    lazy = LazyShardedDataset(
+        tr.ecog_subjects, "training", 6, trial_subset={0: subset}, **kw
+    )
+    np.testing.assert_array_equal(
+        lazy.num_trials,
+        [len(subset), int(full.num_trials[1])],  # subject 2 untouched
+    )
+    lazy_list = list(lazy)
+    # eager keeps full-N masked tail rows for subject 0; the common
+    # shard prefix must be byte-identical
+    assert len(lazy_list) <= len(eager)
+    for le, ee in zip(lazy_list, eager):
+        np.testing.assert_array_equal(le.encoder_inputs, ee.encoder_inputs)
+        np.testing.assert_array_equal(le.encoder_lengths, ee.encoder_lengths)
+        np.testing.assert_array_equal(le.decoder_targets, ee.decoder_targets)
+        np.testing.assert_array_equal(le.trial_mask, ee.trial_mask)
+        for k in le.aux_targets:
+            np.testing.assert_array_equal(le.aux_targets[k], ee.aux_targets[k])
+    # shards beyond the lazy count hold no active trials of ANY subject
+    for ee in eager[len(lazy_list):]:
+        assert int(ee.num_trials.sum()) == 0
+    # seconds-of-speech probe used by perf_vs_training_size
+    np.testing.assert_array_equal(
+        LazyShardedDataset(
+            tr.ecog_subjects, "training", 6, **kw
+        ).trial_lengths(0),
+        full.encoder_lengths[0][full.trial_mask[0]],
+    )
+    lazy.close()
+
+
+@pytest.mark.slow
+def test_restricted_max_host_same_trajectory(tmp_path):
+    """restricted_to_trials composes with max_host_trials: the lazy
+    restricted trainer follows the SAME WER trajectory as the resident
+    restricted streaming path (VERDICT r3 #4 done-criterion —
+    perf-vs-training-size sweeps now run on host-bounded corpora)."""
+    def run(extra):
+        mp = make_demo_experiment(
+            str(tmp_path / f"exp_{sorted(extra)[0]}"), subject_ids=(1,),
+            layer_sizes=TINY,
+        )
+        tr = MultiSubjectTrainer(
+            mp, [1],
+            SN_kwargs={
+                "batch_size": 8, "max_dec_len": 10,
+                "learning_rate": 3e-3, **extra,
+            },
+            VERBOSE=False,
+        )
+        restricted = tr.restricted_to_trials(list(range(0, 24, 2)))
+        history = restricted.fit(num_epochs=10)
+        return [
+            h["training"]["word_error_rate"] for h in history.values()
+        ]
+
+    wers_host = run({"max_host_trials": 8})
+    wers_dev = run({"max_device_trials": 8})
+    assert wers_host == wers_dev
+
+
 @pytest.mark.slow
 def test_trainer_max_host_trials_same_trajectory(tmp_path):
     """Training under a forced host budget (max_host_trials) follows the
