@@ -1374,6 +1374,30 @@ class MultiSubjectTrainer:
             epoch=jnp.asarray(int(np.asarray(raw["epoch"])), jnp.int32),
         )
 
+    def import_tf1_checkpoint(self, ckpt_path: str) -> dict[str, list[str]]:
+        """Import weights (and EMA shadows) from a reference TF1
+        ``model.ckpt-<epoch>`` into the live state — the migration tool
+        for pre-trained reference models (reference checkpoint grammar:
+        trainers.py:444-554; see utils/tf1_import.py).  Returns the
+        imported/skipped variable-name report."""
+        from .utils.tf1_import import import_tf1_checkpoint
+
+        params, ema, report = import_tf1_checkpoint(
+            ckpt_path,
+            self.state.params,
+            self.state.ema,
+            subject_ids=self.subject_ids,
+        )
+        self.state = self.state._replace(
+            params=jax.tree.map(jnp.asarray, params),
+            ema=jax.tree.map(jnp.asarray, ema),
+        )
+        self.vprint(
+            f"TF1 import: {len(report['imported'])} variables imported, "
+            f"{len(report['skipped'])} skipped"
+        )
+        return report
+
     def update_net_from_saved_model(self, source) -> None:
         """Rebuild ``net_config`` from checkpoint tensor shapes
         (reference trainers.py:383-408).  ``source`` is a params pytree
