@@ -16,6 +16,8 @@ template, mocha-1_word_sequence.yaml:79).
 from __future__ import annotations
 
 import os
+from typing import Sequence
+
 import numpy as np
 
 from ..assess import wer_vector
@@ -50,6 +52,26 @@ def anti_alias(sequence: np.ndarray, decimation: int) -> np.ndarray:
         lambda x: np.convolve(x, kernel, mode="same"), 0, sequence
     )
     return out
+
+
+def _gaussian_kde(
+    points: np.ndarray, grid: np.ndarray, bw_adjust: float = 1.0
+) -> np.ndarray:
+    """Gaussian kernel density of ``points`` evaluated on ``grid``
+    (Scott's-rule bandwidth) — the density behind the contribution
+    ridgeline (reference plotters.py:1090-1095 uses seaborn's kdeplot;
+    no seaborn dependency here)."""
+    points = np.asarray(points, float)
+    if points.size == 0:
+        return np.zeros_like(grid)
+    sigma = float(np.std(points))
+    bw = bw_adjust * max(
+        sigma * points.size ** (-1.0 / 5.0), 1e-3
+    )
+    z = (grid[:, None] - points[None, :]) / bw
+    return np.exp(-0.5 * z**2).sum(axis=1) / (
+        points.size * bw * np.sqrt(2 * np.pi)
+    )
 
 
 class ResultsPlotter:
@@ -276,11 +298,188 @@ class ResultsPlotter:
         elif kind == "violin":
             ax.violinplot([areas[a] for a in names])
             ax.set_xticks(range(1, len(names) + 1), names)
+        elif kind == "kde":
+            # ridgeline of per-area contribution densities (reference
+            # kernel_density_plot_electrode_contributions,
+            # plotters.py:1026-1145): one overlapping row per area,
+            # Gaussian KDE clipped to [0, 1], electrode scatter at the
+            # baseline, area label at the right
+            plt.close(fig)
+            fig, axes = plt.subplots(
+                len(names), 1, figsize=(7, 0.9 * max(len(names), 1)),
+                sharex=True, squeeze=False,
+            )
+            hi = max((max(v) for v in areas.values()), default=1.0) or 1.0
+            grid_x = np.linspace(0.0, max(hi, 1e-9), 256)
+            for ax_i, name in zip(axes[:, 0], names):
+                pts = np.asarray(areas[name], float)
+                density = _gaussian_kde(pts / hi, grid_x / hi)
+                ax_i.fill_between(
+                    grid_x, density, color=self.RGB_color, alpha=0.8, lw=0
+                )
+                ax_i.plot(grid_x, density, color="w", lw=2)
+                ax_i.axhline(0, lw=2, color="k", clip_on=False)
+                ax_i.scatter(
+                    pts, np.zeros_like(pts), color="black",
+                    edgecolors="white", linewidths=1.0, s=80, zorder=3,
+                )
+                ax_i.text(
+                    1.0, 0.1, name, fontweight="bold", ha="right",
+                    va="center", transform=ax_i.transAxes,
+                )
+                ax_i.set_yticks([])
+                for side in ("top", "right", "left"):
+                    ax_i.spines[side].set_visible(False)
+            fig.subplots_adjust(hspace=-0.3)
+            axes[-1, 0].set_xlabel("contributions (a.u.)")
+            return self._save(fig, f"anatomy_{contrib_method}_{kind}")
         else:
             raise ValueError(f"unknown kind {kind!r}")
         ax.set_ylabel(contrib_method)
         plt.setp(ax.get_xticklabels(), rotation=30, ha="right")
         return self._save(fig, f"anatomy_{contrib_method}_{kind}")
+
+    def bar_plot_ecog_sequence_lengths(self, threshold: float = 0.55):
+        """Per-unique-sentence ECoG length bars (mean ± std err) plus
+        the WER a length-alone classifier achieves: each validation
+        sentence is matched to the training sentence of nearest mean
+        length (reference plotters.py:1213-1256).  Returns that WER."""
+        plt = _mpl()
+        counters = self.subject.count_targets(
+            ["training", "validation"], threshold=threshold
+        )
+        train, val = counters["training"], counters["validation"]
+        best_matches = np.argmin(
+            np.abs(
+                np.array(val.lengths_means, ndmin=2)
+                - np.array(train.lengths_means, ndmin=2).T
+            ),
+            axis=0,
+        )
+        wer = float(
+            np.mean(
+                wer_vector(
+                    train.unique_sentences,
+                    [train.unique_sentences[i] for i in best_matches],
+                )
+            )
+        )
+        fig, ax = plt.subplots(figsize=(8, 3))
+        stats = sorted(zip(train.lengths_means, train.lengths_std_errs))
+        ax.bar(
+            range(len(stats)),
+            [m for m, _ in stats],
+            yerr=[e for _, e in stats],
+            width=0.7,
+            color=self.RGB_color,
+        )
+        ax.set_xlabel("sentence ID")
+        ax.set_ylabel("length (samples)")
+        ax.set_title(f"length-based WER: {100 * wer:.1f}%")
+        self._save(fig, "ecog_sequence_lengths")
+        return wer
+
+    def bar_plot_nums_examples(
+        self,
+        datasets_to_plot: Sequence[str] = ("training", "validation"),
+        num_sentences_dict: dict[int, int] | None = None,
+        ymax: float | None = None,
+    ):
+        """Stacked example counts per block-type subset: non-unique
+        record counts next to unique sentence counts, one bar pair per
+        partition (reference plotters.py:1411-1477; the reference
+        hard-codes MOCHA's 50-sentence subsets — here
+        ``num_sentences_dict`` maps subset id → unique count, default
+        the observed unique-sentence count)."""
+        from collections import Counter
+
+        from .. import records
+
+        plt = _mpl()
+        subset_counters: dict[str, Counter] = {
+            p: Counter() for p in datasets_to_plot
+        }
+        uniques: dict[str, dict[int, set]] = {
+            p: {} for p in datasets_to_plot
+        }
+        for partition in datasets_to_plot:
+            for block in sorted(self.subject.block_ids(partition)):
+                desc = self.subject.block_breakdowns.get(block, {})
+                block_type = str(desc.get("type", "0"))
+                subset = (
+                    int(block_type.rsplit("-", 1)[-1])
+                    if block_type.rsplit("-", 1)[-1].isdigit()
+                    else 0
+                )
+                path = self.subject.data_generator.tf_record_path(block)
+                n = sum(1 for _ in records.read_examples(path))
+                subset_counters[partition][subset] += n
+                uniques[partition].setdefault(subset, set())
+        fig, ax = plt.subplots(figsize=(4, 5))
+        subsets = sorted(
+            set().union(*(c.keys() for c in subset_counters.values()))
+        )
+        x = np.arange(2 * len(datasets_to_plot))
+        bottom = np.zeros(len(x))
+        cmap = _mpl().get_cmap("tab10")
+        for subset in subsets:
+            non_unique = [
+                subset_counters[p][subset] for p in datasets_to_plot
+            ]
+            if num_sentences_dict is not None:
+                n_unique = [
+                    num_sentences_dict.get(subset, 0)
+                    if subset_counters[p][subset]
+                    else 0
+                    for p in datasets_to_plot
+                ]
+            else:
+                n_unique = [
+                    self._count_unique_sentences(p, subset)
+                    for p in datasets_to_plot
+                ]
+            heights = np.array(non_unique + n_unique, float)
+            ax.bar(
+                x, heights, bottom=bottom, width=0.7,
+                color=cmap(subset % 10), label=f"subset {subset}",
+            )
+            bottom += heights
+        ax.set_xticks(
+            x,
+            [f"{p}" for p in datasets_to_plot]
+            + [f"{p}\n(unique)" for p in datasets_to_plot],
+        )
+        ax.set_ylabel("num. examples")
+        if ymax:
+            ax.set_ylim(0, ymax)
+        ax.legend(frameon=False, fontsize=8)
+        self._save(fig, "nums_examples")
+        return {p: dict(c) for p, c in subset_counters.items()}
+
+    def _count_unique_sentences(self, partition: str, subset: int) -> int:
+        """Unique sentences among a partition's blocks of one subset."""
+        from .. import records
+
+        seen: set[tuple] = set()
+        manifest = self.subject.data_manifests.get("decoder_targets")
+        if manifest is None:
+            return 0
+        for block in sorted(self.subject.block_ids(partition)):
+            desc = self.subject.block_breakdowns.get(block, {})
+            block_type = str(desc.get("type", "0"))
+            bsub = (
+                int(block_type.rsplit("-", 1)[-1])
+                if block_type.rsplit("-", 1)[-1].isdigit()
+                else 0
+            )
+            if bsub != subset:
+                continue
+            path = self.subject.data_generator.tf_record_path(block)
+            for raw in records.read_examples(path):
+                value = raw.get(manifest.sequence_type)
+                if value is not None:
+                    seen.add(tuple(np.asarray(manifest.parse(value)).ravel()))
+        return len(seen)
 
     def plot_confusions(self, confusions: np.ndarray, class_list=None):
         """Validation confusion heatmap, rebuilt outside any dashboard

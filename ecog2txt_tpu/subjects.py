@@ -444,6 +444,24 @@ class SequenceCounter:
                 self.counts.append(0)
                 self._lengths.append([])
 
+    @property
+    def lengths_means(self) -> list[float]:
+        """Per-cluster mean ECoG length (reference subjects.py:566-568;
+        empty clusters — padded by synchronize — give 0.0)."""
+        return [
+            float(np.mean(lengths)) if lengths else 0.0
+            for lengths in self._lengths
+        ]
+
+    @property
+    def lengths_std_errs(self) -> list[float]:
+        """Per-cluster standard error sqrt(var/n) (reference
+        subjects.py:570-573)."""
+        return [
+            float(np.sqrt(np.var(lengths) / len(lengths))) if lengths else 0.0
+            for lengths in self._lengths
+        ]
+
     def length_stats(self) -> dict[str, dict]:
         return {
             sentence: {

@@ -211,9 +211,44 @@ def test_elec_contrib_figure(plotter):
 
 
 def test_anatomy_figure(plotter):
-    for kind in ("bar", "box", "violin"):
+    for kind in ("bar", "box", "violin", "kde"):
         fig = plotter.plot_contribs_by_anatomy("weight_norms", kind=kind)
         assert fig is not None
+
+
+def test_gaussian_kde_density():
+    from ecog2txt_tpu.plotting.plotters import _gaussian_kde
+
+    grid = np.linspace(-4, 4, 801)
+    pts = np.array([-0.5, 0.0, 0.5])
+    density = _gaussian_kde(pts, grid)
+    # integrates to ~1 and peaks at the data
+    assert abs(np.trapezoid(density, grid) - 1.0) < 0.02
+    assert grid[np.argmax(density)] == pytest.approx(0.0, abs=0.02)
+    assert _gaussian_kde(np.array([]), grid).sum() == 0.0
+
+
+def test_bar_plot_ecog_sequence_lengths(plotter):
+    """Length-alone classification WER (reference plotters.py:1213):
+    the demo corpus repeats the same 10 sentences in train and val, so
+    matching by mean length must be finite and the bars must exist."""
+    wer = plotter.bar_plot_ecog_sequence_lengths(threshold=0.55)
+    assert np.isfinite(wer) and wer >= 0.0
+
+
+def test_bar_plot_nums_examples(plotter):
+    counts = plotter.bar_plot_nums_examples()
+    # the demo writes records for both partitions; every observed count
+    # is a positive integer per block-type subset
+    assert set(counts) == {"training", "validation"}
+    assert sum(counts["training"].values()) > 0
+    assert sum(counts["validation"].values()) > 0
+    # explicit unique-sentence dict (the reference's hard-coded MOCHA
+    # subsets) is accepted
+    fig_counts = plotter.bar_plot_nums_examples(
+        num_sentences_dict={0: 10, 1: 10}
+    )
+    assert fig_counts == counts
 
 
 def test_confusion_figure(plotter, trainer):
