@@ -36,11 +36,14 @@ def _lstm_predictor():
     return OnlinePredictor(params, cfg, TARGETS, max_samples=64)
 
 
-def _conformer_predictor(moe_experts=0):
+def _conformer_predictor(moe_experts=0, moe_capacity_factor=0.0,
+                         moe_group_size=0):
     ccfg = ConformerConfig(
         num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
         conv_kernel=4, chunk_size=4, left_context=1,
         moe_experts=moe_experts,
+        moe_capacity_factor=moe_capacity_factor,
+        moe_group_size=moe_group_size,
     )
     cfg = Seq2SeqConfig(
         vocab_size=12, num_subjects=1, in_channels=8, conv_sizes=(16,),
@@ -52,13 +55,21 @@ def _conformer_predictor(moe_experts=0):
     return OnlinePredictor(params, cfg, TARGETS, max_samples=64)
 
 
-@pytest.mark.parametrize("family", ["lstm", "conformer", "moe"])
+@pytest.mark.parametrize(
+    "family", ["lstm", "conformer", "moe", "moe_capacity"]
+)
 def test_export_roundtrip_exact(tmp_path, family):
     pred = {
         "lstm": _lstm_predictor,
         "conformer": _conformer_predictor,
         # routed top-k MoE FFN exports too (no-drop dispatch path)
         "moe": lambda: _conformer_predictor(moe_experts=4),
+        # GShard static-capacity dispatch (the production-scale
+        # setting, ADVICE r3): grouped capacity keeps C a config
+        # constant, so the symbolic-batch export covers it too
+        "moe_capacity": lambda: _conformer_predictor(
+            moe_experts=4, moe_capacity_factor=1.25, moe_group_size=8
+        ),
     }[family]()
     path = export_predictor(pred, str(tmp_path / family), platforms=("cpu",))
     loaded = load_exported_predictor(path)
