@@ -1,16 +1,24 @@
 """Benchmark: MOCHA-TIMIT-scale train+decode throughput on one chip.
 
 Reference-scale configuration (BASELINE.md): 16×16 grid bipolar (469
-channels), trials ≤6.25 s @200 Hz (T=1248), conv [100] stride 12 →
-3×400 biLSTM → aux phoneme head → dec emb 150 / LSTM 800, vocab 1809;
-450 training sentences (~9 blocks × 50).
+channels), trials ≤6.25 s @200 Hz (T=1248), vocab 1809; 450 training
+sentences (~9 blocks × 50).
 
-Measured: sentences/sec/chip through the full jitted training segment
-(loss+grad+adam+EMA, the reference's per-epoch hot loop, SURVEY §3.3)
-plus greedy decode throughput.  ``vs_baseline`` = projected full-run
-time (800 epochs training + 80 assessment decodes, the reference
-schedule) against the 10-minute north-star budget from BASELINE.json —
->1.0 means the whole reference experiment fits inside the target.
+The HEADLINE metric is the framework's best training path for the
+reference task — the chunked-causal conformer encoder (no serial
+recurrence; every GEMM rides the MXU) at comparable parameter count —
+through the full jitted training segment (loss+grad+adam+EMA, the
+reference's per-epoch hot loop, SURVEY §3.3) plus its greedy decode
+and single-utterance latency.  The reference's own architecture (conv
+[100] stride 12 → 3×400 biLSTM → dec emb 150 / LSTM 800) is reported
+alongside (``bilstm_*``).  B=256: the r4 batch sweep (RESULTS.md)
+showed the biLSTM's serial-step wall amortizes over rows — 256 beats
+128 by 11 % and 450 (padded to 512) loses it again.
+
+``vs_baseline`` = projected full-run time (800 epochs training + 80
+assessment decodes, the reference schedule) against the 10-minute
+north-star budget from BASELINE.json — >1.0 means the whole reference
+experiment fits inside the target.
 
 Prints ONE JSON line.
 """
@@ -35,7 +43,7 @@ def main():
     )
     from ecog2txt_tpu.train import TrainState, make_segment_runner
 
-    B = 128
+    B = 256
     N_SENT = 450
     T = 1248
     config = Seq2SeqConfig(
@@ -114,45 +122,7 @@ def main():
         )
     force(metrics)  # depends on every step of every segment
     train_time = time.perf_counter() - t0
-    train_sent_per_sec = REPS * K * B / train_time
-
-    # decode throughput (assessment path), 450-sentence pass
-    @jax.jit
-    def decode(params, inputs, lengths):
-        return greedy_decode(
-            params, config, inputs, lengths, jnp.asarray(0, jnp.int32)
-        )
-
-    dec_in = data["encoder_inputs"][0]
-    dec_len = data["encoder_lengths"][0]
-    out = decode(state.ema, dec_in, dec_len)
-    float(jnp.sum(out))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = decode(state.ema, dec_in, dec_len)
-    float(jnp.sum(out))
-    decode_sent_per_sec = 3 * N_SENT / (time.perf_counter() - t0)
-
-    # online-serving latency: ONE utterance through the full
-    # encoder+decoder (the construct_online_predictor path)
-    one_in = dec_in[:1]
-    one_len = dec_len[:1]
-    out = decode(state.ema, one_in, one_len)
-    float(jnp.sum(out))
-    lat = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        out = decode(state.ema, one_in, one_len)
-        float(jnp.sum(out))  # forced round trip = end-to-end latency
-        lat.append(time.perf_counter() - t0)
-    serve_latency_ms = sorted(lat)[len(lat) // 2] * 1e3
-
-    # projected full reference run: 800 epochs train + 80 assessment
-    # decodes over train+val (500 sentences each)
-    full_train_s = 800 * steps_per_epoch * B / train_sent_per_sec
-    full_decode_s = 80 * 2 * 500 / decode_sent_per_sec
-    projected = full_train_s + full_decode_s
-    vs_baseline = 600.0 / projected  # north star: <10 min (BASELINE.json)
+    bilstm_sent_per_sec = REPS * K * B / train_time
 
     # model-FLOP utilization (matmul FLOPs; bwd = 2× fwd) against the
     # v5e bf16 peak — the efficiency axis VERDICT r1 asked for
@@ -163,10 +133,8 @@ def main():
         train_step_flops,
     )
 
-    train_flops = train_step_flops(config, T, dec_len=12)
-    decode_flops = seq2seq_forward_flops(config, T, dec_len=config.max_dec_len)
-    train_mfu = mfu(train_sent_per_sec, train_flops)
-    decode_mfu = mfu(decode_sent_per_sec, decode_flops)
+    bilstm_flops = train_step_flops(config, T, dec_len=12)
+    bilstm_mfu = mfu(bilstm_sent_per_sec, bilstm_flops)
 
     # ---- conformer encoder variant (BASELINE configs[4]) ------------
     # Same data/decoder/loss; encoder swapped for chunked-causal
@@ -209,6 +177,49 @@ def main():
     conf_sent_per_sec = REPS * K * B / (time.perf_counter() - t0)
     conf_flops = train_step_flops(conf_config, T, dec_len=12)
     conf_mfu = mfu(conf_sent_per_sec, conf_flops)
+
+    # decode throughput (assessment path), 450-sentence pass, on the
+    # headline architecture's EMA params
+    @jax.jit
+    def decode(params, inputs, lengths):
+        return greedy_decode(
+            params, conf_config, inputs, lengths, jnp.asarray(0, jnp.int32)
+        )
+
+    dec_in = data["encoder_inputs"][0]
+    dec_len = data["encoder_lengths"][0]
+    out = decode(conf_state.ema, dec_in, dec_len)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = decode(conf_state.ema, dec_in, dec_len)
+    float(jnp.sum(out))
+    decode_sent_per_sec = 3 * N_SENT / (time.perf_counter() - t0)
+    decode_flops = seq2seq_forward_flops(
+        conf_config, T, dec_len=conf_config.max_dec_len
+    )
+    decode_mfu = mfu(decode_sent_per_sec, decode_flops)
+
+    # online-serving latency: ONE utterance through the full
+    # encoder+decoder (the construct_online_predictor path)
+    one_in = dec_in[:1]
+    one_len = dec_len[:1]
+    out = decode(conf_state.ema, one_in, one_len)
+    float(jnp.sum(out))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        out = decode(conf_state.ema, one_in, one_len)
+        float(jnp.sum(out))  # forced round trip = end-to-end latency
+        lat.append(time.perf_counter() - t0)
+    serve_latency_ms = sorted(lat)[len(lat) // 2] * 1e3
+
+    # projected full reference run: 800 epochs train + 80 assessment
+    # decodes over train+val (500 sentences each), on the headline path
+    full_train_s = 800 * steps_per_epoch * B / conf_sent_per_sec
+    full_decode_s = 80 * 2 * 500 / decode_sent_per_sec
+    projected = full_train_s + full_decode_s
+    vs_baseline = 600.0 / projected  # north star: <10 min (BASELINE.json)
 
     # long-continuous-recording TRAINING (BASELINE configs[4]): fwd+bwd
     # through the conformer encoder at T=8192 downsampled steps (~8.3
@@ -353,22 +364,23 @@ def main():
         json.dumps(
             {
                 "metric": "train_sentences_per_sec_per_chip",
-                "value": round(train_sent_per_sec, 2),
+                "value": round(conf_sent_per_sec, 2),
                 "unit": "sentences/s",
+                "architecture": "conformer",
                 "vs_baseline": round(vs_baseline, 3),
                 "decode_sentences_per_sec": round(decode_sent_per_sec, 2),
                 "serve_latency_ms": round(serve_latency_ms, 2),
                 "projected_full_run_s": round(projected, 1),
-                "mfu": round(train_mfu, 4),
+                "mfu": round(conf_mfu, 4),
                 "decode_mfu": round(decode_mfu, 4),
                 "model_tflops_per_s": round(
-                    train_sent_per_sec * train_flops / 1e12, 2
+                    conf_sent_per_sec * conf_flops / 1e12, 2
                 ),
-                "train_gflops_per_sentence": round(train_flops / 1e9, 3),
-                "conformer_train_sentences_per_sec": round(
-                    conf_sent_per_sec, 2
+                "train_gflops_per_sentence": round(conf_flops / 1e9, 3),
+                "bilstm_train_sentences_per_sec": round(
+                    bilstm_sent_per_sec, 2
                 ),
-                "conformer_mfu": round(conf_mfu, 4),
+                "bilstm_mfu": round(bilstm_mfu, 4),
                 "stream_chunk_ms": round(stream_chunk_ms, 2),
                 "stream_realtime_factor": round(stream_rtf, 1),
                 "long8k_train_tokens_per_sec": round(

@@ -74,6 +74,17 @@ def _choose_tiles(
                 seq = 2 * (
                     2 * C * BB_eff * G * sb + 4 * C * BB_eff * H * sb
                 )
+                if B > BB_eff:
+                    # multi-tile batch grid: Mosaic keeps an extra set
+                    # of revolving buffers in flight across the outer
+                    # grid dim, costing a roughly CONSTANT ~6.7 MB of
+                    # scoped-vmem stack on top of the declared blocks
+                    # (measured H=400: nb=2/CHUNK=3 → 19.18 M where the
+                    # model says 12.39 M; nb=4/CHUNK=2 → 16.56 M vs
+                    # 9.93 M).  Reserve 7.5 MB against the 16 MB
+                    # hardware limit, i.e. require the model to fit in
+                    # 8.5 MB.
+                    seq += VMEM_BUDGET - int(8.5 * 1024 * 1024)
                 fixed = 2 * 5 * BB_eff * H * 4
             else:
                 seq = 2 * (C * BB_eff * G * sb + 2 * C * BB_eff * H * sb)
