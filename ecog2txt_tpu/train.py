@@ -1374,16 +1374,57 @@ class MultiSubjectTrainer:
             epoch=jnp.asarray(int(np.asarray(raw["epoch"])), jnp.int32),
         )
 
-    def import_tf1_checkpoint(self, ckpt_path: str) -> dict[str, list[str]]:
+    def import_tf1_checkpoint(
+        self, ckpt_path, rebuild="auto"
+    ) -> dict[str, list[str]]:
         """Import weights (and EMA shadows) from a reference TF1
         ``model.ckpt-<epoch>`` into the live state — the migration tool
         for pre-trained reference models (reference checkpoint grammar:
-        trainers.py:444-554; see utils/tf1_import.py).  Returns the
-        imported/skipped variable-name report."""
-        from .utils.tf1_import import import_tf1_checkpoint
+        trainers.py:444-554; see utils/tf1_import.py).
 
+        ``rebuild``: ``'auto'`` (default) rebuilds ``net_config`` from
+        the checkpoint's tensor shapes first when they disagree with
+        the constructed architecture — the reference's
+        ``recover_model_sizes`` flow (trainers.py:444-554) applied to
+        its own checkpoints, so a user with ONLY a TF1 checkpoint needs
+        no ``layer_sizes``; ``True`` forces it, ``False`` imports into
+        the constructed shapes (mismatches raise).  Returns the
+        imported/skipped variable-name report."""
+        from .utils.tf1_import import (
+            import_tf1_checkpoint,
+            read_tf1_checkpoint,
+            recover_model_sizes,
+        )
+
+        variables = (
+            read_tf1_checkpoint(ckpt_path)
+            if isinstance(ckpt_path, str)
+            else dict(ckpt_path)
+        )
+        if rebuild:
+            sizes = recover_model_sizes(variables)
+            ls = sizes["layer_sizes"]
+            cfg = self.net_config
+            mismatch = (
+                (ls["encoder_rnn"] and tuple(ls["encoder_rnn"]) != cfg.rnn_sizes)
+                or (
+                    ls["encoder_embedding"]
+                    and tuple(ls["encoder_embedding"]) != cfg.conv_sizes
+                )
+                or (
+                    ls["decoder_rnn"]
+                    and tuple(ls["decoder_rnn"]) != cfg.dec_rnn_sizes
+                )
+                or sizes.get("vocab_size", cfg.vocab_size) != cfg.vocab_size
+            )
+            if rebuild is True or mismatch:
+                self.vprint(
+                    "TF1 checkpoint architecture differs from the "
+                    "constructed net; rebuilding from tensor shapes"
+                )
+                self._apply_recovered_sizes(sizes)
         params, ema, report = import_tf1_checkpoint(
-            ckpt_path,
+            variables,
             self.state.params,
             self.state.ema,
             subject_ids=self.subject_ids,
@@ -1406,12 +1447,22 @@ class MultiSubjectTrainer:
         sizes, aux/projection dims, vocab, attention, directionality)
         replaces the constructed value, and the compiled runners/decode
         fns are invalidated."""
-        import dataclasses
-
         from .utils.introspect import recover_model_sizes
 
+        self._apply_recovered_sizes(
+            recover_model_sizes(
+                source, in_channels=self.net_config.in_channels
+            )
+        )
+
+    def _apply_recovered_sizes(self, sizes: dict) -> None:
+        """Apply a recovered-architecture dict (from
+        ``utils.introspect.recover_model_sizes`` or
+        ``utils.tf1_import.recover_model_sizes``) to ``net_config`` and
+        re-template the state."""
+        import dataclasses
+
         cfg = self.net_config
-        sizes = recover_model_sizes(source, in_channels=cfg.in_channels)
         layer_sizes = sizes["layer_sizes"]
         aux_dims = sizes.get("aux_heads", {})
         aux_heads = tuple(
@@ -1422,6 +1473,7 @@ class MultiSubjectTrainer:
         new_cfg = dataclasses.replace(
             cfg,
             vocab_size=int(sizes.get("vocab_size", cfg.vocab_size)),
+            in_channels=int(sizes.get("in_channels", cfg.in_channels)),
             num_subjects=int(sizes.get("num_subjects", cfg.num_subjects)),
             conv_sizes=tuple(layer_sizes["encoder_embedding"]),
             decimation_factor=int(

@@ -35,7 +35,11 @@ from typing import Any, Mapping, Sequence
 
 import numpy as np
 
-__all__ = ["read_tf1_checkpoint", "import_tf1_checkpoint"]
+__all__ = [
+    "read_tf1_checkpoint",
+    "import_tf1_checkpoint",
+    "recover_model_sizes",
+]
 
 _EMA_SUFFIX = "/ExponentialMovingAverage"
 _WEIGHT_LEAVES = ("weights", "kernel", "w")
@@ -52,6 +56,89 @@ def read_tf1_checkpoint(path: str) -> dict[str, np.ndarray]:
         name: np.asarray(reader.get_tensor(name))
         for name in reader.get_variable_to_shape_map()
     }
+
+
+def recover_model_sizes(
+    source: str | Mapping[str, np.ndarray],
+) -> dict[str, Any]:
+    """Architecture hyperparameters from a TF1 checkpoint's tensor
+    shapes — the reference's ``recover_model_sizes``
+    (trainers.py:444-554) for checkpoints that predate this framework.
+    Returns the same dict shape ``utils.introspect.recover_model_sizes``
+    produces from an Orbax pytree, so
+    ``MultiSubjectTrainer.update_net_from_saved_model`` consumes either
+    source; adds an ``"EMA"`` flag (shadow variables present)."""
+    variables = (
+        read_tf1_checkpoint(source) if isinstance(source, str) else dict(source)
+    )
+    layer_sizes: dict[str, dict[int, int]] = {}
+    strides: dict[int, int] = {}
+    aux_heads: dict[str, int] = {}
+    subnet_ids: set[str] = set()
+    out: dict[str, Any] = {"encoder_type": "lstm", "EMA": False}
+    proj_groups: dict[str, set[int]] = {}
+    records = []
+    for name, value in variables.items():
+        if name.endswith(_EMA_SUFFIX):
+            out["EMA"] = True
+        rec = _parse(name)
+        if rec is None or rec["ema"] or rec["leaf"] != "w":
+            continue
+        records.append((rec, np.asarray(value).shape))
+        if rec["kind"] == "proj":
+            proj_groups.setdefault(rec["scope"], set()).add(rec["layer"])
+        if rec["subnet_id"] is not None:
+            subnet_ids.add(rec["subnet_id"])
+    for rec, shape in records:
+        kind, layer = rec["kind"], rec.get("layer", 0)
+        if kind == "conv":
+            # (1, stride, in, out) — trainers.py:534-541
+            layer_sizes.setdefault("encoder_embedding", {})[layer] = shape[-1]
+            strides[layer] = shape[1] if len(shape) == 4 else 1
+            if layer == 0:
+                out["in_channels"] = int(shape[-2])
+        elif kind == "enc_rnn":
+            layer_sizes.setdefault("encoder_rnn", {})[layer] = shape[1] // 4
+            if rec["direction"] == "bwd":
+                out["BIDIRECTIONAL"] = True
+        elif kind == "dec_rnn":
+            layer_sizes.setdefault("decoder_rnn", {})[layer] = shape[1] // 4
+        elif kind == "emb":
+            layer_sizes.setdefault("decoder_embedding", {})[0] = shape[1]
+            out["vocab_size"] = int(shape[0])
+        elif kind == "proj":
+            final = layer == max(proj_groups[rec["scope"]])
+            if rec["scope"] == "decoder_projection":
+                if final:
+                    # stored transposed: (out, in) — trainers.py:519-524
+                    out["vocab_size"] = int(shape[0])
+            else:
+                head = rec["scope"].replace("_projection", "_targets")
+                if final:
+                    aux_heads[head] = int(shape[0])
+                else:
+                    layer_sizes.setdefault(rec["scope"], {})[layer] = shape[1]
+    for key in (
+        "encoder_embedding",
+        "encoder_rnn",
+        "encoder_1_projection",
+        "decoder_embedding",
+        "decoder_rnn",
+    ):
+        layer_sizes.setdefault(key, {})
+    out["layer_sizes"] = {
+        key: [int(sizes[i]) for i in sorted(sizes)]
+        for key, sizes in layer_sizes.items()
+    }
+    if strides:
+        out["decimation_factor"] = int(
+            np.prod([strides[i] for i in sorted(strides)])
+        )
+    if aux_heads:
+        out["aux_heads"] = aux_heads
+    out["num_subjects"] = max(len(subnet_ids), 1)
+    out.setdefault("BIDIRECTIONAL", False)
+    return out
 
 
 def _leaf_kind(scopes: Sequence[str]) -> str | None:

@@ -162,6 +162,88 @@ def test_import_maps_documented_grammar():
     )
 
 
+def test_recover_model_sizes_from_tf1_grammar():
+    """The reference's recover_model_sizes walk (trainers.py:444-554)
+    applied to a TF1 variable map: layer sizes, strides→decimation,
+    vocab, bidirectionality, EMA flag."""
+    from ecog2txt_tpu.utils.tf1_import import recover_model_sizes
+
+    variables, _, _ = _tf1_variables(np.random.default_rng(3), CONFIG)
+    sizes = recover_model_sizes(variables)
+    ls = sizes["layer_sizes"]
+    assert ls["encoder_embedding"] == [16]
+    assert ls["encoder_rnn"] == [20, 24]
+    assert ls["encoder_1_projection"] == [18]
+    assert ls["decoder_embedding"] == [10]
+    assert ls["decoder_rnn"] == [48]
+    assert sizes["decimation_factor"] == 4
+    assert sizes["vocab_size"] == 30
+    assert sizes["in_channels"] == 12
+    assert sizes["aux_heads"] == {"encoder_1_targets": 9}
+    assert sizes["BIDIRECTIONAL"] is True
+    assert sizes["EMA"] is True
+    assert sizes["num_subjects"] == 2
+    assert sizes["encoder_type"] == "lstm"
+
+
+def test_trainer_rebuilds_from_tf1_shapes(tmp_path):
+    """A trainer constructed with a DIFFERENT architecture rebuilds
+    net_config from the TF1 checkpoint's tensor shapes before
+    importing (rebuild='auto') — the ckpt-only migration flow."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,),
+        layer_sizes={
+            "encoder_embedding": [8],     # everything differs from the
+            "encoder_rnn": [12],          # checkpoint below
+            "encoder_1_projection": [6],
+            "decoder_embedding": [6],
+            "decoder_rnn": [16],
+            "decoder_projection": [],
+        },
+    )
+    tr = MultiSubjectTrainer(mp, [1], VERBOSE=False)
+    cfg = tr.net_config
+    rng = np.random.default_rng(5)
+    # checkpoint of a 24-unit single-layer biLSTM / 32-unit decoder
+    # model over the same data dims and vocab
+    H, D, F = 24, 32, 16
+    C = cfg.in_channels
+    stride = cfg.decimation_factor
+    variables = {
+        f"seq2seq/subnet_1/encoder_embedding_{F}_{stride}_0/weights":
+            rng.normal(size=(1, stride, C, F)).astype(np.float32),
+        "seq2seq/encoder_rnn_0/bidirectional_rnn/fw/cell_0/lstm_cell/"
+        "kernel": rng.normal(size=(F + H, 4 * H)).astype(np.float32),
+        "seq2seq/encoder_rnn_0/bidirectional_rnn/bw/cell_0/lstm_cell/"
+        "kernel": rng.normal(size=(F + H, 4 * H)).astype(np.float32),
+        f"seq2seq/decoder_embedding_{cfg.vocab_size}_10_0/weights":
+            rng.normal(size=(cfg.vocab_size, 10)).astype(np.float32),
+        "seq2seq/decoder_rnn/cell_0/lstm_cell/kernel":
+            rng.normal(size=(10 + D, 4 * D)).astype(np.float32),
+        f"seq2seq/decoder_projection_{D}_{cfg.vocab_size}_0/weights":
+            rng.normal(size=(cfg.vocab_size, D)).astype(np.float32),
+    }
+    report = tr.import_tf1_checkpoint(variables)
+    assert tr.net_config.rnn_sizes == (H,)
+    assert tr.net_config.conv_sizes == (F,)
+    assert tr.net_config.dec_rnn_sizes == (D,)
+    assert tr.net_config.dec_embedding_size == 10
+    assert len(report["imported"]) == len(variables)
+    np.testing.assert_allclose(
+        np.asarray(tr.state.params["decoder"]["out"]["w"]),
+        variables[
+            f"seq2seq/decoder_projection_{D}_{cfg.vocab_size}_0/weights"
+        ].T,
+        rtol=1e-6,
+    )
+    # the rebuilt net still assesses end to end
+    out = tr.assess(["validation"])
+    assert np.isfinite(out["validation"]["word_error_rate"])
+
+
 def test_import_shape_mismatch_raises():
     params = init_seq2seq(jax.random.PRNGKey(0), CONFIG)
     bad = {
