@@ -175,6 +175,14 @@ def load_experiment_manifest(
         path = os.path.join(text_dir, manifest_name)
     with open(path) as f:
         raw = yaml.load(f, Loader=ManifestLoader)
+    manifest_dir = os.path.dirname(os.path.abspath(path))
+    for subject_manifest in raw.values():
+        # record where the manifest FILE lives: reference manifests
+        # hardcode lab json_dir paths, and their block_breakdowns.json
+        # ships next to the YAML (auxiliary/EFC/) — subjects fall back
+        # to this directory when json_dir does not exist here
+        if isinstance(subject_manifest, dict):
+            subject_manifest.setdefault("manifest_dir", manifest_dir)
     return {
         subject_id: Manifest(subject_manifest, subject_id)
         for subject_id, subject_manifest in raw.items()

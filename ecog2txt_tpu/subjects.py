@@ -184,7 +184,9 @@ class ECoGSubject:
             from . import text_dir as _default_text_dir
 
             for candidate in (
-                manifest.resolve("text_dir"), _default_text_dir
+                manifest.resolve("manifest_dir"),
+                manifest.resolve("text_dir"),
+                _default_text_dir,
             ):
                 if candidate and os.path.isfile(
                     os.path.join(candidate, "block_breakdowns.json")

@@ -1405,19 +1405,21 @@ class MultiSubjectTrainer:
             sizes = recover_model_sizes(variables)
             ls = sizes["layer_sizes"]
             cfg = self.net_config
-            mismatch = (
-                (ls["encoder_rnn"] and tuple(ls["encoder_rnn"]) != cfg.rnn_sizes)
-                or (
-                    ls["encoder_embedding"]
-                    and tuple(ls["encoder_embedding"]) != cfg.conv_sizes
-                )
-                or (
-                    ls["decoder_rnn"]
-                    and tuple(ls["decoder_rnn"]) != cfg.dec_rnn_sizes
-                )
+            # only a COMPLETE checkpoint (all three stacks present) can
+            # define an architecture; partial variable maps import into
+            # the constructed shapes
+            complete = bool(
+                ls["encoder_embedding"]
+                and ls["encoder_rnn"]
+                and ls["decoder_rnn"]
+            )
+            mismatch = complete and (
+                tuple(ls["encoder_rnn"]) != cfg.rnn_sizes
+                or tuple(ls["encoder_embedding"]) != cfg.conv_sizes
+                or tuple(ls["decoder_rnn"]) != cfg.dec_rnn_sizes
                 or sizes.get("vocab_size", cfg.vocab_size) != cfg.vocab_size
             )
-            if rebuild is True or mismatch:
+            if (rebuild is True and complete) or mismatch:
                 self.vprint(
                     "TF1 checkpoint architecture differs from the "
                     "constructed net; rebuilding from tensor shapes"

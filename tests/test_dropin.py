@@ -94,6 +94,30 @@ def test_reference_yaml_drop_in_end_to_end(tmp_path):
         assert np.isfinite(wer) and wer >= 0.0
 
 
+def test_reference_manifest_dir_fallback(tmp_path):
+    """block_breakdowns.json resolves from the MANIFEST's own directory
+    (auxiliary/EFC/) when the manifest's hardcoded lab json_dir does
+    not exist — no ES_kwargs override needed (r4: the migration example
+    flow)."""
+    if not os.path.isdir(REF_AUX):
+        pytest.skip("reference not mounted")
+    trainer = MultiSubjectTrainer(
+        "EFC/mocha-1_word_sequence.yaml",
+        [400],
+        text_dir=REF_AUX,
+        DG_kwargs={
+            "tf_record_partial_path": str(
+                tmp_path / "records" / "EFC400_B{0}.tfrecord"
+            ),
+        },
+        SN_kwargs={"checkpoint_dir": str(tmp_path / "ckpt")},
+        VERBOSE=False,
+    )
+    subject = trainer.target_subject
+    assert subject.block_breakdowns  # found next to the YAML
+    assert len(subject.block_ids("training")) > 0
+
+
 def test_packaged_auxiliary_out_of_the_box(tmp_path):
     """The packaged auxiliary/ directory IS the default text_dir: a
     trainer built from the in-package demo manifest (no text_dir
