@@ -503,6 +503,7 @@ class MultiSubjectTrainer:
         self.assessment_epoch_interval = int(
             manifest.resolve("assessment_epoch_interval", default=10)
         )
+        self._summary_writer = None
         self.learning_rate = float(
             self.SN_kwargs.get(
                 "learning_rate",
@@ -816,6 +817,40 @@ class MultiSubjectTrainer:
 
     # -- core fit engine ----------------------------------------------------
 
+    @property
+    def summary_writer(self):
+        """TensorBoard scalars for the training curves (manifest key
+        ``tf_summaries_dir``, mocha-1_word_sequence.yaml:85 — the
+        reference forwards it to its TF2 trainer via ST_kwargs,
+        trainers.py:110-115).  Resolution: SN_kwargs over manifest; an
+        explicit ``None`` in SN_kwargs disables summaries even when the
+        manifest names a directory (lab manifests hardcode lab paths).
+        Lazy — the event file is created on first access; an unwritable
+        directory warns once and disables rather than aborting a run."""
+        if self._summary_writer is None:
+            if "tf_summaries_dir" in self.SN_kwargs:
+                logdir = self.SN_kwargs["tf_summaries_dir"]
+            else:
+                logdir = self.manifest.resolve(
+                    "tf_summaries_dir", default=None
+                )
+            if not logdir:
+                self._summary_writer = False
+            else:
+                from .utils.summaries import SummaryWriter
+
+                try:
+                    self._summary_writer = SummaryWriter(str(logdir))
+                except OSError as err:
+                    import warnings
+
+                    warnings.warn(
+                        f"tf_summaries_dir {logdir!r} unusable "
+                        f"({err}); summaries disabled"
+                    )
+                    self._summary_writer = False
+        return self._summary_writer or None
+
     def fit(
         self,
         subject_subset: Sequence[int] | None = None,
@@ -1036,6 +1071,19 @@ class MultiSubjectTrainer:
                     f"(loss={tm['loss_total']}){recovered}. Try a lower "
                     "learning rate or warmup_steps."
                 )
+            writer = self.summary_writer
+            if writer is not None:
+                writer.scalars(
+                    {
+                        (
+                            f"loss/{k[5:]}"
+                            if k.startswith("loss_")
+                            else f"train/{k}"
+                        ): v
+                        for k, v in tm.items()
+                    },
+                    epoch,
+                )
             if assess:
                 snapshot = self.assess()
                 history[str(epoch)] = snapshot
@@ -1044,6 +1092,17 @@ class MultiSubjectTrainer:
                     f"train WER {snapshot['training']['word_error_rate']:.3f} "
                     f"val WER {snapshot['validation']['word_error_rate']:.3f}"
                 )
+                if writer is not None:
+                    writer.scalars(
+                        {
+                            f"{part}/{key}": snap[key]
+                            for part, snap in snapshot.items()
+                            for key in ("accuracy", "word_error_rate")
+                        },
+                        epoch,
+                    )
+            if writer is not None:
+                writer.flush()
             if checkpoint_every_assessment:
                 # async: serialization/IO overlaps the next segment
                 self.save_checkpoint(epoch, wait=False)

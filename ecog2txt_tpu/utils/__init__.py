@@ -2,3 +2,4 @@
 
 from .profiling import StepTimer, trace_to  # noqa: F401
 from .introspect import recover_model_sizes  # noqa: F401
+from .summaries import SummaryWriter, iter_events  # noqa: F401

@@ -72,7 +72,10 @@ def main():
         text_dir=args.text_dir,
         SN_kwargs={"batch_size": 16, "max_dec_len": 10,
                    "learning_rate": 3e-3,
-                   "checkpoint_dir": os.path.join(workdir, "ckpt")},
+                   "checkpoint_dir": os.path.join(workdir, "ckpt"),
+                   # the manifest's tf_summaries_dir is a lab path;
+                   # redirect the TensorBoard curves into the workdir
+                   "tf_summaries_dir": os.path.join(workdir, "tb")},
         # the only knobs a migrating user must point somewhere sensible
         # are the lab WRITE paths (reference README.md:44-47)
         DG_kwargs={

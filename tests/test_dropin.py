@@ -51,7 +51,12 @@ def test_reference_yaml_drop_in_end_to_end(tmp_path):
                 tmp_path / "records" / "EFC400_B{0}.tfrecord"
             ),
         },
-        SN_kwargs={"checkpoint_dir": str(tmp_path / "ckpt")},
+        SN_kwargs={
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            # like checkpoint_dir, the manifest's tf_summaries_dir is a
+            # lab path — point it somewhere writable
+            "tf_summaries_dir": str(tmp_path / "tb"),
+        },
         VERBOSE=False,
     )
     # the real 1806-line vocab file resolved from text_dir (the file
@@ -92,6 +97,19 @@ def test_reference_yaml_drop_in_end_to_end(tmp_path):
     for partition in ("training", "validation"):
         wer = snapshot[partition]["word_error_rate"]
         assert np.isfinite(wer) and wer >= 0.0
+    # the manifest's tf_summaries_dir key was consumed: the fit wrote
+    # TensorBoard scalars of the training curve
+    import glob
+
+    from ecog2txt_tpu.utils.summaries import iter_events
+
+    (events_path,) = glob.glob(str(tmp_path / "tb" / "events.out.*"))
+    tags = {
+        tag
+        for event in iter_events(events_path)
+        for tag in event.get("scalars", ())
+    }
+    assert "loss/total" in tags
 
 
 def test_reference_manifest_dir_fallback(tmp_path):
