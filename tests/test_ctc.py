@@ -1,5 +1,7 @@
 """CTC head tests: loss, greedy decode, lexicon beam search, e2e."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -171,3 +173,133 @@ def test_ctc_e2e_trainer(tmp_path):
     assert ds.aux_targets["encoder_1_targets"].shape[2] < ds.encoder_inputs.shape[2]
     history = tr.fit(assess=True)
     assert history  # trains and assesses without error
+
+
+# --------------------------------------------------------------------------
+# native (C++) search backend parity — native/ctcbeam.cpp
+# --------------------------------------------------------------------------
+
+
+def _mocha_trie():
+    """Real-scale lexicon (1806-word MOCHA vocab) with homophone
+    expansions deduplicated: two words with an identical phoneme
+    expansion tie EXACTLY forever, and the tie-break is insertion-order
+    on the Python side vs key-order natively — a legitimate
+    don't-care the parity assertion must exclude."""
+    from ecog2txt_tpu import text_dir
+    from ecog2txt_tpu.datagen import word_to_phonemes
+    from ecog2txt_tpu.models.ctc import build_lexicon
+
+    ref = "/root/reference/ecog2txt/auxiliary/vocab.mocha-timit.1806"
+    vocab = ref if os.path.exists(ref) else os.path.join(
+        text_dir, "vocab.demo.36"
+    )
+    with open(vocab) as f:
+        words = [w.strip() for w in f]
+    phoneme_list = sorted({
+        p for w in words if not w.startswith("<")
+        for p in word_to_phonemes(w.rstrip("_"))
+    })
+    lex = build_lexicon(words, word_to_phonemes, phoneme_list)
+    seen: set = set()
+    dedup = {}
+    for w, ph in lex.items():
+        if tuple(ph) not in seen:
+            seen.add(tuple(ph))
+            dedup[w] = ph
+    return LexiconTrie(dedup), len(phoneme_list)
+
+
+def _unambiguous_trie(rng, K=8, num_words=40):
+    """All words are distinct phoneme TRIPLES: expansions are unique
+    AND any phoneme string segments into words in at most one way, so
+    the best hypothesis is tie-free and exact word-sequence parity is
+    well-defined (unlike a natural lexicon, where 'x'+'y' vs 'xy'
+    carry equal-scored beams forever and tie-breaks are arbitrary)."""
+    triples = set()
+    while len(triples) < num_words:
+        triples.add(tuple(int(p) for p in rng.integers(0, K, 3)))
+    lexicon = {
+        "w%03d" % i: list(t) for i, t in enumerate(sorted(triples))
+    }
+    return LexiconTrie(lexicon), K
+
+
+def test_native_beam_matches_python_oracle():
+    from ecog2txt_tpu.models.ctc import CTCWordBeamState, _load_native
+
+    if _load_native() is None:
+        pytest.skip("native ctcbeam unavailable")
+    rng = np.random.default_rng(7)
+    trie, K = _unambiguous_trie(rng)
+    for trial in range(4):
+        T = int(rng.integers(15, 60))
+        grid = rng.normal(size=(T, K + 1)) * 2.0
+        grid = grid - np.log(np.exp(grid).sum(axis=1, keepdims=True))
+        py = CTCWordBeamState(trie, beam_width=12, use_native=False)
+        nat = CTCWordBeamState(trie, beam_width=12, use_native=True)
+        assert nat._h is not None and py._h is None
+        assert py.advance(grid).best() == nat.advance(grid).best()
+        assert py.best_score() == pytest.approx(
+            nat.best_score(), abs=1e-9
+        )
+        # streamed native == one-shot native at a mid-stream prefix too
+        chunked = CTCWordBeamState(trie, beam_width=12, use_native=True)
+        pos = 0
+        while pos < T:
+            step = int(rng.integers(1, 8))
+            chunked.advance(grid[pos : pos + step])
+            pos += step
+        assert chunked.best() == nat.best()
+        assert chunked.num_steps == T
+
+
+def test_native_beam_mocha_lexicon_score_parity():
+    """Real-lexicon parity, unpruned: a natural lexicon carries
+    EXACTLY-tied beams (word-segmentation twins) at every closure
+    step, so once pruning bites, which twin survives the cutoff is
+    tie-order dependent and the searches legitimately diverge — parity
+    is only well-defined when the beam is wide enough that pruning
+    never discards anything.  Short T + huge width exercises the full
+    MOCHA trie's transition math on both sides exactly."""
+    from ecog2txt_tpu.models.ctc import CTCWordBeamState, _load_native
+
+    if _load_native() is None:
+        pytest.skip("native ctcbeam unavailable")
+    trie, K = _mocha_trie()
+    rng = np.random.default_rng(11)
+    for bonus in (0.0, -1.5, 1.0):
+        grid = rng.normal(size=(3, K + 1)) * 2.0
+        grid = grid - np.log(np.exp(grid).sum(axis=1, keepdims=True))
+        py = CTCWordBeamState(trie, 200_000, bonus, use_native=False)
+        nat = CTCWordBeamState(trie, 200_000, bonus, use_native=True)
+        py.advance(grid)
+        nat.advance(grid)
+        assert len(py.beams) < 200_000  # genuinely unpruned
+        assert py.best_score() == pytest.approx(
+            nat.best_score(), abs=1e-9
+        )
+
+
+def test_native_beam_mocha_chunked_deterministic():
+    """Pruned, real lexicon: the native search is deterministic —
+    chunked advance reproduces the one-shot advance exactly (same
+    float ops in the same order), words and score."""
+    from ecog2txt_tpu.models.ctc import CTCWordBeamState, _load_native
+
+    if _load_native() is None:
+        pytest.skip("native ctcbeam unavailable")
+    trie, K = _mocha_trie()
+    rng = np.random.default_rng(13)
+    grid = rng.normal(size=(50, K + 1)) * 2.0
+    grid = grid - np.log(np.exp(grid).sum(axis=1, keepdims=True))
+    oneshot = CTCWordBeamState(trie, 12, use_native=True).advance(grid)
+    chunked = CTCWordBeamState(trie, 12, use_native=True)
+    pos = 0
+    while pos < 50:
+        step = int(rng.integers(1, 9))
+        chunked.advance(grid[pos : pos + step])
+        pos += step
+    assert chunked.best() == oneshot.best()
+    assert chunked.best_score() == oneshot.best_score()
+    assert oneshot.best()  # decodes to words
