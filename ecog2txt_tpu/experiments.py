@@ -109,10 +109,11 @@ def perf_vs_training_size(
             out = restricted.assess(["validation"])["validation"]
             wers[fold, fi] = out["word_error_rate"]
             accs[fold, fi] = out["accuracy"]
-            ds = restricted.packed_dataset("training")
+            # seconds of training speech for this cell, from the
+            # lengths probed once up front (re-packing the partition
+            # here would defeat max_host_trials)
             seconds[fold, fi] = float(
-                ds.encoder_lengths[s_target][ds.trial_mask[s_target]].sum()
-                / sampling_rate
+                target_lengths[subset].sum() / sampling_rate
             )
         fold_blocks.append(chosen_sets[-1])
 

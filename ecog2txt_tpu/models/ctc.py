@@ -138,7 +138,12 @@ def _load_native():
     _lib_tried = True
     if not os.path.exists(_NATIVE_SRC):
         return None
-    os.makedirs(_NATIVE_DIR, exist_ok=True)
+    # every failure below (read-only install dir, no g++, compile
+    # error/timeout) must degrade to the Python oracle, never raise
+    try:
+        os.makedirs(_NATIVE_DIR, exist_ok=True)
+    except OSError:
+        return None
     so_path = os.path.join(_NATIVE_DIR, "libctcbeam.so")
     if not (
         os.path.exists(so_path)
@@ -148,7 +153,7 @@ def _load_native():
                _NATIVE_SRC, "-o", so_path]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+        except (subprocess.SubprocessError, OSError):
             return None
     try:
         lib = ctypes.CDLL(so_path)
@@ -157,6 +162,7 @@ def _load_native():
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.ctcbeam_trie_new.restype = ctypes.c_void_p
     lib.ctcbeam_trie_free.argtypes = [ctypes.c_void_p]
+    lib.ctcbeam_trie_add.restype = ctypes.c_int32
     lib.ctcbeam_trie_add.argtypes = [
         ctypes.c_void_p, i32p, ctypes.c_int32, ctypes.c_int32,
     ]
@@ -187,7 +193,7 @@ def _native_trie(trie: LexiconTrie):
         return None
     cached = getattr(trie, "_native", None)
     if cached is not None:
-        return cached
+        return cached if cached is not False else None
     handle = lib.ctcbeam_trie_new()
     words: list[str] = []
     stack = [(trie.root, [])]
@@ -195,12 +201,19 @@ def _native_trie(trie: LexiconTrie):
         node, path = stack.pop()
         for word in node["words"]:
             arr = np.asarray(path, dtype=np.int32)
-            lib.ctcbeam_trie_add(
+            ok = lib.ctcbeam_trie_add(
                 handle,
                 arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 len(path),
                 len(words),
             )
+            if not ok:
+                # an id overflows the C++ packed beam-key fields
+                # (phoneme id > 510 or > 2^23-1 trie nodes): this
+                # lexicon must use the Python search
+                lib.ctcbeam_trie_free(handle)
+                trie._native = False
+                return None
             words.append(word)
         for p in trie.children(node):
             stack.append((node[p], path + [p]))
@@ -275,7 +288,8 @@ class CTCWordBeamState:
                 )
             elif use_native:
                 raise RuntimeError(
-                    "native ctcbeam library unavailable (g++ build failed)"
+                    "native ctcbeam backend unavailable (build failed, or "
+                    "the lexicon's ids overflow its packed beam keys)"
                 )
 
     def advance(self, log_probs: np.ndarray) -> "CTCWordBeamState":

@@ -349,23 +349,36 @@ class ResultsPlotter:
             ["training", "validation"], threshold=threshold
         )
         train, val = counters["training"], counters["validation"]
-        best_matches = np.argmin(
-            np.abs(
-                np.array(val.lengths_means, ndmin=2)
-                - np.array(train.lengths_means, ndmin=2).T
-            ),
-            axis=0,
-        )
+        # synchronize_sequence_counters pads both counters to a common
+        # sentence SET but the ORDERS differ and padded clusters carry a
+        # meaningless 0.0 mean — so classify only the validation
+        # sentences actually observed, against only the training
+        # sentences actually observed, and score each prediction
+        # against ITS OWN validation sentence
+        t_idx = np.flatnonzero(np.asarray(train.counts) > 0)
+        v_idx = np.flatnonzero(np.asarray(val.counts) > 0)
+        train_means = np.asarray(train.lengths_means)[t_idx]
+        val_means = np.asarray(val.lengths_means)[v_idx]
+        best_matches = t_idx[
+            np.argmin(
+                np.abs(val_means[None, :] - train_means[:, None]), axis=0
+            )
+        ]
         wer = float(
             np.mean(
                 wer_vector(
-                    train.unique_sentences,
+                    [val.unique_sentences[j] for j in v_idx],
                     [train.unique_sentences[i] for i in best_matches],
                 )
             )
         )
         fig, ax = plt.subplots(figsize=(8, 3))
-        stats = sorted(zip(train.lengths_means, train.lengths_std_errs))
+        stats = sorted(
+            zip(
+                train_means,
+                np.asarray(train.lengths_std_errs)[t_idx],
+            )
+        )
         ax.bar(
             range(len(stats)),
             [m for m, _ in stats],
@@ -399,9 +412,12 @@ class ResultsPlotter:
         subset_counters: dict[str, Counter] = {
             p: Counter() for p in datasets_to_plot
         }
+        # unique sentences per (partition, subset), collected in the
+        # SAME pass as the record counts (one read per block)
         uniques: dict[str, dict[int, set]] = {
             p: {} for p in datasets_to_plot
         }
+        manifest = self.subject.data_manifests.get("decoder_targets")
         for partition in datasets_to_plot:
             for block in sorted(self.subject.block_ids(partition)):
                 desc = self.subject.block_breakdowns.get(block, {})
@@ -412,9 +428,18 @@ class ResultsPlotter:
                     else 0
                 )
                 path = self.subject.data_generator.tf_record_path(block)
-                n = sum(1 for _ in records.read_examples(path))
+                seen = uniques[partition].setdefault(subset, set())
+                n = 0
+                for raw in records.read_examples(path):
+                    n += 1
+                    if manifest is None:
+                        continue
+                    value = raw.get(manifest.sequence_type)
+                    if value is not None:
+                        seen.add(
+                            tuple(np.asarray(manifest.parse(value)).ravel())
+                        )
                 subset_counters[partition][subset] += n
-                uniques[partition].setdefault(subset, set())
         fig, ax = plt.subplots(figsize=(4, 5))
         subsets = sorted(
             set().union(*(c.keys() for c in subset_counters.values()))
@@ -435,7 +460,7 @@ class ResultsPlotter:
                 ]
             else:
                 n_unique = [
-                    self._count_unique_sentences(p, subset)
+                    len(uniques[p].get(subset, ()))
                     for p in datasets_to_plot
                 ]
             heights = np.array(non_unique + n_unique, float)
@@ -455,31 +480,6 @@ class ResultsPlotter:
         ax.legend(frameon=False, fontsize=8)
         self._save(fig, "nums_examples")
         return {p: dict(c) for p, c in subset_counters.items()}
-
-    def _count_unique_sentences(self, partition: str, subset: int) -> int:
-        """Unique sentences among a partition's blocks of one subset."""
-        from .. import records
-
-        seen: set[tuple] = set()
-        manifest = self.subject.data_manifests.get("decoder_targets")
-        if manifest is None:
-            return 0
-        for block in sorted(self.subject.block_ids(partition)):
-            desc = self.subject.block_breakdowns.get(block, {})
-            block_type = str(desc.get("type", "0"))
-            bsub = (
-                int(block_type.rsplit("-", 1)[-1])
-                if block_type.rsplit("-", 1)[-1].isdigit()
-                else 0
-            )
-            if bsub != subset:
-                continue
-            path = self.subject.data_generator.tf_record_path(block)
-            for raw in records.read_examples(path):
-                value = raw.get(manifest.sequence_type)
-                if value is not None:
-                    seen.add(tuple(np.asarray(manifest.parse(value)).ravel()))
-        return len(seen)
 
     def plot_confusions(self, confusions: np.ndarray, class_list=None):
         """Validation confusion heatmap, rebuilt outside any dashboard

@@ -162,6 +162,9 @@ class TFRecordWriter:
         self._f.write(payload)
         self._f.write(struct.pack("<I", masked_crc32c(payload)))
 
+    def flush(self) -> None:
+        self._f.flush()
+
     def close(self) -> None:
         self._f.close()
 

@@ -99,7 +99,7 @@ class SummaryWriter:
         )
 
     def flush(self) -> None:
-        self._writer._f.flush()
+        self._writer.flush()
 
     def close(self) -> None:
         self._writer.close()

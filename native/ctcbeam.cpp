@@ -100,17 +100,23 @@ void* ctcbeam_trie_new() { return new Trie(); }
 
 void ctcbeam_trie_free(void* t) { delete static_cast<Trie*>(t); }
 
-// Register one lexicon word as its phoneme-id expansion.
-void ctcbeam_trie_add(void* t, const int32_t* phonemes, int32_t n,
-                      int32_t word_id) {
+// Register one lexicon word as its phoneme-id expansion.  Returns 1 on
+// success, 0 when an id would not fit the packed beam-key fields
+// (phoneme id > 510 for the 9-bit last+1 slot, or more than 2^23-1
+// trie nodes) — the caller must then discard the trie and fall back to
+// the Python implementation, which has no such limits.
+int32_t ctcbeam_trie_add(void* t, const int32_t* phonemes, int32_t n,
+                         int32_t word_id) {
   Trie& trie = *static_cast<Trie*>(t);
   int32_t node = 0;
   for (int32_t i = 0; i < n; ++i) {
     int32_t p = phonemes[i];
+    if (p < 0 || p > 510) return 0;
     auto& ch = trie.nodes[node].children;
     auto it = std::find_if(ch.begin(), ch.end(),
                            [p](const auto& e) { return e.first == p; });
     if (it == ch.end()) {
+      if (trie.nodes.size() >= size_t(0x800000)) return 0;
       int32_t child = int32_t(trie.nodes.size());
       trie.nodes.emplace_back();
       // re-fetch: emplace_back may reallocate nodes (and thus ch)
@@ -121,6 +127,7 @@ void ctcbeam_trie_add(void* t, const int32_t* phonemes, int32_t n,
     }
   }
   trie.nodes[node].words.push_back(word_id);
+  return 1;
 }
 
 void* ctcbeam_state_new(void* t, int32_t beam_width, double bonus) {

@@ -281,6 +281,31 @@ def test_native_beam_mocha_lexicon_score_parity():
         )
 
 
+def test_native_beam_overflow_falls_back_to_python():
+    """Phoneme ids beyond the C++ packed-key field (9 bits for last+1,
+    so id ≤ 510) must NOT silently alias beams: the native trie build
+    reports overflow and CTCWordBeamState degrades to the Python
+    search, which has no id limits."""
+    from ecog2txt_tpu.models.ctc import CTCWordBeamState, _load_native
+
+    if _load_native() is None:
+        pytest.skip("native ctcbeam unavailable")
+    # subword-scale unit ids — far past the packed 9-bit field
+    lexicon = {"big": [600, 601], "units": [602]}
+    trie = LexiconTrie(lexicon)
+    auto = CTCWordBeamState(trie, beam_width=4)  # use_native=None
+    assert auto._h is None  # fell back
+    assert trie._native is False  # cached: don't rebuild per state
+    with pytest.raises(RuntimeError):
+        CTCWordBeamState(trie, beam_width=4, use_native=True)
+    # and the Python path still searches this lexicon correctly
+    K = 603
+    grid = np.full((3, K + 1), -12.0)
+    for t, p in enumerate([600, 601, K]):
+        grid[t, p] = 0.0
+    assert auto.advance(grid).best() == ["big"]
+
+
 def test_native_beam_mocha_chunked_deterministic():
     """Pruned, real lexicon: the native search is deterministic —
     chunked advance reproduces the one-shot advance exactly (same

@@ -64,6 +64,52 @@ def test_perf_vs_training_size_archive(trainer):
     assert res.validation_blocks == [5]
 
 
+@pytest.mark.slow
+def test_perf_vs_training_size_max_host(tmp_path, monkeypatch):
+    """The sweep runs on a host-memory-bounded corpus (max_host_trials)
+    without EVER packing the training partition resident, and records
+    the same seconds-of-speech as the resident sweep (same rng seed →
+    same subsets; both compute from per-trial lengths)."""
+    mp = make_demo_experiment(
+        str(tmp_path / "exp"), subject_ids=(1,), layer_sizes=TINY,
+    )
+
+    def make(extra):
+        return MultiSubjectTrainer(
+            mp, [1],
+            SN_kwargs={"batch_size": 8, "max_dec_len": 10,
+                       "N_epochs": 4, **extra},
+            VERBOSE=False,
+        )
+
+    resident = make({})
+    perf_vs_training_size(
+        resident, num_folds=1, fractions=(0.5, 1.0), num_epochs=2,
+        suffix="res",
+    )
+
+    orig = MultiSubjectTrainer.packed_dataset
+
+    def guarded(self, partition, refresh=False):
+        assert partition != "training", (
+            "max_host sweep packed the training partition resident"
+        )
+        return orig(self, partition, refresh)
+
+    monkeypatch.setattr(MultiSubjectTrainer, "packed_dataset", guarded)
+    perf_vs_training_size(
+        make({"max_host_trials": 8}), num_folds=1,
+        fractions=(0.5, 1.0), num_epochs=2, suffix="host",
+    )
+    results_dir = resident.manifest.resolve("saved_results_dir")
+    res = DecodingResults(results_dir, 1, "res")
+    host = DecodingResults(results_dir, 1, "host")
+    np.testing.assert_array_equal(
+        np.asarray(host.nums_seconds), np.asarray(res.nums_seconds)
+    )
+    assert np.isfinite(np.asarray(host.word_error_rate)).all()
+
+
 def test_sn_kwargs_layer_sizes_override(tmp_path):
     """SN_kwargs['layer_sizes'] overrides the manifest per scope —
     the knob architecture grid sweeps turn (VERDICT r2 #7)."""
