@@ -1407,7 +1407,14 @@ class MultiSubjectTrainer:
         ``update_net_from_saved_model`` → ``recover_model_sizes`` path
         (trainers.py:383-408, 444-554), so "assess any saved model"
         works even when the trainer was constructed with different
-        ``layer_sizes``."""
+        ``layer_sizes``.
+
+        Checkpoints are TOPOLOGY-ELASTIC: restore rebuilds plain host
+        arrays regardless of the mesh the checkpoint was written under,
+        and the next ``fit`` re-places them for THIS trainer's mesh
+        (``_place_state``) — so an ep/tp-sharded run resumes on a
+        different mesh shape, or none (tested: resumed trajectories
+        match across topologies)."""
         import orbax.checkpoint as ocp
 
         from .utils.introspect import _shape_tree

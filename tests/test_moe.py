@@ -348,6 +348,64 @@ def test_trainer_expert_parallel_fit(tmp_path):
     assert w1.sharding.spec == P("model")
 
 
+@pytest.mark.slow
+def test_ep_checkpoint_elastic_resume(tmp_path):
+    """Topology-elastic resume: an ep-sharded checkpoint written on a
+    dp=2 × ep=4 mesh restores onto a DIFFERENT mesh shape (dp=4 × ep=2)
+    — and onto no mesh at all — and both resumed trainers follow the
+    SAME trajectory (restore re-places host arrays; fit's _place_state
+    shards them for whatever mesh the new trainer has)."""
+    import jax
+
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(str(tmp_path / "exp"))
+    base = {
+        "encoder_type": "conformer",
+        "batch_size": 8, "temperature": 0.0,
+        "learning_rate": 3e-3, "N_epochs": 6,
+        "conformer": {"num_blocks": 2, "model_dim": 32,
+                      "num_heads": 2, "ffn_dim": 64,
+                      "chunk_size": 2, "left_context": 1,
+                      "conv_kernel": 2, "moe_experts": 4,
+                      "moe_topk": 2},
+    }
+
+    def make(extra):
+        return MultiSubjectTrainer(
+            mp, [1], SN_kwargs={**base, **extra}, VERBOSE=False
+        )
+
+    first = make({"data_parallel": True, "expert_parallel": 4})
+    assert dict(first.mesh.shape) == {"data": 2, "model": 4}
+    first.fit(assess=False)
+    first.save_checkpoint()
+
+    resumed = {}
+    for name, extra in (
+        ("resharded", {"data_parallel": True, "expert_parallel": 2}),
+        ("unsharded", {}),
+    ):
+        tr = make(extra)
+        tr.restore()
+        assert int(tr.state.epoch) == 6
+        tr.fit(num_epochs=6, assess=False)
+        resumed[name] = tr
+    assert dict(resumed["resharded"].mesh.shape) == {"data": 4, "model": 2}
+    w1 = resumed["resharded"].state.params[
+        "encoder"]["conformer"]["blocks"][0]["ffn2"]["w1"]
+    assert "model" in str(w1.sharding.spec)
+    for a, b in zip(
+        jax.tree.leaves(resumed["resharded"].state.params),
+        jax.tree.leaves(resumed["unsharded"].state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-3, atol=5e-4,
+        )
+
+
 def test_sp_moe_encode_and_aux_parity():
     """Sequence-parallel MoE encode: valid-region outputs AND the aux
     loss equal the single-device encode — the per-shard router stats
