@@ -475,6 +475,7 @@ def apply_block(
     tail: jax.Array | None = None,
     valid: jax.Array | None = None,
     stats_start=None,
+    ep_axis: str | None = None,
 ):
     """One conformer block (½FFN → MHSA → conv → ½FFN → LN).  All blocks
     are the same (B, T, D) → (B, T, D) map with different weights — the
@@ -509,7 +510,7 @@ def apply_block(
         moe_out, stats = moe_ffn(
             block["ffn2"],
             _layernorm(block["ffn2"]["ln"], x),
-            config, cd, tok_valid, stats_valid,
+            config, cd, tok_valid, stats_valid, ep_axis=ep_axis,
         )
         x = x + 0.5 * moe_out
     else:
@@ -531,6 +532,7 @@ def conformer_encode(
     return_aux: bool = False,
     return_moe_stats: bool = False,
     stats_start=None,
+    ep_axis: str | None = None,
 ):
     """Full-sequence (training) or continuation (streaming) encode.
 
@@ -562,10 +564,11 @@ def conformer_encode(
         # activation rematerialization per block (memory ↔ one extra
         # forward); config/cd are static via closure, arrays are args
         def blk(block, x, config, lengths, positions, cd, tail, valid,
-                stats_start=None):
+                stats_start=None, ep_axis=None):
             return jax.checkpoint(
                 lambda b, xx, ln, pos, tl, vd, ss: apply_block(
-                    b, xx, config, ln, pos, cd, tl, vd, stats_start=ss
+                    b, xx, config, ln, pos, cd, tl, vd, stats_start=ss,
+                    ep_axis=ep_axis,
                 )
             )(block, x, lengths, positions, tail, valid, stats_start)
 
@@ -575,7 +578,7 @@ def conformer_encode(
         tail = carry[bi] if carry is not None else None
         x, new_tail, stats = blk(
             block, x, config, lengths, positions, cd, tail, valid,
-            stats_start=stats_start,
+            stats_start=stats_start, ep_axis=ep_axis,
         )
         new_carry.append(new_tail)
         stats_list.append(stats)

@@ -145,11 +145,24 @@ def _experts_dense(p, xn, cd):
     ) + p["b2"].astype(cd)
 
 
-def _moe_nodrop(p, xn, config, cd, valid):
+def _moe_nodrop(p, xn, config, cd, valid, ep_axis=None):
+    """``ep_axis``: manual expert parallelism for shard_map callers
+    (sequence parallelism's ep×sp mesh): ``p``'s expert-stacked leaves
+    hold only THIS device's E/K experts (parallel/expert.py placement),
+    so the combine slices the local experts' columns out of the full
+    (B, T, E) weights and the partial outputs psum over the axis — the
+    no-drop combine is a linear sum over experts, so the psum of local
+    sums IS the full combine.  (GSPMD callers never pass this: sharded
+    einsums partition on their own.)"""
     _, probs, gates, gate_idx = _route(p, xn, config.moe_topk)
-    E = probs.shape[-1]
-    y = _experts_dense(p, xn, cd)  # (B, T, E, D)
+    E = probs.shape[-1]  # router width — the FULL expert count
+    y = _experts_dense(p, xn, cd)  # (B, T, E_local, D)
     w = _combine_weights(gates, gate_idx, E, valid).astype(cd)
+    if ep_axis is not None:
+        E_local = p["w1"].shape[0]
+        k0 = jax.lax.axis_index(ep_axis) * E_local
+        w = jax.lax.dynamic_slice_in_dim(w, k0, E_local, axis=-1)
+        return jax.lax.psum(jnp.einsum("bte,bted->btd", w, y), ep_axis)
     return jnp.einsum("bte,bted->btd", w, y)
 
 
@@ -254,6 +267,7 @@ def moe_ffn(
     cd,
     valid: jax.Array,  # (B, T) bool — tokens inside the recording
     stats_valid: jax.Array | None = None,
+    ep_axis: str | None = None,
 ):
     """Routed MoE FFN.  Returns (out (B, T, D), router stats sums —
     :func:`router_stats`; the caller turns them into the weighted aux
@@ -264,11 +278,23 @@ def moe_ffn(
     to ``valid``).  Sequence parallelism passes a tighter mask here so
     a shard's halo replica — whose MoE outputs must still compute,
     later blocks read them — does not double-count its left neighbor's
-    tokens in the psum-ed balance statistics."""
+    tokens in the psum-ed balance statistics.
+
+    ``ep_axis``: shard_map-manual expert parallelism (see
+    :func:`_moe_nodrop`) — the expert leaves of ``p`` are this device's
+    shard and partial outputs psum over the axis.  The router (``wg``,
+    replicated) and hence the stats are identical on every ``ep_axis``
+    device: callers must psum stats over OTHER axes only."""
     if config.moe_capacity_factor > 0:
+        if ep_axis is not None:
+            raise ValueError(
+                "manual expert parallelism (ep_axis) supports the exact "
+                "no-drop path only; the capacity dispatch shards via "
+                "GSPMD (trainer expert_parallel without sequence_parallel)"
+            )
         out = _moe_capacity(p, xn, config, cd, valid)
     else:
-        out = _moe_nodrop(p, xn, config, cd, valid)
+        out = _moe_nodrop(p, xn, config, cd, valid, ep_axis=ep_axis)
     # stats on their own (cheap) router pass — XLA CSEs it with the
     # one inside the compute path (identical subgraph, same operands)
     logits, probs, _, gate_idx = _route(p, xn, config.moe_topk)

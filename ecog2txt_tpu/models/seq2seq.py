@@ -374,7 +374,11 @@ def encode(
             # every length and are masked/dropped
             from ..parallel.sequence import sequence_parallel_encode
 
-            mesh, axis = sp
+            # sp=(mesh, axis) — or (mesh, axis, ep_axis) for the ep×sp
+            # 2-D mesh: MoE expert leaves sharded over ep_axis INSIDE
+            # the time-sharded encode (parallel/sequence.py)
+            mesh, axis = sp[0], sp[1]
+            ep_axis = sp[2] if len(sp) > 2 else None
             Tq = xs_bm.shape[1]
             mult = mesh.shape[axis] * ccfg.chunk_size
             padT = (-Tq) % mult
@@ -385,6 +389,7 @@ def encode(
                     params["encoder"]["conformer"], ccfg, xs_bm, mesh,
                     axis=axis, lengths=enc_lengths,
                     compute_dtype=config.compute_dtype, return_aux=True,
+                    ep_axis=ep_axis,
                 )
                 out_bm = out_bm[:, :Tq]
             else:

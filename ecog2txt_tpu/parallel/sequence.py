@@ -60,6 +60,7 @@ def sequence_parallel_encode(
     lengths: jax.Array | None = None,
     compute_dtype=jnp.float32,
     return_aux: bool = False,
+    ep_axis: str | None = None,
 ):
     """Encode ``xs`` with its time axis sharded over ``mesh[axis]``.
 
@@ -78,6 +79,15 @@ def sequence_parallel_encode(
     positions the owning shard already counts, so they are EXCLUDED
     from the halo replica's statistics (masked by position) — no
     double counting.
+
+    ``ep_axis`` (MoE conformer): EXPERT parallelism composed with the
+    time sharding — the ep×sp 2-D mesh for long-recording MoE training.
+    The expert-stacked leaves enter the shard_map split over
+    ``mesh[ep_axis]`` (parallel/expert.py specs), each device runs only
+    its E/K experts on its time shard, and the no-drop combine's
+    partial outputs psum over ``ep_axis`` (models/moe.py::_moe_nodrop).
+    The router is replicated, so its statistics are identical along
+    ``ep_axis`` and still psum over ``axis`` only.
     """
     if config.moe_experts and config.moe_capacity_factor > 0:
         raise ValueError(
@@ -86,6 +96,8 @@ def sequence_parallel_encode(
             "dispatch-group population, which differs between a time "
             "shard's halo window and the offline encode"
         )
+    if ep_axis is not None and not config.moe_experts:
+        raise ValueError("ep_axis requires a MoE conformer (moe_experts)")
     n = mesh.shape[axis]
     B, T, _ = xs.shape
     halo = halo_steps(config)
@@ -100,8 +112,10 @@ def sequence_parallel_encode(
             f"(or this recording is too short for sequence parallelism)"
         )
 
-    def body(x_local, lengths_local):
-        # x_local: (B, S, in_dim) — this device's contiguous time shard
+    def body(local_params, x_local, lengths_local):
+        # x_local: (B, S, in_dim) — this device's contiguous time shard;
+        # local_params: replicated, except the expert leaves under
+        # ep_axis (this device's E/K experts)
         idx = jax.lax.axis_index(axis)
         # ship my tail to my right neighbor; the first shard receives
         # zeros (no source), masked out by negative absolute positions
@@ -114,13 +128,14 @@ def sequence_parallel_encode(
         offset = idx * S - halo
         if not return_aux:
             out, _ = conformer_encode(
-                params,
+                local_params,
                 config,
                 window,
                 lengths=lengths_local,
                 position_offset=offset,
                 compute_dtype=compute_dtype,
                 mask_invalid=True,
+                ep_axis=ep_axis,
             )
             return out[:, halo:]
         # MoE: router stats must count every recording token exactly
@@ -130,7 +145,7 @@ def sequence_parallel_encode(
         # tokens' MoE outputs still compute normally (later blocks'
         # attention reads them), they just don't count twice.
         out, _, stats = conformer_encode(
-            params,
+            local_params,
             config,
             window,
             lengths=lengths_local,
@@ -139,7 +154,10 @@ def sequence_parallel_encode(
             mask_invalid=True,
             return_moe_stats=True,
             stats_start=idx * S,
+            ep_axis=ep_axis,
         )
+        # over the TIME axis only: the replicated router makes every
+        # ep_axis device compute identical statistics
         stats = jax.lax.psum(stats, axis)
         from ..models.conformer import moe_aux_from_stats
 
@@ -154,12 +172,23 @@ def sequence_parallel_encode(
         xs = jax.lax.with_sharding_constraint(xs, sharding)
     else:
         xs = jax.device_put(xs, sharding)
+    if ep_axis is not None:
+        from .expert import ep_spec
+
+        param_specs = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: ep_spec(
+                path, leaf, config.moe_experts, ep_axis
+            ),
+            params,
+        )
+    else:
+        param_specs = jax.tree.map(lambda _: P(), params)
     out_specs = (
         (P(None, axis, None), P()) if return_aux else P(None, axis, None)
     )
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None)),
+        in_specs=(param_specs, P(None, axis, None), P(None)),
         out_specs=out_specs,
-    )(xs, lengths)
+    )(params, xs, lengths)

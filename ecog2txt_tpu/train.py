@@ -599,19 +599,29 @@ class MultiSubjectTrainer:
                     f"expert_parallel={n_ep} must divide evenly into "
                     f"moe_experts={ccfg.moe_experts}"
                 )
-            if n_pp > 1 or n_seq > 1:
+            if n_pp > 1:
                 raise ValueError(
-                    "expert_parallel composes with data_parallel only"
+                    "expert_parallel composes with data_parallel and "
+                    "sequence_parallel, not pipeline_parallel"
                 )
             from .parallel import make_mesh
 
+            # ep (GSPMD expert sharding) alone, dp × ep, or the ep × sp
+            # 2-D mesh (long-recording MoE training: expert leaves
+            # sharded over 'model' INSIDE the time-sharded encode —
+            # parallel/sequence.py manual-psum combine); dp composes
+            # with either
             n_data = (
-                len(jax.devices()) // n_ep
+                len(jax.devices()) // (n_ep * max(n_seq, 1))
                 if self.SN_kwargs.get("data_parallel")
                 else 1
             )
-            self.mesh = make_mesh(n_data=max(n_data, 1), n_model=n_ep)
+            self.mesh = make_mesh(
+                n_data=max(n_data, 1), n_model=n_ep, n_seq=max(n_seq, 1)
+            )
             self.ep = ("model", int(ccfg.moe_experts))
+            if n_seq > 1:
+                self.sp = (self.mesh, "seq", "model")
         elif n_tp > 1:
             from .parallel import make_mesh
 
