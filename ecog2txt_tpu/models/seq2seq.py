@@ -401,13 +401,18 @@ def encode(
         elif pp is not None:
             from ..parallel.pipeline import pipeline_conformer_encode
 
-            mesh, axis, microbatches = pp
+            # pp=(mesh, axis, microbatches) — or (mesh, axis, M,
+            # ep_axis) for ep×pp: MoE expert leaves sharded over
+            # ep_axis inside each pipeline stage (parallel/pipeline.py)
+            mesh, axis, microbatches = pp[0], pp[1], pp[2]
+            pp_ep_axis = pp[3] if len(pp) > 3 else None
             if ccfg.moe_experts:
                 out_bm, moe_aux = pipeline_conformer_encode(
                     params["encoder"]["conformer"], ccfg, xs_bm, mesh,
                     axis=axis, microbatches=microbatches,
                     lengths=enc_lengths,
                     compute_dtype=config.compute_dtype, return_aux=True,
+                    ep_axis=pp_ep_axis,
                 )
             else:
                 out_bm = pipeline_conformer_encode(

@@ -59,6 +59,28 @@ def stack_block_params(params: dict, n_stages: int):
     )
 
 
+def _stacked_spec(path, leaf, config, axis, ep_axis):
+    """PartitionSpec for one STACKED block leaf: stage axis on dim 0;
+    under ep×pp the expert-stacked MoE leaves (dims (S, blocks/stage,
+    E, ...)) additionally shard their expert dim over ``ep_axis``."""
+    if ep_axis is not None:
+        keys = [
+            p.key for p in path if isinstance(p, jax.tree_util.DictKey)
+        ]
+        from .expert import _EP_KEYS
+
+        if (
+            "ffn2" in keys
+            and keys
+            and keys[-1] in _EP_KEYS
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 3
+            and leaf.shape[2] == config.moe_experts
+        ):
+            return P(axis, None, ep_axis)
+    return P(axis)
+
+
 def pipeline_conformer_encode(
     params: dict,
     config: ConformerConfig,
@@ -70,6 +92,7 @@ def pipeline_conformer_encode(
     compute_dtype=jnp.float32,
     stacked_params=None,
     return_aux: bool = False,
+    ep_axis: str | None = None,
 ):
     """Encode with the block stack pipelined over ``mesh[axis]``.
 
@@ -92,14 +115,30 @@ def pipeline_conformer_encode(
     P(axis))`` — so each chip keeps only its stage's weights resident;
     without it, every call re-stacks and re-shards the full parameter
     set (fine for a one-off, wasteful per batch).
+
+    ``ep_axis`` (MoE conformer, no-drop path): expert parallelism
+    composed with the pipeline — the stacked expert leaves additionally
+    shard their expert dim over ``mesh[ep_axis]``, each (stage, expert-
+    shard) device runs its E/K experts, and the no-drop combine's
+    partial outputs psum over ``ep_axis`` inside every block
+    (models/moe.py::_moe_nodrop).  The replicated router keeps the
+    statistics identical along ``ep_axis``.
     """
+    if ep_axis is not None and not config.moe_experts:
+        raise ValueError("ep_axis requires a MoE conformer (moe_experts)")
     S = mesh.shape[axis]
     M = microbatches or S
     B, T, _ = xs.shape
     if stacked_params is None:
-        stacked_params = jax.device_put(
-            stack_block_params(params, S),  # validates the stage split
-            NamedSharding(mesh, P(axis)),
+        stacked = stack_block_params(params, S)  # validates the split
+        stacked_params = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.device_put(
+                leaf,
+                NamedSharding(
+                    mesh, _stacked_spec(path, leaf, config, axis, ep_axis)
+                ),
+            ),
+            stacked,
         )
     if B % M:
         raise ValueError(f"batch {B} does not split into {M} microbatches")
@@ -155,7 +194,8 @@ def pipeline_conformer_encode(
             for j in range(blocks_per_stage):
                 blk = jax.tree.map(lambda a: a[j], stage_blocks)
                 y, _, stats = apply_block(
-                    blk, y, config, y_len, positions, cd
+                    blk, y, config, y_len, positions, cd,
+                    ep_axis=ep_axis,
                 )
                 if moe and stats is not None:
                     # this stage's REAL microbatch at tick t is t−s;
@@ -196,10 +236,14 @@ def pipeline_conformer_encode(
 
     mb_spec = P(None, data_axis) if data_axis else P()
     out_specs = (mb_spec, P()) if moe else mb_spec
+    stacked_specs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _stacked_spec(path, leaf, config, axis, ep_axis),
+        stacked_params,
+    )
     res = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis), mb_spec, mb_spec),
+        in_specs=(stacked_specs, mb_spec, mb_spec),
         out_specs=out_specs,
     )(stacked_params, x_mb, len_mb)
     if moe:

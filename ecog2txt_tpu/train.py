@@ -550,21 +550,30 @@ class MultiSubjectTrainer:
             # dp × pp (the standard 2-D pipeline shape): a 'data' axis
             # shards every microbatch's batch dim; stage weights stay
             # replicated over it, so shard_map AD emits the gradient
-            # all-reduce on its own (parallel/pipeline.py)
+            # all-reduce on its own (parallel/pipeline.py).  With
+            # expert_parallel too (ep × pp), a third 'model' axis
+            # shards the MoE expert dim inside every stage.
+            n_ep_pp = int(self.SN_kwargs.get("expert_parallel") or 0)
+            n_ep_pp = n_ep_pp if n_ep_pp > 1 else 1
             n_data = (
-                len(jax.devices()) // n_pp
+                len(jax.devices()) // (n_pp * n_ep_pp)
                 if self.SN_kwargs.get("data_parallel")
                 else 1
             )
             n_data = max(n_data, 1)
-            pp_mesh = Mesh(
-                np.array(jax.devices()[: n_data * n_pp]).reshape(
-                    n_data, n_pp
-                ),
-                ("data", "pp"),
-            )
+            devs = np.array(jax.devices()[: n_data * n_pp * n_ep_pp])
             M = int(self.SN_kwargs.get("pipeline_microbatches") or n_pp)
-            self.pp = (pp_mesh, "pp", M)
+            if n_ep_pp > 1:
+                pp_mesh = Mesh(
+                    devs.reshape(n_data, n_pp, n_ep_pp),
+                    ("data", "pp", "model"),
+                )
+                self.pp = (pp_mesh, "pp", M, "model")
+            else:
+                pp_mesh = Mesh(
+                    devs.reshape(n_data, n_pp), ("data", "pp")
+                )
+                self.pp = (pp_mesh, "pp", M)
             self.mesh = pp_mesh
         # SN_kwargs expert_parallel=K shards the MoE conformer's expert
         # axis over K devices (parallel/expert.py): expert weights AND
@@ -600,28 +609,37 @@ class MultiSubjectTrainer:
                     f"moe_experts={ccfg.moe_experts}"
                 )
             if n_pp > 1:
-                raise ValueError(
-                    "expert_parallel composes with data_parallel and "
-                    "sequence_parallel, not pipeline_parallel"
-                )
-            from .parallel import make_mesh
+                # ep × pp: the (data, pp, model) mesh and the 4-tuple
+                # pp spec were built in the pipeline branch above; the
+                # expert leaves of the UNSTACKED resting params shard
+                # over 'model' via _place_state as usual
+                if ccfg.moe_capacity_factor > 0:
+                    raise ValueError(
+                        "expert_parallel × pipeline_parallel requires "
+                        "the exact no-drop MoE path "
+                        "(moe_capacity_factor=0)"
+                    )
+                self.ep = ("model", int(ccfg.moe_experts))
+            else:
+                from .parallel import make_mesh
 
-            # ep (GSPMD expert sharding) alone, dp × ep, or the ep × sp
-            # 2-D mesh (long-recording MoE training: expert leaves
-            # sharded over 'model' INSIDE the time-sharded encode —
-            # parallel/sequence.py manual-psum combine); dp composes
-            # with either
-            n_data = (
-                len(jax.devices()) // (n_ep * max(n_seq, 1))
-                if self.SN_kwargs.get("data_parallel")
-                else 1
-            )
-            self.mesh = make_mesh(
-                n_data=max(n_data, 1), n_model=n_ep, n_seq=max(n_seq, 1)
-            )
-            self.ep = ("model", int(ccfg.moe_experts))
-            if n_seq > 1:
-                self.sp = (self.mesh, "seq", "model")
+                # ep (GSPMD expert sharding) alone, dp × ep, or the
+                # ep × sp 2-D mesh (long-recording MoE training: expert
+                # leaves sharded over 'model' INSIDE the time-sharded
+                # encode — parallel/sequence.py manual-psum combine);
+                # dp composes with either
+                n_data = (
+                    len(jax.devices()) // (n_ep * max(n_seq, 1))
+                    if self.SN_kwargs.get("data_parallel")
+                    else 1
+                )
+                self.mesh = make_mesh(
+                    n_data=max(n_data, 1), n_model=n_ep,
+                    n_seq=max(n_seq, 1),
+                )
+                self.ep = ("model", int(ccfg.moe_experts))
+                if n_seq > 1:
+                    self.sp = (self.mesh, "seq", "model")
         elif n_tp > 1:
             from .parallel import make_mesh
 
