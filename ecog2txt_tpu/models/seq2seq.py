@@ -368,7 +368,41 @@ def encode(
         ccfg = config.conformer or ConformerConfig()
         moe_aux = jnp.zeros((), jnp.float32)
         xs_bm = jnp.moveaxis(xs, 0, 1)  # (B, T', F)
-        if sp is not None:
+        if sp is not None and pp is not None:
+            # sp × pp: time shards (halo ppermute over sp's axis) flow
+            # through the GPipe block ring (pp's axis) — one shard_map
+            # over both axes (parallel/sp_pp.py).  Expert parallelism
+            # does not compose 3-ways here.
+            from ..parallel.sp_pp import sp_pp_conformer_encode
+
+            if len(sp) > 2 or len(pp) > 3:
+                raise ValueError(
+                    "expert_parallel does not compose with "
+                    "sequence_parallel × pipeline_parallel"
+                )
+            mesh, seq_axis = sp[0], sp[1]
+            pp_axis, microbatches = pp[1], pp[2]
+            Tq = xs_bm.shape[1]
+            mult = mesh.shape[seq_axis] * ccfg.chunk_size
+            padT = (-Tq) % mult
+            if padT:
+                xs_bm = jnp.pad(xs_bm, ((0, 0), (0, padT), (0, 0)))
+            if ccfg.moe_experts:
+                out_bm, moe_aux = sp_pp_conformer_encode(
+                    params["encoder"]["conformer"], ccfg, xs_bm, mesh,
+                    seq_axis=seq_axis, pp_axis=pp_axis,
+                    microbatches=microbatches, lengths=enc_lengths,
+                    compute_dtype=config.compute_dtype, return_aux=True,
+                )
+                out_bm = out_bm[:, :Tq]
+            else:
+                out_bm = sp_pp_conformer_encode(
+                    params["encoder"]["conformer"], ccfg, xs_bm, mesh,
+                    seq_axis=seq_axis, pp_axis=pp_axis,
+                    microbatches=microbatches, lengths=enc_lengths,
+                    compute_dtype=config.compute_dtype,
+                )[:, :Tq]
+        elif sp is not None:
             # time-sharded encode (one input-halo ppermute); pad the
             # step axis to the shard×chunk grid — pad steps sit beyond
             # every length and are masked/dropped

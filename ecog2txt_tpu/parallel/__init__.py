@@ -24,3 +24,6 @@ from .pipeline import (  # noqa: F401
     pipeline_conformer_encode,
     stack_block_params,
 )
+from .sp_pp import (  # noqa: F401
+    sp_pp_conformer_encode,
+)

@@ -540,11 +540,6 @@ class MultiSubjectTrainer:
                 raise ValueError(
                     "pipeline_parallel requires encoder_type='conformer'"
                 )
-            if n_seq > 1:
-                raise ValueError(
-                    "pipeline_parallel does not compose with "
-                    "sequence_parallel (pick one)"
-                )
             from jax.sharding import Mesh
 
             # dp × pp (the standard 2-D pipeline shape): a 'data' axis
@@ -552,24 +547,41 @@ class MultiSubjectTrainer:
             # replicated over it, so shard_map AD emits the gradient
             # all-reduce on its own (parallel/pipeline.py).  With
             # expert_parallel too (ep × pp), a third 'model' axis
-            # shards the MoE expert dim inside every stage.
+            # shards the MoE expert dim inside every stage.  With
+            # sequence_parallel too (sp × pp), a 'seq' axis time-shards
+            # the halo windows flowing through the ring
+            # (parallel/sp_pp.py); ep does not compose 3-ways with it.
             n_ep_pp = int(self.SN_kwargs.get("expert_parallel") or 0)
             n_ep_pp = n_ep_pp if n_ep_pp > 1 else 1
+            if n_seq > 1 and n_ep_pp > 1:
+                raise ValueError(
+                    "expert_parallel does not compose with "
+                    "sequence_parallel × pipeline_parallel (pick two)"
+                )
             n_data = (
-                len(jax.devices()) // (n_pp * n_ep_pp)
+                len(jax.devices()) // (n_pp * n_ep_pp * max(n_seq, 1))
                 if self.SN_kwargs.get("data_parallel")
                 else 1
             )
             n_data = max(n_data, 1)
-            devs = np.array(jax.devices()[: n_data * n_pp * n_ep_pp])
             M = int(self.SN_kwargs.get("pipeline_microbatches") or n_pp)
-            if n_ep_pp > 1:
+            if n_seq > 1:
+                devs = np.array(jax.devices()[: n_data * n_seq * n_pp])
+                pp_mesh = Mesh(
+                    devs.reshape(n_data, n_seq, n_pp),
+                    ("data", "seq", "pp"),
+                )
+                self.pp = (pp_mesh, "pp", M)
+                self.sp = (pp_mesh, "seq")
+            elif n_ep_pp > 1:
+                devs = np.array(jax.devices()[: n_data * n_pp * n_ep_pp])
                 pp_mesh = Mesh(
                     devs.reshape(n_data, n_pp, n_ep_pp),
                     ("data", "pp", "model"),
                 )
                 self.pp = (pp_mesh, "pp", M, "model")
             else:
+                devs = np.array(jax.devices()[: n_data * n_pp])
                 pp_mesh = Mesh(
                     devs.reshape(n_data, n_pp), ("data", "pp")
                 )

@@ -652,6 +652,70 @@ def test_ep_pp_encode_and_aux_parity():
         )
 
 
+def test_sp_pp_encode_and_aux_parity():
+    """sp × pp: the time axis sharded over 'seq' (one input-halo
+    ppermute) WHILE the block stack pipelines over 'pp' (GPipe ring) —
+    halo windows flow through every stage, so the local span's outputs
+    are exact.  Outputs, MoE aux (halo + fill/drain ticks excluded from
+    the stats), and gradients all equal the single-device encode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import halo_steps, sp_pp_conformer_encode
+
+    for moe in (True, False):
+        ccfg = _ccfg(num_blocks=4) if moe else _ccfg(
+            num_blocks=4, moe_experts=0
+        )
+        p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 8)
+        mesh = Mesh(
+            np.array(jax.devices()[:4]).reshape(2, 2), ("seq", "pp")
+        )
+        n = 2
+        T = n * max(halo_steps(ccfg), 2 * ccfg.chunk_size)
+        B = 4
+        xs = jax.random.normal(jax.random.PRNGKey(3), (B, T, 8))
+        lens = jnp.asarray([T, T - 10, T, T // 2])
+        m = (np.arange(T)[None, :] < np.asarray(lens)[:, None])[..., None]
+        ref, _, aux_ref = cf.conformer_encode(
+            p, ccfg, xs, lens, return_aux=True
+        )
+        res = sp_pp_conformer_encode(
+            p, ccfg, xs, mesh, seq_axis="seq", pp_axis="pp",
+            microbatches=2, lengths=lens, return_aux=moe,
+        )
+        out, aux = res if moe else (res, None)
+        np.testing.assert_allclose(
+            np.asarray(out) * m, np.asarray(ref) * m, rtol=1e-4, atol=1e-4
+        )
+        if moe:
+            np.testing.assert_allclose(
+                float(aux), float(aux_ref), rtol=1e-5
+            )
+
+            def loss_sppp(p):
+                o, a = sp_pp_conformer_encode(
+                    p, ccfg, xs, mesh, seq_axis="seq", pp_axis="pp",
+                    microbatches=2, lengths=lens, return_aux=True,
+                )
+                return jnp.sum((o * m) ** 2) * 1e-3 + a
+
+            def loss_1(p):
+                o, _, a = cf.conformer_encode(
+                    p, ccfg, xs, lens, return_aux=True
+                )
+                return jnp.sum((o * m) ** 2) * 1e-3 + a
+
+            g_sppp = jax.jit(jax.grad(loss_sppp))(p)
+            g_1 = jax.jit(jax.grad(loss_1))(p)
+            for a, b in zip(jax.tree.leaves(g_1), jax.tree.leaves(g_sppp)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+                )
+
+
 @pytest.mark.slow
 def test_trainer_ep_pp_fit(tmp_path):
     """SN_kwargs expert_parallel × pipeline_parallel (+dp) builds the

@@ -134,7 +134,9 @@ def test_trainer_pipeline_parallel_fit(tmp_path, rng):
     assert loss1 < loss0
 
 
-def test_pp_does_not_compose_with_sp(tmp_path):
+def test_composition_limits(tmp_path):
+    """The documented refusals that remain: tp composes with dp only,
+    and ep does not compose 3-ways with sp × pp."""
     from ecog2txt_tpu.demo import make_demo_experiment
     from ecog2txt_tpu.train import MultiSubjectTrainer
 
@@ -144,7 +146,7 @@ def test_pp_does_not_compose_with_sp(tmp_path):
             manifest, [1],
             SN_kwargs={
                 "encoder_type": "conformer",
-                "pipeline_parallel": 2,
+                "tensor_parallel": 2,
                 "sequence_parallel": 2,
             },
         )
@@ -153,8 +155,10 @@ def test_pp_does_not_compose_with_sp(tmp_path):
             manifest, [1],
             SN_kwargs={
                 "encoder_type": "conformer",
-                "tensor_parallel": 2,
+                "pipeline_parallel": 2,
                 "sequence_parallel": 2,
+                "expert_parallel": 2,
+                "conformer": {"moe_experts": 4},
             },
         )
 
@@ -229,6 +233,54 @@ def test_trainer_dp_pp_fit(tmp_path, rng):
     )
     assert dict(trainer.mesh.shape) == {"data": 4, "pp": 2}
     assert trainer.pp is not None and trainer.pp[1] == "pp"
+
+    def probe_loss():
+        data = trainer.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, _ = seq2seq_loss(
+            trainer.state.params, trainer.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss)
+
+    loss0 = probe_loss()
+    trainer.fit(assess=False)
+    loss1 = probe_loss()
+    assert np.isfinite(loss1)
+    assert loss1 < loss0
+
+
+@pytest.mark.slow
+def test_trainer_sp_pp_fit(tmp_path, rng):
+    """SN_kwargs sequence_parallel=2 × pipeline_parallel=2 (+dp) builds
+    the (data=2, seq=2, pp=2) mesh and trains through halo-windowed
+    microbatches flowing around the GPipe ring (parallel/sp_pp.py)."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    manifest = make_demo_experiment(str(tmp_path / "exp"))
+    trainer = MultiSubjectTrainer(
+        manifest,
+        [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "sequence_parallel": 2,
+            "pipeline_parallel": 2,
+            "pipeline_microbatches": 2,
+            "data_parallel": True,
+            "conformer": dict(
+                num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+                conv_kernel=2, chunk_size=2, left_context=1,
+            ),
+            "N_epochs": 30,
+            "batch_size": 8,
+            "learning_rate": 3e-3,
+        },
+    )
+    assert dict(trainer.mesh.shape) == {"data": 2, "seq": 2, "pp": 2}
+    assert trainer.sp == (trainer.mesh, "seq")
+    assert trainer.pp == (trainer.mesh, "pp", 2)
 
     def probe_loss():
         data = trainer.device_data("training")
