@@ -371,16 +371,16 @@ def encode(
         if sp is not None and pp is not None:
             # sp × pp: time shards (halo ppermute over sp's axis) flow
             # through the GPipe block ring (pp's axis) — one shard_map
-            # over both axes (parallel/sp_pp.py).  Expert parallelism
-            # does not compose 3-ways here.
+            # over both axes (parallel/sp_pp.py).  With
+            # sp=(mesh, axis, ep_axis) the MoE expert dim additionally
+            # shards over ep_axis INSIDE every stage — the 3-way
+            # ep × sp × pp composition.
             from ..parallel.sp_pp import sp_pp_conformer_encode
 
-            if len(sp) > 2 or len(pp) > 3:
-                raise ValueError(
-                    "expert_parallel does not compose with "
-                    "sequence_parallel × pipeline_parallel"
-                )
             mesh, seq_axis = sp[0], sp[1]
+            ep_axis = sp[2] if len(sp) > 2 else (
+                pp[3] if len(pp) > 3 else None
+            )
             pp_axis, microbatches = pp[1], pp[2]
             Tq = xs_bm.shape[1]
             mult = mesh.shape[seq_axis] * ccfg.chunk_size
@@ -393,6 +393,7 @@ def encode(
                     seq_axis=seq_axis, pp_axis=pp_axis,
                     microbatches=microbatches, lengths=enc_lengths,
                     compute_dtype=config.compute_dtype, return_aux=True,
+                    ep_axis=ep_axis,
                 )
                 out_bm = out_bm[:, :Tq]
             else:

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.conformer import ConformerConfig, apply_block
-from .pipeline import stack_block_params
+from .pipeline import _stacked_spec, stack_block_params
 from .sequence import halo_steps
 
 
@@ -49,6 +49,7 @@ def sp_pp_conformer_encode(
     lengths: jax.Array | None = None,
     compute_dtype=jnp.float32,
     return_aux: bool = False,
+    ep_axis: str | None = None,
 ):
     """Encode with time sharded over ``mesh[seq_axis]`` and the block
     stack pipelined over ``mesh[pp_axis]``.
@@ -66,7 +67,19 @@ def sp_pp_conformer_encode(
     (position mask) and fill/drain ticks (tick mask), psum over
     ``data``+``seq`` BEFORE the nonlinear per-block loss, and the
     stage-local losses psum over the ring.
+
+    ``ep_axis`` (MoE conformer, no-drop path): the ep × sp × pp 3-D
+    composition — the STACKED stage weights' expert dims additionally
+    shard over ``mesh[ep_axis]`` (same per-leaf specs as ep × pp,
+    ``pipeline._stacked_spec``), each (seq, pp, expert-shard) device
+    runs its E/K experts on its halo window inside its stage, and the
+    no-drop combine's partial outputs psum over ``ep_axis`` inside
+    every block (``models/moe.py::_moe_nodrop``).  The router is
+    replicated over ``ep_axis``, so the statistics stay identical
+    along it and still psum over ``data``+``seq`` only.
     """
+    if ep_axis is not None and not config.moe_experts:
+        raise ValueError("ep_axis requires a MoE conformer (moe_experts)")
     if config.moe_experts and config.moe_capacity_factor > 0:
         raise ValueError(
             "sp × pp requires the exact no-drop MoE path "
@@ -104,9 +117,14 @@ def sp_pp_conformer_encode(
         )
     cd = compute_dtype
     blocks_per_stage = config.num_blocks // S_pp
-    stacked_params = jax.device_put(
+    stacked_params = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(
+            leaf,
+            NamedSharding(
+                mesh, _stacked_spec(path, leaf, config, pp_axis, ep_axis)
+            ),
+        ),
         stack_block_params(params, S_pp),  # validates the stage split
-        NamedSharding(mesh, P(pp_axis)),
     )
     W = halo + S_loc  # per-device window steps
     D = params["in_proj"]["w"].shape[-1]
@@ -157,6 +175,7 @@ def sp_pp_conformer_encode(
                 y, _, stats = apply_block(
                     blk, y, config, y_len, positions, cd,
                     valid=valid, stats_start=sidx * S_loc,
+                    ep_axis=ep_axis,
                 )
                 if moe and stats is not None:
                     real = (t >= pidx) & (t - pidx < M)
@@ -195,10 +214,14 @@ def sp_pp_conformer_encode(
     out_spec = x_spec
     out_specs = (out_spec, P()) if moe else out_spec
     in_proj_specs = jax.tree.map(lambda _: P(), params["in_proj"])
+    stacked_specs = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _stacked_spec(path, leaf, config, pp_axis, ep_axis),
+        stacked_params,
+    )
     res = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(pp_axis), in_proj_specs, x_spec, len_spec),
+        in_specs=(stacked_specs, in_proj_specs, x_spec, len_spec),
         out_specs=out_specs,
     )(stacked_params, params["in_proj"], xs, lengths)
     return res

@@ -550,14 +550,13 @@ class MultiSubjectTrainer:
             # shards the MoE expert dim inside every stage.  With
             # sequence_parallel too (sp × pp), a 'seq' axis time-shards
             # the halo windows flowing through the ring
-            # (parallel/sp_pp.py); ep does not compose 3-ways with it.
+            # (parallel/sp_pp.py).  All three together (ep × sp × pp)
+            # build the full (data, seq, pp, model) 4-D mesh — the
+            # stacked stage weights' expert dims shard
+            # P('pp', None, 'model') and the no-drop combine psums over
+            # 'model' inside every stage.
             n_ep_pp = int(self.SN_kwargs.get("expert_parallel") or 0)
             n_ep_pp = n_ep_pp if n_ep_pp > 1 else 1
-            if n_seq > 1 and n_ep_pp > 1:
-                raise ValueError(
-                    "expert_parallel does not compose with "
-                    "sequence_parallel × pipeline_parallel (pick two)"
-                )
             n_data = (
                 len(jax.devices()) // (n_pp * n_ep_pp * max(n_seq, 1))
                 if self.SN_kwargs.get("data_parallel")
@@ -565,7 +564,17 @@ class MultiSubjectTrainer:
             )
             n_data = max(n_data, 1)
             M = int(self.SN_kwargs.get("pipeline_microbatches") or n_pp)
-            if n_seq > 1:
+            if n_seq > 1 and n_ep_pp > 1:
+                devs = np.array(
+                    jax.devices()[: n_data * n_seq * n_pp * n_ep_pp]
+                )
+                pp_mesh = Mesh(
+                    devs.reshape(n_data, n_seq, n_pp, n_ep_pp),
+                    ("data", "seq", "pp", "model"),
+                )
+                self.pp = (pp_mesh, "pp", M)
+                self.sp = (pp_mesh, "seq", "model")
+            elif n_seq > 1:
                 devs = np.array(jax.devices()[: n_data * n_seq * n_pp])
                 pp_mesh = Mesh(
                     devs.reshape(n_data, n_seq, n_pp),
@@ -621,10 +630,11 @@ class MultiSubjectTrainer:
                     f"moe_experts={ccfg.moe_experts}"
                 )
             if n_pp > 1:
-                # ep × pp: the (data, pp, model) mesh and the 4-tuple
-                # pp spec were built in the pipeline branch above; the
-                # expert leaves of the UNSTACKED resting params shard
-                # over 'model' via _place_state as usual
+                # ep × pp (or ep × sp × pp): the mesh and the pp/sp
+                # specs were built in the pipeline branch above (the
+                # ep axis rides pp[3], or sp[2] when a 'seq' axis is
+                # present); the expert leaves of the UNSTACKED resting
+                # params shard over 'model' via _place_state as usual
                 if ccfg.moe_capacity_factor > 0:
                     raise ValueError(
                         "expert_parallel × pipeline_parallel requires "

@@ -716,6 +716,118 @@ def test_sp_pp_encode_and_aux_parity():
                 )
 
 
+def test_ep_sp_pp_encode_and_aux_parity():
+    """ep × sp × pp (the full 3-way): halo time shards over 'seq' flow
+    through the GPipe ring over 'pp' while every stage's expert dim
+    shards over 'model' (stacked leaves P('pp', None, 'model'); local
+    E/K experts, partial combines psum over 'model').  Outputs, aux
+    (halo + fill/drain ticks excluded from the router stats), and
+    gradients all equal the single-device encode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import halo_steps, sp_pp_conformer_encode
+
+    ccfg = _ccfg(num_blocks=4)  # 2 blocks/stage, 2 experts/device
+    p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 8)
+    mesh = Mesh(
+        np.array(jax.devices()).reshape(2, 2, 2), ("seq", "pp", "model")
+    )
+    T = 2 * max(halo_steps(ccfg), 2 * ccfg.chunk_size)
+    B = 4
+    xs = jax.random.normal(jax.random.PRNGKey(3), (B, T, 8))
+    lens = jnp.asarray([T, T - 10, T, T // 2])
+    m = (np.arange(T)[None, :] < np.asarray(lens)[:, None])[..., None]
+    ref, _, aux_ref = cf.conformer_encode(p, ccfg, xs, lens, return_aux=True)
+    out, aux = sp_pp_conformer_encode(
+        p, ccfg, xs, mesh, seq_axis="seq", pp_axis="pp",
+        microbatches=2, lengths=lens, return_aux=True, ep_axis="model",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
+
+    def loss_3way(p):
+        o, a = sp_pp_conformer_encode(
+            p, ccfg, xs, mesh, seq_axis="seq", pp_axis="pp",
+            microbatches=2, lengths=lens, return_aux=True,
+            ep_axis="model",
+        )
+        return jnp.sum((o * m) ** 2) * 1e-3 + a
+
+    def loss_1(p):
+        o, _, a = cf.conformer_encode(p, ccfg, xs, lens, return_aux=True)
+        return jnp.sum((o * m) ** 2) * 1e-3 + a
+
+    g_3way = jax.jit(jax.grad(loss_3way))(p)
+    g_1 = jax.jit(jax.grad(loss_1))(p)
+    for a, b in zip(jax.tree.leaves(g_1), jax.tree.leaves(g_3way)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_trainer_ep_sp_pp_fit(tmp_path):
+    """SN_kwargs expert_parallel × sequence_parallel ×
+    pipeline_parallel builds the (data=1, seq=2, pp=2, model=2) 4-D
+    mesh and trains the MoE conformer through the expert-sharded
+    sp × pp encode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.models.seq2seq import seq2seq_loss
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    mp = make_demo_experiment(str(tmp_path / "exp"))
+    tr = MultiSubjectTrainer(
+        mp, [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "sequence_parallel": 2,
+            "pipeline_parallel": 2, "pipeline_microbatches": 2,
+            "expert_parallel": 2,
+            "batch_size": 8, "temperature": 0.0,
+            "learning_rate": 3e-3, "N_epochs": 30,
+            "conformer": {"num_blocks": 2, "model_dim": 32,
+                          "num_heads": 2, "ffn_dim": 64,
+                          "chunk_size": 2, "left_context": 1,
+                          "conv_kernel": 2, "moe_experts": 4,
+                          "moe_topk": 2},
+        },
+        VERBOSE=False,
+    )
+    assert dict(tr.mesh.shape) == {
+        "data": 1, "seq": 2, "pp": 2, "model": 2
+    }
+    assert tr.pp == (tr.mesh, "pp", 2)
+    assert tr.sp == (tr.mesh, "seq", "model")
+    assert tr.ep == ("model", 4)
+
+    def probe():
+        data = tr.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, metrics = seq2seq_loss(
+            tr.state.params, tr.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss), metrics
+
+    loss0, _ = probe()
+    tr.fit(assess=False)
+    loss1, metrics = probe()
+    assert np.isfinite(loss1) and loss1 < loss0
+    assert np.isfinite(float(metrics["moe_aux"]))
+    w1 = tr.state.params["encoder"]["conformer"]["blocks"][0]["ffn2"]["w1"]
+    assert w1.sharding.spec == P("model")
+
+
 @pytest.mark.slow
 def test_trainer_ep_pp_fit(tmp_path):
     """SN_kwargs expert_parallel × pipeline_parallel (+dp) builds the

@@ -135,32 +135,27 @@ def test_trainer_pipeline_parallel_fit(tmp_path, rng):
 
 
 def test_composition_limits(tmp_path):
-    """The documented refusals that remain: tp composes with dp only,
-    and ep does not compose 3-ways with sp × pp."""
+    """The documented refusals that remain: tp composes with dp only
+    (every non-tp subset of {dp, sp, pp, ep} composes, incl. the
+    3-way ep × sp × pp)."""
     from ecog2txt_tpu.demo import make_demo_experiment
     from ecog2txt_tpu.train import MultiSubjectTrainer
 
     manifest = make_demo_experiment(str(tmp_path / "exp"))
-    with pytest.raises(ValueError, match="compose"):
-        MultiSubjectTrainer(
-            manifest, [1],
-            SN_kwargs={
-                "encoder_type": "conformer",
-                "tensor_parallel": 2,
-                "sequence_parallel": 2,
-            },
-        )
-    with pytest.raises(ValueError, match="compose"):
-        MultiSubjectTrainer(
-            manifest, [1],
-            SN_kwargs={
-                "encoder_type": "conformer",
-                "pipeline_parallel": 2,
-                "sequence_parallel": 2,
-                "expert_parallel": 2,
-                "conformer": {"moe_experts": 4},
-            },
-        )
+    for other in (
+        {"sequence_parallel": 2},
+        {"pipeline_parallel": 2},
+        {"expert_parallel": 2, "conformer": {"moe_experts": 4}},
+    ):
+        with pytest.raises(ValueError, match="compose"):
+            MultiSubjectTrainer(
+                manifest, [1],
+                SN_kwargs={
+                    "encoder_type": "conformer",
+                    "tensor_parallel": 2,
+                    **other,
+                },
+            )
 
 
 @pytest.mark.slow
