@@ -381,6 +381,7 @@ def encode(
             ep_axis = sp[2] if len(sp) > 2 else (
                 pp[3] if len(pp) > 3 else None
             )
+            tp_axis = pp[4] if len(pp) > 4 else None
             pp_axis, microbatches = pp[1], pp[2]
             Tq = xs_bm.shape[1]
             mult = mesh.shape[seq_axis] * ccfg.chunk_size
@@ -402,6 +403,7 @@ def encode(
                     seq_axis=seq_axis, pp_axis=pp_axis,
                     microbatches=microbatches, lengths=enc_lengths,
                     compute_dtype=config.compute_dtype,
+                    tp_axis=tp_axis,
                 )[:, :Tq]
         elif sp is not None:
             # time-sharded encode (one input-halo ppermute); pad the
@@ -439,15 +441,18 @@ def encode(
             # pp=(mesh, axis, microbatches) — or (mesh, axis, M,
             # ep_axis) for ep×pp: MoE expert leaves sharded over
             # ep_axis inside each pipeline stage (parallel/pipeline.py)
+            # — or (mesh, axis, M, None, tp_axis) for tp×pp: stage
+            # weights' wide output dims sharded over an AUTO tp_axis
             mesh, axis, microbatches = pp[0], pp[1], pp[2]
             pp_ep_axis = pp[3] if len(pp) > 3 else None
+            pp_tp_axis = pp[4] if len(pp) > 4 else None
             if ccfg.moe_experts:
                 out_bm, moe_aux = pipeline_conformer_encode(
                     params["encoder"]["conformer"], ccfg, xs_bm, mesh,
                     axis=axis, microbatches=microbatches,
                     lengths=enc_lengths,
                     compute_dtype=config.compute_dtype, return_aux=True,
-                    ep_axis=pp_ep_axis,
+                    ep_axis=pp_ep_axis, tp_axis=pp_tp_axis,
                 )
             else:
                 out_bm = pipeline_conformer_encode(
@@ -455,6 +460,7 @@ def encode(
                     axis=axis, microbatches=microbatches,
                     lengths=enc_lengths,
                     compute_dtype=config.compute_dtype,
+                    tp_axis=pp_tp_axis,
                 )
         else:
             out_bm, _, moe_aux = conformer_encode(

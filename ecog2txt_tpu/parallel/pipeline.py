@@ -81,6 +81,27 @@ def _stacked_spec(path, leaf, config, axis, ep_axis):
     return P(axis)
 
 
+def _stacked_placement_spec(path, leaf, config, axis, ep_axis, tp_axis, n_tp):
+    """Placement spec for one stacked leaf: the manual ``_stacked_spec``
+    part plus — under tp × pp — the tensor-parallel output-dim sharding
+    on the AUTO ``tp_axis``.  The rule mirrors
+    ``parallel/mesh.py::_tp_spec`` on the unstacked leaf (2-D+ kernels,
+    wide last dim), shifted by the two stacking dims, so the stacked
+    leaves agree leaf-for-leaf with the resting params'
+    ``shard_params_tp`` placement (no resharding copies under jit)."""
+    base = _stacked_spec(path, leaf, config, axis, ep_axis)
+    if (
+        tp_axis is None
+        or not hasattr(leaf, "ndim")
+        or leaf.ndim < 4  # (S, blocks/stage, in, out) at least
+        or base != P(axis)
+        or leaf.shape[-1] % n_tp
+        or leaf.shape[-1] < 4 * n_tp
+    ):
+        return base
+    return P(axis, *([None] * (leaf.ndim - 2)), tp_axis)
+
+
 def pipeline_conformer_encode(
     params: dict,
     config: ConformerConfig,
@@ -93,6 +114,7 @@ def pipeline_conformer_encode(
     stacked_params=None,
     return_aux: bool = False,
     ep_axis: str | None = None,
+    tp_axis: str | None = None,
 ):
     """Encode with the block stack pipelined over ``mesh[axis]``.
 
@@ -123,19 +145,35 @@ def pipeline_conformer_encode(
     partial outputs psum over ``ep_axis`` inside every block
     (models/moe.py::_moe_nodrop).  The replicated router keeps the
     statistics identical along ``ep_axis``.
+
+    ``tp_axis`` (tp × pp): the stacked stage weights' wide OUTPUT dims
+    additionally shard over ``mesh[tp_axis]``, which is left in GSPMD
+    **auto** mode (``jax.shard_map``'s ``axis_names`` excludes it) —
+    the ring and its psums stay manual on ``axis`` while GSPMD inserts
+    the tensor-parallel contractions' collectives inside each stage's
+    blocks.  Gradients come back with the same specs, so the resting
+    params / EMA / Adam moments stay tp-sharded
+    (``parallel/mesh.py::shard_params_tp``).  Mutually exclusive with
+    ``ep_axis`` (both would claim the same weight matrices).
     """
+    if tp_axis is not None and ep_axis is not None:
+        raise ValueError("tp_axis and ep_axis are mutually exclusive")
     if ep_axis is not None and not config.moe_experts:
         raise ValueError("ep_axis requires a MoE conformer (moe_experts)")
     S = mesh.shape[axis]
     M = microbatches or S
     B, T, _ = xs.shape
+    n_tp = mesh.shape[tp_axis] if tp_axis is not None else 1
     if stacked_params is None:
         stacked = stack_block_params(params, S)  # validates the split
         stacked_params = jax.tree_util.tree_map_with_path(
             lambda path, leaf: jax.device_put(
                 leaf,
                 NamedSharding(
-                    mesh, _stacked_spec(path, leaf, config, axis, ep_axis)
+                    mesh,
+                    _stacked_placement_spec(
+                        path, leaf, config, axis, ep_axis, tp_axis, n_tp
+                    ),
                 ),
             ),
             stacked,
@@ -240,11 +278,20 @@ def pipeline_conformer_encode(
         lambda path, leaf: _stacked_spec(path, leaf, config, axis, ep_axis),
         stacked_params,
     )
+    # manual over every mesh axis EXCEPT the tensor-parallel one: the
+    # tp weight shardings ride the auto axis into the stage bodies and
+    # GSPMD inserts their contraction collectives (in_specs name the
+    # manual part only — the stacked leaves' tp sharding comes from
+    # their placement above)
+    manual = frozenset(mesh.axis_names) - (
+        {tp_axis} if tp_axis is not None else set()
+    )
     res = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(stacked_specs, mb_spec, mb_spec),
         out_specs=out_specs,
+        axis_names=manual,
     )(stacked_params, x_mb, len_mb)
     if moe:
         out_mb, aux = res

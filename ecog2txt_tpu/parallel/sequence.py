@@ -88,6 +88,20 @@ def sequence_parallel_encode(
     partial outputs psum over ``ep_axis`` (models/moe.py::_moe_nodrop).
     The router is replicated, so its statistics are identical along
     ``ep_axis`` and still psum over ``axis`` only.
+
+    The shard_map is MANUAL only over the axes the body actually
+    communicates on (``axis``, plus ``ep_axis`` under ep) — every other
+    mesh axis stays in GSPMD **auto** mode (``jax.shard_map``'s
+    ``axis_names``).  Two compositions fall out with zero extra code:
+
+    * **dp × sp**: the batch keeps its ``data`` sharding *through* the
+      body (the all-manual form would all-gather it and replicate the
+      encoder work over the data axis);
+    * **tp × sp**: tensor-parallel weight shardings
+      (``parallel/mesh.py::shard_params_tp``, output axes on a
+      ``model`` mesh axis) ride the auto axes into the body's GEMMs,
+      and GSPMD inserts the contractions' collectives — grads come
+      back with the same specs (the sharded-Adam invariant).
     """
     if config.moe_experts and config.moe_capacity_factor > 0:
         raise ValueError(
@@ -165,13 +179,19 @@ def sequence_parallel_encode(
 
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
-    sharding = NamedSharding(mesh, P(None, axis, None))
     if isinstance(xs, jax.core.Tracer):
         # inside jit (the sp TRAINING step): constrain instead of
-        # device_put so the call composes with the surrounding program
-        xs = jax.lax.with_sharding_constraint(xs, sharding)
+        # device_put so the call composes with the surrounding program.
+        # Batch/feature dims stay UNCONSTRAINED — a dp batch sharding
+        # on an auto 'data' axis must survive into the body
+        xs = jax.lax.with_sharding_constraint(
+            xs,
+            NamedSharding(
+                mesh, P(P.UNCONSTRAINED, axis, P.UNCONSTRAINED)
+            ),
+        )
     else:
-        xs = jax.device_put(xs, sharding)
+        xs = jax.device_put(xs, NamedSharding(mesh, P(None, axis, None)))
     if ep_axis is not None:
         from .expert import ep_spec
 
@@ -186,9 +206,11 @@ def sequence_parallel_encode(
     out_specs = (
         (P(None, axis, None), P()) if return_aux else P(None, axis, None)
     )
+    manual = {axis} | ({ep_axis} if ep_axis is not None else set())
     return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(param_specs, P(None, axis, None), P(None)),
         out_specs=out_specs,
+        axis_names=frozenset(manual),
     )(params, xs, lengths)

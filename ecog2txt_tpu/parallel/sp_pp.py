@@ -34,7 +34,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.conformer import ConformerConfig, apply_block
-from .pipeline import _stacked_spec, stack_block_params
+from .pipeline import (
+    _stacked_placement_spec,
+    _stacked_spec,
+    stack_block_params,
+)
 from .sequence import halo_steps
 
 
@@ -50,6 +54,7 @@ def sp_pp_conformer_encode(
     compute_dtype=jnp.float32,
     return_aux: bool = False,
     ep_axis: str | None = None,
+    tp_axis: str | None = None,
 ):
     """Encode with time sharded over ``mesh[seq_axis]`` and the block
     stack pipelined over ``mesh[pp_axis]``.
@@ -77,9 +82,19 @@ def sp_pp_conformer_encode(
     every block (``models/moe.py::_moe_nodrop``).  The router is
     replicated over ``ep_axis``, so the statistics stay identical
     along it and still psum over ``data``+``seq`` only.
+
+    ``tp_axis`` (tp × sp × pp): the stacked stage weights' wide output
+    dims additionally shard over ``mesh[tp_axis]``, left in GSPMD
+    **auto** mode (excluded from the shard_map's ``axis_names``) — the
+    halo and ring collectives stay manual while GSPMD inserts the
+    tensor-parallel contractions' collectives inside each stage
+    (``parallel/pipeline.py`` tp × pp, composed with the time
+    sharding).  Mutually exclusive with ``ep_axis``.
     """
     if ep_axis is not None and not config.moe_experts:
         raise ValueError("ep_axis requires a MoE conformer (moe_experts)")
+    if tp_axis is not None and ep_axis is not None:
+        raise ValueError("tp_axis and ep_axis are mutually exclusive")
     if config.moe_experts and config.moe_capacity_factor > 0:
         raise ValueError(
             "sp × pp requires the exact no-drop MoE path "
@@ -117,11 +132,15 @@ def sp_pp_conformer_encode(
         )
     cd = compute_dtype
     blocks_per_stage = config.num_blocks // S_pp
+    n_tp = mesh.shape[tp_axis] if tp_axis is not None else 1
     stacked_params = jax.tree_util.tree_map_with_path(
         lambda path, leaf: jax.device_put(
             leaf,
             NamedSharding(
-                mesh, _stacked_spec(path, leaf, config, pp_axis, ep_axis)
+                mesh,
+                _stacked_placement_spec(
+                    path, leaf, config, pp_axis, ep_axis, tp_axis, n_tp
+                ),
             ),
         ),
         stack_block_params(params, S_pp),  # validates the stage split
@@ -218,10 +237,16 @@ def sp_pp_conformer_encode(
         lambda path, leaf: _stacked_spec(path, leaf, config, pp_axis, ep_axis),
         stacked_params,
     )
+    # manual over every mesh axis EXCEPT the tensor-parallel one (the
+    # tp weight shardings ride the auto axis — see pipeline.py tp × pp)
+    manual = frozenset(mesh.axis_names) - (
+        {tp_axis} if tp_axis is not None else set()
+    )
     res = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(stacked_specs, in_proj_specs, x_spec, len_spec),
         out_specs=out_specs,
+        axis_names=manual,
     )(stacked_params, params["in_proj"], xs, lengths)
     return res

@@ -535,6 +535,8 @@ class MultiSubjectTrainer:
         # parallel/pipeline.py); microbatch count via
         # pipeline_microbatches (default S; batch_size must divide it)
         n_pp = int(self.SN_kwargs.get("pipeline_parallel") or 0)
+        n_tp_pp = int(self.SN_kwargs.get("tensor_parallel") or 0)
+        n_tp_pp = n_tp_pp if n_tp_pp > 1 else 1
         if n_pp > 1:
             if self.net_config.encoder_type != "conformer":
                 raise ValueError(
@@ -554,26 +556,35 @@ class MultiSubjectTrainer:
             # build the full (data, seq, pp, model) 4-D mesh — the
             # stacked stage weights' expert dims shard
             # P('pp', None, 'model') and the no-drop combine psums over
-            # 'model' inside every stage.
+            # 'model' inside every stage.  tensor_parallel instead
+            # shards the stage weights' wide output dims over a 'model'
+            # axis left in GSPMD AUTO mode (tp × pp / tp × sp × pp —
+            # parallel/pipeline.py tp_axis; mutually exclusive with
+            # expert_parallel).
             n_ep_pp = int(self.SN_kwargs.get("expert_parallel") or 0)
             n_ep_pp = n_ep_pp if n_ep_pp > 1 else 1
+            n_model_pp = max(n_ep_pp, n_tp_pp)  # tp×ep refused below
             n_data = (
-                len(jax.devices()) // (n_pp * n_ep_pp * max(n_seq, 1))
+                len(jax.devices()) // (n_pp * n_model_pp * max(n_seq, 1))
                 if self.SN_kwargs.get("data_parallel")
                 else 1
             )
             n_data = max(n_data, 1)
             M = int(self.SN_kwargs.get("pipeline_microbatches") or n_pp)
-            if n_seq > 1 and n_ep_pp > 1:
+            tp_tail = (None, "model") if n_tp_pp > 1 else ()
+            if n_seq > 1 and n_model_pp > 1:
                 devs = np.array(
-                    jax.devices()[: n_data * n_seq * n_pp * n_ep_pp]
+                    jax.devices()[: n_data * n_seq * n_pp * n_model_pp]
                 )
                 pp_mesh = Mesh(
-                    devs.reshape(n_data, n_seq, n_pp, n_ep_pp),
+                    devs.reshape(n_data, n_seq, n_pp, n_model_pp),
                     ("data", "seq", "pp", "model"),
                 )
-                self.pp = (pp_mesh, "pp", M)
-                self.sp = (pp_mesh, "seq", "model")
+                self.pp = (pp_mesh, "pp", M, *tp_tail)
+                self.sp = (
+                    (pp_mesh, "seq") if n_tp_pp > 1
+                    else (pp_mesh, "seq", "model")
+                )
             elif n_seq > 1:
                 devs = np.array(jax.devices()[: n_data * n_seq * n_pp])
                 pp_mesh = Mesh(
@@ -582,13 +593,16 @@ class MultiSubjectTrainer:
                 )
                 self.pp = (pp_mesh, "pp", M)
                 self.sp = (pp_mesh, "seq")
-            elif n_ep_pp > 1:
-                devs = np.array(jax.devices()[: n_data * n_pp * n_ep_pp])
+            elif n_model_pp > 1:
+                devs = np.array(jax.devices()[: n_data * n_pp * n_model_pp])
                 pp_mesh = Mesh(
-                    devs.reshape(n_data, n_pp, n_ep_pp),
+                    devs.reshape(n_data, n_pp, n_model_pp),
                     ("data", "pp", "model"),
                 )
-                self.pp = (pp_mesh, "pp", M, "model")
+                self.pp = (
+                    (pp_mesh, "pp", M, *tp_tail) if n_tp_pp > 1
+                    else (pp_mesh, "pp", M, "model")
+                )
             else:
                 devs = np.array(jax.devices()[: n_data * n_pp])
                 pp_mesh = Mesh(
@@ -607,13 +621,22 @@ class MultiSubjectTrainer:
         # (parallel/mesh.py::shard_params_tp); params, EMA, and Adam
         # moments all live sharded and XLA GSPMD propagates the
         # shardings through the jitted segment (no hand-written
-        # collectives).  Composes with data_parallel (dp × tp).
+        # collectives).  Composes with data_parallel (dp × tp) and —
+        # because the sp/pp shard_maps are manual only over the axes
+        # they communicate on, leaving 'model' in GSPMD auto mode —
+        # with sequence_parallel and pipeline_parallel (tp × sp,
+        # tp × pp, tp × sp × pp).  Only tp × ep is refused (both
+        # claim the 'model' axis).
         self.tp = None
         n_tp = int(self.SN_kwargs.get("tensor_parallel") or 0)
         n_ep = int(self.SN_kwargs.get("expert_parallel") or 0)
-        if n_tp > 1 and (n_ep > 1 or n_pp > 1 or n_seq > 1):
+        if n_tp > 1 and n_ep > 1:
             raise ValueError(
-                "tensor_parallel composes with data_parallel only"
+                "tensor_parallel × expert_parallel is not supported: "
+                "both shard weight matrices over the 'model' axis "
+                "(expert leaves on their expert dim, wide kernels on "
+                "their output dim) — at this model scale a second "
+                "within-expert sharding axis buys nothing"
             )
         if n_ep > 1:
             ccfg = self.net_config.conformer
@@ -663,15 +686,33 @@ class MultiSubjectTrainer:
                 if n_seq > 1:
                     self.sp = (self.mesh, "seq", "model")
         elif n_tp > 1:
-            from .parallel import make_mesh
+            if n_pp > 1:
+                # tp × pp (or tp × sp × pp, +dp): the mesh and the pp
+                # tuple's tp_axis were built in the pipeline branch
+                # above — the stacked stage weights' wide dims shard
+                # over the AUTO 'model' axis inside the ring
+                self.tp = "model"
+            else:
+                from .parallel import make_mesh
 
-            n_data = (
-                len(jax.devices()) // n_tp
-                if self.SN_kwargs.get("data_parallel")
-                else 1
-            )
-            self.mesh = make_mesh(n_data=max(n_data, 1), n_model=n_tp)
-            self.tp = "model"
+                # tp (GSPMD weight sharding) alone, dp × tp, or the
+                # tp × sp (+dp) mesh: the sequence-parallel shard_map
+                # is manual ONLY over 'seq' (parallel/sequence.py), so
+                # the tensor-parallel 'model' shardings ride its auto
+                # axes straight into the body's GEMMs — no tp-specific
+                # plumbing
+                n_data = (
+                    len(jax.devices()) // (n_tp * max(n_seq, 1))
+                    if self.SN_kwargs.get("data_parallel")
+                    else 1
+                )
+                self.mesh = make_mesh(
+                    n_data=max(n_data, 1), n_model=n_tp,
+                    n_seq=max(n_seq, 1),
+                )
+                self.tp = "model"
+                if n_seq > 1:
+                    self.sp = (self.mesh, "seq")
         elif n_pp > 1:
             pass  # (data, pp) mesh already built above
         elif self.SN_kwargs.get("data_parallel") or n_seq > 1:

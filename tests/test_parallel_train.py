@@ -135,27 +135,24 @@ def test_trainer_pipeline_parallel_fit(tmp_path, rng):
 
 
 def test_composition_limits(tmp_path):
-    """The documented refusals that remain: tp composes with dp only
-    (every non-tp subset of {dp, sp, pp, ep} composes, incl. the
-    3-way ep × sp × pp)."""
+    """The ONE documented refusal that remains: tp × ep (both claim
+    the 'model' axis).  Every other subset of {dp, tp, sp, pp, ep}
+    composes — incl. tp × sp, tp × pp, and the 3-ways tp × sp × pp
+    and ep × sp × pp."""
     from ecog2txt_tpu.demo import make_demo_experiment
     from ecog2txt_tpu.train import MultiSubjectTrainer
 
     manifest = make_demo_experiment(str(tmp_path / "exp"))
-    for other in (
-        {"sequence_parallel": 2},
-        {"pipeline_parallel": 2},
-        {"expert_parallel": 2, "conformer": {"moe_experts": 4}},
-    ):
-        with pytest.raises(ValueError, match="compose"):
-            MultiSubjectTrainer(
-                manifest, [1],
-                SN_kwargs={
-                    "encoder_type": "conformer",
-                    "tensor_parallel": 2,
-                    **other,
-                },
-            )
+    with pytest.raises(ValueError, match="not supported"):
+        MultiSubjectTrainer(
+            manifest, [1],
+            SN_kwargs={
+                "encoder_type": "conformer",
+                "tensor_parallel": 2,
+                "expert_parallel": 2,
+                "conformer": {"moe_experts": 4},
+            },
+        )
 
 
 @pytest.mark.slow
@@ -332,6 +329,201 @@ def test_trainer_tensor_parallel_matches_unsharded(tmp_path):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=1e-3, atol=5e-4,
         )
+
+
+@pytest.mark.slow
+def test_tp_sp_training_grads_match_single_device(rng):
+    """tp × sp: full seq2seq training-step gradients with the conformer
+    encode time-sharded over 'seq' AND the wide kernels tensor-sharded
+    over 'model' (an AUTO axis of the sequence-parallel shard_map —
+    GSPMD carries the weight shardings into the body's GEMMs) match the
+    unsharded step, and the param cotangents come back with the tp
+    shardings (the sharded-Adam invariant)."""
+    from ecog2txt_tpu.parallel import shard_params_tp
+
+    cfg, params, batch = _cfg_and_batch(rng)
+    mesh = Mesh(
+        np.array(jax.devices()[:4]).reshape(2, 2), ("model", "seq")
+    )
+    l_ref, g_ref = _grads(cfg, params, batch)
+    params_tp = shard_params_tp(params, mesh)
+    ffn_w = params_tp["encoder"]["conformer"]["blocks"][0]["ffn1"]["w1"]
+    assert ffn_w.sharding.spec[-1] == "model", ffn_w.sharding
+
+    def loss_fn(p):
+        l, _ = seq2seq_loss(
+            p, cfg, batch, jax.random.PRNGKey(1), train=True,
+            sp=(mesh, "seq"),
+        )
+        return l
+
+    l_tp, g_tp = jax.jit(jax.value_and_grad(loss_fn))(params_tp)
+    np.testing.assert_allclose(float(l_ref), float(l_tp), rtol=1e-5)
+    _assert_tree_close(g_ref, g_tp)
+    g_ffn = g_tp["encoder"]["conformer"]["blocks"][0]["ffn1"]["w1"]
+    assert g_ffn.sharding.spec[-1] == "model", g_ffn.sharding
+
+
+@pytest.mark.slow
+def test_tp_pp_training_grads_match_single_device(rng):
+    """tp × pp: gradients with the block ring on a (pp=2, model=2) mesh
+    — stage weights' wide output dims tensor-sharded over the AUTO
+    'model' axis while the GPipe ring stays manual on 'pp' — match the
+    unsharded step, and the cotangents keep the tp shardings."""
+    from ecog2txt_tpu.parallel import shard_params_tp
+
+    cfg, params, batch = _cfg_and_batch(rng)
+    mesh = Mesh(
+        np.array(jax.devices()[:4]).reshape(2, 2), ("pp", "model")
+    )
+    l_ref, g_ref = _grads(cfg, params, batch)
+    params_tp = shard_params_tp(params, mesh)
+
+    def loss_fn(p):
+        l, _ = seq2seq_loss(
+            p, cfg, batch, jax.random.PRNGKey(1), train=True,
+            pp=(mesh, "pp", 2, None, "model"),
+        )
+        return l
+
+    l_tp, g_tp = jax.jit(jax.value_and_grad(loss_fn))(params_tp)
+    np.testing.assert_allclose(float(l_ref), float(l_tp), rtol=1e-5)
+    _assert_tree_close(g_ref, g_tp)
+    g_ffn = g_tp["encoder"]["conformer"]["blocks"][0]["ffn1"]["w1"]
+    assert g_ffn.sharding.spec[-1] == "model", g_ffn.sharding
+
+
+@pytest.mark.slow
+def test_tp_sp_pp_training_grads_match_single_device(rng):
+    """The tp × sp × pp 3-way: time shards (halo ppermute over 'seq')
+    flow through the GPipe ring ('pp') while the stage weights' wide
+    dims shard over the AUTO 'model' axis — gradients match the
+    unsharded step and keep the tp shardings."""
+    from ecog2txt_tpu.parallel import shard_params_tp
+
+    cfg, params, batch = _cfg_and_batch(rng)
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2),
+        ("seq", "pp", "model"),
+    )
+    l_ref, g_ref = _grads(cfg, params, batch)
+    params_tp = shard_params_tp(params, mesh)
+
+    def loss_fn(p):
+        l, _ = seq2seq_loss(
+            p, cfg, batch, jax.random.PRNGKey(1), train=True,
+            sp=(mesh, "seq"), pp=(mesh, "pp", 2, None, "model"),
+        )
+        return l
+
+    l_tp, g_tp = jax.jit(jax.value_and_grad(loss_fn))(params_tp)
+    np.testing.assert_allclose(float(l_ref), float(l_tp), rtol=1e-5)
+    _assert_tree_close(g_ref, g_tp)
+    g_ffn = g_tp["encoder"]["conformer"]["blocks"][0]["ffn1"]["w1"]
+    assert g_ffn.sharding.spec[-1] == "model", g_ffn.sharding
+
+
+@pytest.mark.slow
+def test_trainer_tp_pp_fit(tmp_path, rng):
+    """SN_kwargs tensor_parallel=2 × pipeline_parallel=2 (+dp) builds
+    the (data=2, pp=2, model=2) mesh; the pp tuple carries the tp axis
+    and the loss decreases."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    manifest = make_demo_experiment(str(tmp_path / "exp"))
+    trainer = MultiSubjectTrainer(
+        manifest,
+        [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "tensor_parallel": 2,
+            "pipeline_parallel": 2,
+            "pipeline_microbatches": 2,
+            "data_parallel": True,
+            "conformer": dict(
+                num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+                conv_kernel=2, chunk_size=2, left_context=1,
+            ),
+            "N_epochs": 30,
+            "batch_size": 8,
+            "learning_rate": 3e-3,
+        },
+    )
+    assert dict(trainer.mesh.shape) == {"data": 2, "pp": 2, "model": 2}
+    assert trainer.pp == (trainer.mesh, "pp", 2, None, "model")
+    assert trainer.tp == "model"
+
+    def probe_loss():
+        data = trainer.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, _ = seq2seq_loss(
+            trainer.state.params, trainer.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss)
+
+    loss0 = probe_loss()
+    trainer.fit(assess=False)
+    ffn_w = trainer.state.params["encoder"]["conformer"]["blocks"][0][
+        "ffn1"
+    ]["w1"]
+    assert ffn_w.sharding.spec[-1] == "model", ffn_w.sharding
+    loss1 = probe_loss()
+    assert np.isfinite(loss1)
+    assert loss1 < loss0
+
+
+@pytest.mark.slow
+def test_trainer_tp_sp_fit(tmp_path, rng):
+    """SN_kwargs tensor_parallel=2 × sequence_parallel=2 (+dp) builds
+    the (data=2, model=2, seq=2) mesh; params live tp-sharded, the
+    encode runs time-sharded, and the loss decreases."""
+    from ecog2txt_tpu.demo import make_demo_experiment
+    from ecog2txt_tpu.train import MultiSubjectTrainer
+
+    manifest = make_demo_experiment(str(tmp_path / "exp"))
+    trainer = MultiSubjectTrainer(
+        manifest,
+        [1],
+        SN_kwargs={
+            "encoder_type": "conformer",
+            "tensor_parallel": 2,
+            "sequence_parallel": 2,
+            "data_parallel": True,
+            "conformer": dict(
+                num_blocks=2, model_dim=32, num_heads=2, ffn_dim=64,
+                conv_kernel=2, chunk_size=2, left_context=1,
+            ),
+            "N_epochs": 30,
+            "batch_size": 8,
+            "learning_rate": 3e-3,
+        },
+    )
+    assert dict(trainer.mesh.shape) == {"data": 2, "model": 2, "seq": 2}
+    assert trainer.sp == (trainer.mesh, "seq")
+    assert trainer.tp == "model"
+
+    def probe_loss():
+        data = trainer.device_data("training")
+        batch = {k: v[0][:8] for k, v in data.items()}
+        batch["subject_idx"] = jnp.asarray(0, jnp.int32)
+        loss, _ = seq2seq_loss(
+            trainer.state.params, trainer.net_config, batch,
+            jax.random.PRNGKey(7), train=False,
+        )
+        return float(loss)
+
+    loss0 = probe_loss()
+    trainer.fit(assess=False)
+    ffn_w = trainer.state.params["encoder"]["conformer"]["blocks"][0][
+        "ffn1"
+    ]["w1"]
+    assert ffn_w.sharding.spec[-1] == "model", ffn_w.sharding
+    loss1 = probe_loss()
+    assert np.isfinite(loss1)
+    assert loss1 < loss0
 
 
 def test_sp_requires_conformer(tmp_path):
