@@ -56,7 +56,7 @@ class AuxHead(NamedTuple):
     """One auxiliary encoder target head (e.g. 'encoder_1_targets')."""
 
     name: str
-    distribution: str  # 'categorical' | 'Gaussian'
+    distribution: str  # 'categorical' | 'CTC' | 'Gaussian' | 'Rayleigh'
     out_dim: int  # num classes or num features
 
 
@@ -630,6 +630,25 @@ def _decimate_targets(
     return ts[: T_out * stride : stride]
 
 
+def rayleigh_nll(log_sigma: jax.Array, x: jax.Array) -> jax.Array:
+    """Elementwise Rayleigh negative log-likelihood, log-σ head.
+
+    NLL(x; σ) = 2·log σ + x²/(2σ²) − log x for x > 0 — the exact
+    −log pdf (pdf = x/σ² · exp(−x²/2σ²)), so values compare directly
+    to ``scipy.stats.rayleigh.logpdf``.  The −log x data term is kept
+    so the metric is a true NLL; x is clamped at 1e-6 so padded zeros
+    stay finite (they are masked out of the loss anyway).  The MLE in
+    σ is σ² = mean(x²)/2 (∂NLL/∂logσ = 2 − x²/σ² = 0 in expectation).
+    Schema contract: subjects.py:43; reference subjects.py:369-384.
+    """
+    x = jnp.maximum(x, 1e-6)
+    return (
+        2.0 * log_sigma
+        + 0.5 * jnp.square(x) * jnp.exp(-2.0 * log_sigma)
+        - jnp.log(x)
+    )
+
+
 def seq2seq_loss(
     params: dict,
     config: Seq2SeqConfig,
@@ -712,7 +731,7 @@ def seq2seq_loss(
             loss = jnp.sum(nll * step_mask) / jnp.maximum(
                 jnp.sum(step_mask), 1
             )
-        else:  # Gaussian → masked MSE
+        elif head.distribution == "Gaussian":  # → masked MSE
             ts = jnp.moveaxis(raw, 0, 1)  # (T, B, F)
             aligned = _decimate_targets(
                 ts, batch["encoder_lengths"], config.decimation_factor,
@@ -720,6 +739,25 @@ def seq2seq_loss(
             )
             se = jnp.sum((pred - aligned) ** 2, axis=-1)
             loss = jnp.sum(se * step_mask) / jnp.maximum(jnp.sum(step_mask), 1)
+        elif head.distribution == "Rayleigh":
+            # the schema's default for nonnegative analytic amplitudes
+            # (subjects.py:43; reference subjects.py:369-384): the head
+            # predicts log σ per feature (rayleigh_nll below)
+            ts = jnp.moveaxis(raw, 0, 1)  # (T, B, F)
+            aligned = _decimate_targets(
+                ts, batch["encoder_lengths"], config.decimation_factor,
+                T_out, reverse=config.encoder_type != "conformer",
+            )
+            nll = jnp.sum(rayleigh_nll(pred, aligned), axis=-1)  # (T', B)
+            loss = jnp.sum(nll * step_mask) / jnp.maximum(
+                jnp.sum(step_mask), 1
+            )
+        else:
+            raise ValueError(
+                f"aux head {head.name!r}: unknown distribution "
+                f"{head.distribution!r} (expected 'categorical', 'CTC', "
+                "'Gaussian', or 'Rayleigh')"
+            )
         metrics[f"loss_{head.name}"] = loss
         total = total + scale * loss
 

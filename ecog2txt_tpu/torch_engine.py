@@ -692,7 +692,7 @@ def seq2seq_loss(
             loss = (nll * step_mask).sum() / torch.clamp(
                 step_mask.sum(), min=1
             )
-        else:  # Gaussian
+        elif head.distribution == "Gaussian":
             ts = raw.movedim(0, 1)  # (T, B, F)
             aligned = _decimate_targets(
                 ts, batch["encoder_lengths"], config.decimation_factor,
@@ -701,6 +701,29 @@ def seq2seq_loss(
             se = ((pred - aligned) ** 2).sum(dim=-1)
             loss = (se * step_mask).sum() / torch.clamp(
                 step_mask.sum(), min=1
+            )
+        elif head.distribution == "Rayleigh":
+            # log-σ head, NLL = 2 log σ + x²/(2σ²) − log x — mirrors
+            # models/seq2seq.py exactly (engine-parity contract)
+            ts = raw.movedim(0, 1)  # (T, B, F)
+            aligned = _decimate_targets(
+                ts, batch["encoder_lengths"], config.decimation_factor,
+                T_out, reverse=config.encoder_type != "conformer",
+            )
+            x = torch.clamp(aligned, min=1e-6)
+            nll = (
+                2.0 * pred
+                + 0.5 * x.square() * torch.exp(-2.0 * pred)
+                - torch.log(x)
+            ).sum(dim=-1)
+            loss = (nll * step_mask).sum() / torch.clamp(
+                step_mask.sum(), min=1
+            )
+        else:
+            raise ValueError(
+                f"aux head {head.name!r}: unknown distribution "
+                f"{head.distribution!r} (expected 'categorical', 'CTC', "
+                "'Gaussian', or 'Rayleigh')"
             )
         metrics[f"loss_{head.name}"] = float(loss.detach())
         total = total + scale * loss

@@ -398,10 +398,15 @@ class MultiSubjectTrainer:
                     AuxHead(tensor_key, "CTC", dm.num_features + 1)
                 )
             else:
+                # regression heads honor the manifest's DECLARED
+                # distribution (reference subjects.py:369-384 —
+                # ecog_sequence defaults to 'Rayleigh'); unknown tags
+                # fail fast in seq2seq_loss rather than silently MSE
                 aux_heads.append(
                     AuxHead(
                         tensor_key,
-                        "categorical" if dm.is_categorical else "Gaussian",
+                        "categorical" if dm.is_categorical
+                        else dm.distribution,
                         dm.num_features,
                     )
                 )
