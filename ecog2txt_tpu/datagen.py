@@ -578,11 +578,29 @@ class ArrayDataGenerator(ECoGDataGenerator):
 
     Per-file keys (``.mat`` files use the same names):
 
-    * ``ecog`` (T, C) float — REQUIRED.  ``C`` may be the final
-      per-channel feature count, or the FULL electrode count
-      (``prod(grid_size)``; doubled for ``USE_FIELD_POTENTIALS``), in
-      which case the grid's referencing (bad-electrode exclusion,
-      layout ordering, bipolar differencing) is applied here.
+    * ``ecog`` (T, C) float — pre-featurized frames at the manifest's
+      ``sampling_rate``.  ``C`` may be the final per-channel feature
+      count, or the FULL electrode count (``prod(grid_size)``; doubled
+      for ``USE_FIELD_POTENTIALS``), in which case the grid's
+      referencing (bad-electrode exclusion, layout ordering, bipolar
+      differencing) is applied here.
+    * ``raw`` (T_raw, C) float or int — RAW VOLTAGES, the alternative
+      to ``ecog`` (exactly one of the two per file).  Featurized
+      through :func:`features.extract_high_gamma` (notch → high-gamma
+      band bank → Hilbert analytic amplitude → z-score → anti-aliased
+      decimation to ``sampling_rate``) — the front end the reference
+      delegates to lab-private generators (reference
+      data_generators.py:487-530).  The raw rate comes from a per-file
+      ``raw_rate`` scalar or the manifest/kwarg ``raw_sampling_rate``;
+      grid referencing applies to the raw columns BEFORE featurization
+      (referencing is linear, and bipolar differencing belongs at the
+      voltage stage).  ``hg_zscore`` picks 'trial' (default — each
+      trial z-scored over its own frames, the offline chain's native
+      mode) or 'block' (per-channel stats pooled over the block's
+      trials — the serving calibration seam,
+      :func:`features.calibrate_high_gamma`); other chain knobs ride a
+      ``high_gamma`` dict of :class:`features.HighGammaConfig` fields
+      (band, num_bands, notch_freqs, pad_seconds, input_scale, …).
     * ``text`` — the sentence as a string (tokenized per the
       experiment's ``token_type``) or an already-tokenized list.
     * ``audio`` 1-D waveform + ``audio_rate`` scalar → featurized
@@ -604,6 +622,22 @@ class ArrayDataGenerator(ECoGDataGenerator):
             raise ValueError(
                 "ArrayDataGenerator needs 'trial_dir' (manifest or kwarg)"
             )
+        self.raw_sampling_rate = manifest.resolve(
+            "raw_sampling_rate", kwargs.get("raw_sampling_rate"), None
+        )
+        self.hg_zscore = str(
+            manifest.resolve("hg_zscore", kwargs.get("hg_zscore"), "trial")
+        )
+        if self.hg_zscore not in ("trial", "block"):
+            raise ValueError(
+                f"hg_zscore must be 'trial' or 'block': {self.hg_zscore!r}"
+            )
+        self._hg_overrides = dict(
+            manifest.resolve("high_gamma", kwargs.get("high_gamma"), None)
+            or {}
+        )
+        # per-block featurized-raw cache: (block, [features | None])
+        self._hg_block_cache: tuple[int | None, list] = (None, [])
 
     # -- file discovery -----------------------------------------------------
 
@@ -685,6 +719,70 @@ class ArrayDataGenerator(ECoGDataGenerator):
             )
         return ecog[:, grid.good_channels]
 
+    # -- raw-voltage featurization -------------------------------------------
+
+    def high_gamma_config(self, raw_rate: float):
+        """The trial-file featurization spec: manifest ``high_gamma``
+        overrides on top of :class:`features.HighGammaConfig` defaults,
+        output rate pinned to the manifest ``sampling_rate``."""
+        from .features import HighGammaConfig
+
+        kw = dict(self._hg_overrides)
+        kw.setdefault(
+            "zscore", "none" if self.hg_zscore == "block" else "trial"
+        )
+        return HighGammaConfig(
+            raw_rate=float(raw_rate), out_rate=self.sampling_rate, **kw
+        )
+
+    def _featurize_raw(self, path: str, data: dict[str, Any]) -> np.ndarray:
+        """One trial's ``raw`` columns → referenced, featurized frames
+        (block z-scoring, if configured, happens in the block pass)."""
+        from .features import extract_high_gamma_np
+
+        raw = np.asarray(data["raw"])
+        rate = data.get("raw_rate", self.raw_sampling_rate)
+        if rate is None:
+            raise ValueError(
+                f"{path}: raw trials need a per-file 'raw_rate' scalar or "
+                "the 'raw_sampling_rate' manifest/kwarg key"
+            )
+        cfg = self.high_gamma_config(float(np.asarray(rate)))
+        if np.issubdtype(raw.dtype, np.integer):
+            # scale BEFORE referencing: bipolar differences of int16
+            # columns would overflow the integer dtype
+            raw = raw.astype(np.float32) * cfg.input_scale
+        return extract_high_gamma_np(
+            self._select_channels(raw.astype(np.float32)), cfg
+        )
+
+    def _block_raw_features(self, block: int) -> list[np.ndarray | None]:
+        """Featurized raw trials for one block (None where the file
+        carries pre-featurized ``ecog``), with per-channel block stats
+        applied in ``hg_zscore='block'`` mode.  Cached for the block
+        being iterated — the block pass exists because block stats pool
+        over every raw trial in the block."""
+        if self._hg_block_cache[0] == block:
+            return self._hg_block_cache[1]
+        feats: list[np.ndarray | None] = []
+        for path in self._block_files(block):
+            data = self._load_file(path)
+            if "ecog" in data or "raw" not in data:
+                feats.append(None)
+            else:
+                feats.append(self._featurize_raw(path, data))
+        if self.hg_zscore == "block":
+            frames = [f for f in feats if f is not None and len(f)]
+            if frames:
+                stacked = np.concatenate(frames, axis=0)
+                mu = stacked.mean(axis=0, keepdims=True)
+                sd = np.maximum(stacked.std(axis=0, keepdims=True), 1e-6)
+                feats = [
+                    None if f is None else (f - mu) / sd for f in feats
+                ]
+        self._hg_block_cache = (block, feats)
+        return feats
+
     # -- subclass contract --------------------------------------------------
 
     def _query(self, block_set: Iterable[int]) -> int:
@@ -699,13 +797,23 @@ class ArrayDataGenerator(ECoGDataGenerator):
         return self.sampling_rate, np.zeros(0, np.float32)
 
     def _ecog_token_generator(self, block: int) -> Iterator[dict[str, Any]]:
-        for path in self._block_files(block):
+        for i, path in enumerate(self._block_files(block)):
             data = self._load_file(path)
-            if "ecog" not in data:
-                raise KeyError(f"{path}: missing required 'ecog' array")
-            ecog = self._select_channels(
-                np.asarray(data["ecog"], np.float32)
-            )
+            if "ecog" in data:
+                ecog = self._select_channels(
+                    np.asarray(data["ecog"], np.float32)
+                )
+            elif "raw" in data:
+                ecog = (
+                    self._block_raw_features(block)[i]
+                    if self.hg_zscore == "block"
+                    else self._featurize_raw(path, data)
+                )
+            else:
+                raise KeyError(
+                    f"{path}: needs an 'ecog' (featurized) or 'raw' "
+                    "(voltage) array"
+                )
             text = data.get("text")
             if text is None:
                 tokens: list[str] = []

@@ -40,7 +40,8 @@ cross-check).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import functools
+from dataclasses import dataclass, field, replace
 from typing import Sequence
 
 import numpy as np
@@ -249,6 +250,49 @@ def extract_high_gamma(
     return feats
 
 
+@functools.lru_cache(maxsize=8)
+def _chain_jit(cfg: HighGammaConfig):
+    """One jitted chain per config (cfg is frozen → hashable); jax
+    retraces per input shape, so ragged trial lengths share the cache
+    entry but compile per unique (T, C)."""
+    return jax.jit(lambda raw: extract_high_gamma(raw, cfg))
+
+
+def extract_high_gamma_np(raw: np.ndarray, cfg: HighGammaConfig) -> np.ndarray:
+    """Host front door for the offline chain: numpy (T_raw, C) raw
+    voltages (float or integer — integer is scaled by
+    ``cfg.input_scale``) → numpy (T_raw//q, C) float32 features.  Used
+    by :class:`datagen.ArrayDataGenerator` for trial files carrying
+    ``raw`` instead of pre-featurized ``ecog``."""
+    return np.asarray(_chain_jit(cfg)(jnp.asarray(raw)))
+
+
+def calibrate_high_gamma(
+    raws: Sequence[np.ndarray], cfg: HighGammaConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-channel (mean, std) of the UN-normalized chain output over
+    calibration recordings — the ``stats`` argument for
+    :class:`StreamingHighGamma` (block/session z-scoring happens
+    outside the device chain; per-trial stats do not exist
+    mid-stream)."""
+    cfg_raw = replace(cfg, zscore="none")
+    n, s, ss = 0, None, None
+    for raw in raws:
+        f = extract_high_gamma_np(np.asarray(raw), cfg_raw)
+        if s is None:
+            s = f.sum(0, dtype=np.float64)
+            ss = (f.astype(np.float64) ** 2).sum(0)
+        else:
+            s += f.sum(0, dtype=np.float64)
+            ss += (f.astype(np.float64) ** 2).sum(0)
+        n += len(f)
+    if not n:
+        raise ValueError("calibrate_high_gamma needs at least one frame")
+    mu = s / n
+    var = np.maximum(ss / n - mu**2, 0.0)
+    return mu.astype(np.float32), np.sqrt(var).astype(np.float32)
+
+
 # --------------------------------------------------------------------------
 # streaming (overlap-save windows over the same chain)
 # --------------------------------------------------------------------------
@@ -361,17 +405,20 @@ class StreamingHighGamma:
             else np.zeros((0, self.C), np.float32)
         )
 
-    def flush(self) -> np.ndarray:
+    def flush(self, reset: bool = True) -> np.ndarray:
         """Featurize the remaining tail with a reflected right margin
         (offline parity); trailing samples short of one decimation
-        hop are dropped.  Resets the stream."""
+        hop are dropped.  Resets the stream unless ``reset=False``
+        (a speculative peek — serving decodes mid-utterance without
+        disturbing the live stream)."""
         M, q = self.margin, self.cfg.decimation
         start = M if self._emitted_any else 0
         tail = len(self._buf) - start
         tail_q = (tail // q) * q
         if tail_q <= 0:
-            self._buf = np.zeros((0, self.C), np.float32)
-            self._emitted_any = False
+            if reset:
+                self._buf = np.zeros((0, self.C), np.float32)
+                self._emitted_any = False
             return np.zeros((0, self.C), np.float32)
         seg = self._buf
         if not self._emitted_any:
@@ -386,8 +433,9 @@ class StreamingHighGamma:
         out = feats[M // q : M // q + tail_q // q]
         if self.stats is not None:
             out = (out - self.stats[0]) / self.stats[1]
-        self._buf = np.zeros((0, self.C), np.float32)
-        self._emitted_any = False
+        if reset:
+            self._buf = np.zeros((0, self.C), np.float32)
+            self._emitted_any = False
         return out
 
 

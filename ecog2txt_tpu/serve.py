@@ -713,6 +713,104 @@ class StreamingConformerSession:
         return out
 
 
+class RawVoltageSession:
+    """Raw-voltage streaming: a :class:`features.StreamingHighGamma`
+    front end (notch → high-gamma band bank → Hilbert amplitude →
+    anti-aliased decimation, one compiled window program) feeding a
+    :class:`StreamingConformerSession` — push digitizer chunks
+    (int16 or float volts, any ragged length) and decode text.  This
+    closes the seam the reference leaves to lab-private generators
+    (reference data_generators.py:487-530): nothing upstream of the
+    amplifier is needed.
+
+    ``stats``: per-channel (mean, std) from
+    :func:`features.calibrate_high_gamma` over calibration recordings —
+    per-trial z-scoring does not exist mid-stream, so serving uses the
+    block/session-stats mode (exactly ``hg_zscore='block'`` in
+    :class:`datagen.ArrayDataGenerator`).
+
+    Exactness contract: ``endpoint()`` equals the offline decode of
+    ``(features.extract_high_gamma_np(raw, cfg) - mean) / std`` on the
+    whole recording (the front end's streaming==offline parity is
+    tested to float tolerance in tests/test_features.py; the session's
+    streamed==offline parity in tests/test_serve.py).  ``decode()`` is
+    a side-effect-free mid-utterance peek: it speculatively flushes the
+    front end's pending tail through a snapshot/restore of the session,
+    so pushes can continue afterwards.
+    """
+
+    def __init__(
+        self,
+        session: "StreamingConformerSession",
+        hg_cfg,
+        stats=None,
+        window_seconds: float = 2.0,
+        num_channels: int | None = None,
+    ):
+        from .features import StreamingHighGamma
+
+        self.session = session
+        self.frontend = StreamingHighGamma(
+            hg_cfg,
+            int(num_channels or session.config.in_channels),
+            window_seconds=window_seconds,
+            stats=stats,
+        )
+
+    @classmethod
+    def from_trainer(cls, trainer, hg_cfg, stats=None, **kwargs):
+        session_kwargs = {
+            k: kwargs.pop(k)
+            for k in ("use_ema", "quantize", "host_upload", "phoneme_list")
+            if k in kwargs
+        }
+        return cls(
+            StreamingConformerSession.from_trainer(trainer, **session_kwargs),
+            hg_cfg,
+            stats=stats,
+            **kwargs,
+        )
+
+    def push(self, raw_chunk: np.ndarray) -> None:
+        feats = self.frontend.push(raw_chunk)
+        if len(feats):
+            self.session.push(feats)
+
+    def partial(self, *args, **kwargs) -> dict:
+        """Live CTC-head hypothesis over frames emitted so far (the
+        front end lags the amplifier by its margin — ``pad_seconds`` of
+        signal — the notch filter's impulse response)."""
+        return self.session.partial(*args, **kwargs)
+
+    def decode(self) -> dict:
+        tail = self.frontend.flush(reset=False)
+        if not len(tail):
+            return self.session.decode()
+        s = self.session
+        state = s.stream.snapshot()
+        saved = (
+            list(s._raw), s._raw_samples, list(s._enc_outs), s._enc_steps,
+        )
+        try:
+            s.push(tail)
+            return s.decode()
+        finally:
+            s.stream.restore(state)
+            s._raw, s._raw_samples, s._enc_outs, s._enc_steps = (
+                list(saved[0]), saved[1], list(saved[2]), saved[3],
+            )
+
+    def endpoint(self) -> dict:
+        tail = self.frontend.flush()
+        if len(tail):
+            self.session.push(tail)
+        return self.session.endpoint()
+
+    def reset(self) -> None:
+        self.frontend.flush()
+        self.session.reset()
+
+
 def _ctc_head_apply(params, config, head_name, enc_block, want_logp):
     """(B, n, D) encoder block → per-step argmax path (n, B) int (plus
     (n, B, K+1) f32 log-probs when ``want_logp``) through the CTC aux
