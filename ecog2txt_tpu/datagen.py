@@ -419,6 +419,8 @@ class SyntheticDataGenerator(ECoGDataGenerator):
         noise_scale: float | None = None,
         samples_per_word: int | None = None,
         seed: int | None = None,
+        pattern_correlation: float | None = None,
+        channel_dropout: float | None = None,
         **kwargs: Any,
     ):
         super().__init__(manifest, subject_id, **kwargs)
@@ -444,6 +446,30 @@ class SyntheticDataGenerator(ECoGDataGenerator):
             manifest.resolve("samples_per_word", samples_per_word, 48)
         )
         self.seed = int(manifest.resolve("synth_seed", seed, 1234))
+        # difficulty axis (VERDICT r4 #2: a saturated-WER corpus cannot
+        # discriminate decode modes).  pattern_correlation α blends every
+        # word's spatial pattern toward one shared pattern — words become
+        # confusable by construction, which noise alone cannot achieve
+        # (the conv front end averages i.i.d. noise away).  channel_dropout
+        # zeroes a random per-trial channel subset (electrode dropout).
+        self.pattern_correlation = float(
+            manifest.resolve(
+                "synth_pattern_correlation", pattern_correlation, 0.0
+            )
+        )
+        self.channel_dropout = float(
+            manifest.resolve("synth_channel_dropout", channel_dropout, 0.0)
+        )
+        if not 0.0 <= self.pattern_correlation < 1.0:
+            raise ValueError(
+                "synth_pattern_correlation must be in [0, 1): "
+                f"{self.pattern_correlation}"
+            )
+        if not 0.0 <= self.channel_dropout < 1.0:
+            raise ValueError(
+                "synth_channel_dropout must be in [0, 1): "
+                f"{self.channel_dropout}"
+            )
         self._blocks = list(manifest.resolve("blocks", default=list(range(1, 9))))
 
     # -- deterministic sentence inventory ----------------------------------
@@ -459,10 +485,21 @@ class SyntheticDataGenerator(ECoGDataGenerator):
         return out
 
     def _word_pattern(self, word: str) -> np.ndarray:
-        """Fixed (samples_per_word, C) nonnegative pattern per word."""
+        """Fixed (samples_per_word, C) nonnegative pattern per word.
+        ``pattern_correlation`` α pulls every word's spatial pattern
+        toward one shared (word-independent) pattern: at α=0 words are
+        independent Rayleigh draws; as α→1 they coincide and the task
+        approaches chance."""
         C = self.num_ECoG_channels
         rng = np.random.default_rng(_stable_seed(self.seed, "pattern", word))
         spatial = rng.rayleigh(scale=1.0, size=(1, C))
+        a = self.pattern_correlation
+        if a > 0.0:
+            shared_rng = np.random.default_rng(
+                _stable_seed(self.seed, "pattern-shared")
+            )
+            shared = shared_rng.rayleigh(scale=1.0, size=(1, C))
+            spatial = a * shared + (1.0 - a) * spatial
         t = np.linspace(0, np.pi, self.samples_per_word)[:, None]
         envelope = np.sin(t) + 0.25
         return (spatial * envelope).astype(np.float32)
@@ -518,6 +555,11 @@ class SyntheticDataGenerator(ECoGDataGenerator):
             ecog = ecog + self.noise_scale * noise_rng.rayleigh(
                 scale=1.0, size=ecog.shape
             ).astype(np.float32)
+            if self.channel_dropout > 0.0:
+                keep = (
+                    noise_rng.random(ecog.shape[1]) >= self.channel_dropout
+                )
+                ecog = ecog * keep[None, :].astype(np.float32)
             rate, signal = self._get_wav_data(sentence)
             if self.token_type == "phoneme_sequence":
                 # phoneme_sequence as the DECODER target: the trial's

@@ -34,11 +34,26 @@ WORD_SUFFIX = "_"
 # --------------------------------------------------------------------------
 
 
+def _is_t2t_vocab(lines: Sequence[str]) -> bool:
+    """tensor2tensor ``SubwordTextEncoder.store_to_file`` wraps every
+    subtoken in single quotes (``'tok_'`` per line).  Detect that format
+    so externally-built t2t vocab files load with the quotes stripped
+    (reference data_generators.py:451-461 hands such files straight to
+    t2t; here :class:`SubwordEncoder` consumes them natively)."""
+    return bool(lines) and all(
+        len(ln) >= 2 and ln[0] == "'" and ln[-1] == "'" for ln in lines
+    )
+
+
 def read_vocab_file(path: str) -> list[str]:
     """One token per line; lines are taken verbatim (tokens include their
-    ``_`` suffix)."""
+    ``_`` suffix) — except tensor2tensor-style files (every line quoted),
+    whose quotes are stripped so class lists match the encoder output."""
     with open(path, encoding="utf-8") as f:
-        return [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        lines = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+    if _is_t2t_vocab(lines):
+        return [ln[1:-1] for ln in lines]
+    return lines
 
 
 def write_vocab_file(path: str, tokens: Sequence[str]) -> None:
@@ -153,18 +168,112 @@ def string_seq_to_index_seq(
 # subword (word-piece) encoder
 # --------------------------------------------------------------------------
 
+# tensor2tensor's tokenizer splits text into maximal runs of
+# alphanumeric vs non-alphanumeric characters (unicode categories),
+# dropping the single space between two runs; its escaping maps
+# ``\`` → ``\\``, ``_`` → ``\u``, and any character outside the
+# vocab's alphabet to ``\<codepoint>;``, then appends the ``_``
+# terminator to EVERY token.  Segmentation is greedy longest-match
+# from the left, bounded by the longest vocab entry.  (Algorithm:
+# tensor2tensor/data_generators/text_encoder.py + tokenizer.py —
+# reimplemented from the published spec; the reference shells out to
+# it at data_generators.py:451-461.)
+
+
+def _t2t_is_alnum(ch: str) -> bool:
+    import unicodedata
+
+    return unicodedata.category(ch)[0] in ("L", "N")
+
+
+def _t2t_tokenize(text: str) -> list[str]:
+    """tensor2tensor ``tokenizer.encode``: maximal alnum/non-alnum runs,
+    the single inter-run space dropped (re-inserted on decode)."""
+    if not text:
+        return []
+    ret = []
+    is_alnum = [_t2t_is_alnum(c) for c in text]
+    start = 0
+    for pos in range(1, len(text)):
+        if is_alnum[pos] != is_alnum[pos - 1]:
+            token = text[start:pos]
+            if token != " " or start == 0:
+                ret.append(token)
+            start = pos
+    ret.append(text[start:])
+    return ret
+
+
+def _t2t_detokenize(tokens: Sequence[str]) -> str:
+    """tensor2tensor ``tokenizer.decode``: join, inserting a space
+    between two adjacent alphanumeric tokens."""
+    out = []
+    prev_alnum = False
+    for token in tokens:
+        alnum = bool(token) and _t2t_is_alnum(token[0])
+        if out and prev_alnum and alnum:
+            out.append(" ")
+        out.append(token)
+        prev_alnum = alnum
+    return "".join(out)
+
+
+def _t2t_escape_token(token: str, alphabet: set[str]) -> str:
+    token = token.replace("\\", "\\\\").replace("_", "\\u")
+    chars = [
+        c if c in alphabet and c != "\n" else rf"\{ord(c)};" for c in token
+    ]
+    return "".join(chars) + "_"
+
+
+def _t2t_unescape_token(escaped: str) -> str:
+    """Inverse of :func:`_t2t_escape_token` minus the ``_`` terminator
+    (the caller strips it when splitting the subtoken stream)."""
+    out = []
+    i = 0
+    while i < len(escaped):
+        c = escaped[i]
+        if c == "\\" and i + 1 < len(escaped):
+            nxt = escaped[i + 1]
+            if nxt == "u":
+                out.append("_")
+                i += 2
+                continue
+            if nxt == "\\":
+                out.append("\\")
+                i += 2
+                continue
+            semi = escaped.find(";", i + 1)
+            if semi != -1 and escaped[i + 1 : semi].isdigit():
+                out.append(chr(int(escaped[i + 1 : semi])))
+                i = semi + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 class SubwordEncoder:
     """Greedy longest-match subword tokenizer with a BPE-style vocabulary
     builder — native stand-in for tensor2tensor's SubwordTextEncoder
     (reference data_generators.py:451-461).
 
-    Subword units terminate words with the ``_`` marker (so decode is
-    concatenate + ``_``→space, the same rule as word tokens).  Unknown
-    characters fall back to ``<OOV>``.
+    Two vocab styles (auto-detected at load):
+
+    * ``native``: subword units terminate words with the ``_`` marker
+      (so decode is concatenate + ``_``→space, the same rule as word
+      tokens).  Unknown characters fall back to ``<OOV>``.
+    * ``t2t``: a tensor2tensor-built vocab file (every line quoted) —
+      segmentation follows t2t's exact pipeline (run tokenizer →
+      escape → greedy longest-match bounded by the longest entry), so
+      token ids equal what SubwordTextEncoder would produce on the
+      same file.
     """
 
-    def __init__(self, subwords: Sequence[str]):
+    def __init__(self, subwords: Sequence[str], style: str = "native"):
+        if style not in ("native", "t2t"):
+            raise ValueError(f"unknown subword style {style!r}")
+        self.style = style
         # longest-first for greedy matching
         self.subwords = list(subwords)
         self._by_length = sorted(
@@ -172,6 +281,13 @@ class SubwordEncoder:
             key=len,
             reverse=True,
         )
+        if style == "t2t":
+            self._vocab_set = {
+                s for s in self.subwords if s not in SPECIAL_TOKENS
+            }
+            self._max_len = max((len(s) for s in self._vocab_set), default=1)
+            # t2t derives the escape alphabet from the subtokens
+            self._alphabet = {c for s in self._vocab_set for c in s}
 
     @classmethod
     def build_from_corpus(
@@ -204,10 +320,17 @@ class SubwordEncoder:
 
     @classmethod
     def from_vocab_file(cls, path: str) -> "SubwordEncoder":
-        return cls(read_vocab_file(path))
+        with open(path, encoding="utf-8") as f:
+            raw = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        if _is_t2t_vocab(raw):
+            return cls([ln[1:-1] for ln in raw], style="t2t")
+        return cls(raw)
 
     def encode(self, text: str) -> list[str]:
-        """Greedy longest-match over each ``word_`` form."""
+        """Greedy longest-match over each ``word_`` form (native), or
+        tensor2tensor's exact tokenize→escape→greedy pipeline (t2t)."""
+        if self.style == "t2t":
+            return self._encode_t2t(text)
         out: list[str] = []
         for word in text.split():
             marked = word + WORD_SUFFIX
@@ -228,6 +351,34 @@ class SubwordEncoder:
                 i += len(match)
         return out
 
+    def _encode_t2t(self, text: str) -> list[str]:
+        out: list[str] = []
+        for token in _t2t_tokenize(text):
+            escaped = _t2t_escape_token(token, self._alphabet)
+            start, n = 0, len(escaped)
+            while start < n:
+                for end in range(min(n, start + self._max_len), start, -1):
+                    piece = escaped[start:end]
+                    if piece in self._vocab_set:
+                        out.append(piece)
+                        start = end
+                        break
+                else:
+                    # a well-formed t2t vocab contains every alphabet
+                    # character; an out-of-vocab character (possible on
+                    # truncated files) degrades to <OOV>, not a crash
+                    out.append(OOV_token)
+                    start += 1
+        return out
+
     def decode(self, tokens: Sequence[str]) -> str:
+        if self.style == "t2t":
+            stream = "".join(t for t in tokens if t not in SPECIAL_TOKENS)
+            # '_' terminates each escaped token; '\u' (the escape for a
+            # literal '_') contains no '_', so the split is unambiguous
+            pieces = [
+                _t2t_unescape_token(p) for p in stream.split("_") if p
+            ]
+            return _t2t_detokenize(pieces)
         text = "".join(t for t in tokens if t not in SPECIAL_TOKENS)
         return " ".join(text.replace(WORD_SUFFIX, " ").split())
