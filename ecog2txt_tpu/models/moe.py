@@ -26,7 +26,15 @@ Two compute paths, the SAME routed function when no token is dropped:
   buffer, tokens placed by a cumsum position, overflow dropped (output
   falls back to the residual).  O(k·S) expert FLOPs — the
   production-scale path; its (E, C, D) buffers are the tensors expert
-  parallelism shards.  Population-dependent, so the streaming wrapper
+  parallelism shards — under GSPMD automatically, and inside the
+  manual sp/pp shard_maps by slicing the dispatch/combine one-hots on
+  the expert axis and psum-ing the linear combine
+  (:func:`_moe_capacity_grouped` ``ep_axis``; r5).  Under a TIME
+  sharding the dispatch groups must be shard-aligned
+  (``moe_group_size`` dividing both the per-shard steps and the halo
+  — parallel/sequence.py / sp_pp.py enforce it) so every shard's
+  group populations, hence drops, equal the offline encode's.
+  Population-dependent, so the streaming wrapper
   refuses it (`models/conformer.py::ConformerStream`).
 
 Router details (all standard): softmax over expert logits in f32,
@@ -166,7 +174,7 @@ def _moe_nodrop(p, xn, config, cd, valid, ep_axis=None):
     return jnp.einsum("bte,bted->btd", w, y)
 
 
-def _moe_capacity(p, xn, config, cd, valid):
+def _moe_capacity(p, xn, config, cd, valid, ep_axis=None):
     """GShard-style static-capacity dispatch, GROUPED.
 
     Tokens are partitioned into groups — one group per batch row, or
@@ -206,17 +214,28 @@ def _moe_capacity(p, xn, config, cd, valid):
         G = (T + pad) // seg
         xg = xn.reshape(B * G, seg, D)
         vg = valid.reshape(B * G, seg)
-        out = _moe_capacity_grouped(p, xg, config, cd, vg)
+        out = _moe_capacity_grouped(p, xg, config, cd, vg, ep_axis=ep_axis)
         return out.reshape(B, G * seg, D)[:, :T]
     # moe_group_size=0: one group per batch row — C then scales with
     # the row's PADDED length, so drops (hence outputs) can differ
     # between batch paddings of the same example; set moe_group_size
     # for batch-length-invariant serving
-    return _moe_capacity_grouped(p, xn, config, cd, valid)
+    return _moe_capacity_grouped(p, xn, config, cd, valid, ep_axis=ep_axis)
 
 
-def _moe_capacity_grouped(p, xn, config, cd, valid):
+def _moe_capacity_grouped(p, xn, config, cd, valid, ep_axis=None):
     """One dispatch group per leading-dim row.  xn: (G, S, D).
+
+    ``ep_axis``: manual expert parallelism (shard_map callers — the
+    ep × sp / ep × pp meshes).  Tokens are REPLICATED over the axis in
+    this design (exactly as in :func:`_moe_nodrop`), so no all-to-all
+    is needed: the (G, S, E, C) dispatch/combine one-hots are built
+    identically on every device from the replicated router, each
+    device slices its E/K experts' columns BEFORE the dispatch einsum
+    (sharding the dispatch, expert-FFN, and combine FLOPs by expert),
+    and the combine — linear over experts — psums over the axis.
+    Slot assignment uses the FULL expert count, so the routed function
+    (including drops) is exactly the unsharded one.
 
     The dispatch/combine are GShard-style one-hot MATMULS by design: a
     sort-based construction (argsort by expert id + gathers/scatter-
@@ -247,6 +266,11 @@ def _moe_capacity_grouped(p, xn, config, cd, valid):
         dispatch = dispatch + keep[..., None] * slot
         combine = combine + (keep * gates[..., j : j + 1])[..., None] * slot
         base = base + keep.sum(axis=1)
+    if ep_axis is not None:
+        E_local = p["w1"].shape[0]  # this device's expert shard
+        k0 = jax.lax.axis_index(ep_axis) * E_local
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, k0, E_local, 2)
+        combine = jax.lax.dynamic_slice_in_dim(combine, k0, E_local, 2)
     ein = jnp.einsum(
         "gsec,gsd->gecd", dispatch.astype(cd), xn.astype(cd)
     )  # (G, E, C, D) — the EP-sharded buffers
@@ -257,7 +281,10 @@ def _moe_capacity_grouped(p, xn, config, cd, valid):
     y = jnp.einsum(
         "gecf,efd->gecd", h, p["w2"].astype(cd)
     ) + p["b2"].astype(cd)[None, :, None, :]
-    return jnp.einsum("gsec,gecd->gsd", combine.astype(cd), y)
+    out = jnp.einsum("gsec,gecd->gsd", combine.astype(cd), y)
+    if ep_axis is not None:
+        out = jax.lax.psum(out, ep_axis)
+    return out
 
 
 def moe_ffn(
@@ -286,13 +313,7 @@ def moe_ffn(
     replicated) and hence the stats are identical on every ``ep_axis``
     device: callers must psum stats over OTHER axes only."""
     if config.moe_capacity_factor > 0:
-        if ep_axis is not None:
-            raise ValueError(
-                "manual expert parallelism (ep_axis) supports the exact "
-                "no-drop path only; the capacity dispatch shards via "
-                "GSPMD (trainer expert_parallel without sequence_parallel)"
-            )
-        out = _moe_capacity(p, xn, config, cd, valid)
+        out = _moe_capacity(p, xn, config, cd, valid, ep_axis=ep_axis)
     else:
         out = _moe_nodrop(p, xn, config, cd, valid, ep_axis=ep_axis)
     # stats on their own (cheap) router pass — XLA CSEs it with the

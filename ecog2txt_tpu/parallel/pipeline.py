@@ -138,13 +138,16 @@ def pipeline_conformer_encode(
     without it, every call re-stacks and re-shards the full parameter
     set (fine for a one-off, wasteful per batch).
 
-    ``ep_axis`` (MoE conformer, no-drop path): expert parallelism
-    composed with the pipeline — the stacked expert leaves additionally
-    shard their expert dim over ``mesh[ep_axis]``, each (stage, expert-
-    shard) device runs its E/K experts, and the no-drop combine's
-    partial outputs psum over ``ep_axis`` inside every block
-    (models/moe.py::_moe_nodrop).  The replicated router keeps the
-    statistics identical along ``ep_axis``.
+    ``ep_axis`` (MoE conformer): expert parallelism composed with the
+    pipeline — the stacked expert leaves additionally shard their
+    expert dim over ``mesh[ep_axis]``, each (stage, expert-shard)
+    device runs its E/K experts, and the combine's partial outputs
+    psum over ``ep_axis`` inside every block (models/moe.py::
+    _moe_nodrop; the capacity path slices its dispatch/combine
+    one-hots by expert the same way — microbatches keep whole rows,
+    so dispatch groups are intact and no alignment condition applies).
+    The replicated router keeps the statistics identical along
+    ``ep_axis``.
 
     ``tp_axis`` (tp × pp): the stacked stage weights' wide OUTPUT dims
     additionally shard over ``mesh[tp_axis]``, which is left in GSPMD

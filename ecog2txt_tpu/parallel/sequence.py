@@ -84,10 +84,13 @@ def sequence_parallel_encode(
     time sharding — the ep×sp 2-D mesh for long-recording MoE training.
     The expert-stacked leaves enter the shard_map split over
     ``mesh[ep_axis]`` (parallel/expert.py specs), each device runs only
-    its E/K experts on its time shard, and the no-drop combine's
-    partial outputs psum over ``ep_axis`` (models/moe.py::_moe_nodrop).
-    The router is replicated, so its statistics are identical along
-    ``ep_axis`` and still psum over ``axis`` only.
+    its E/K experts on its time shard, and the combine's partial
+    outputs psum over ``ep_axis`` (models/moe.py::_moe_nodrop; the
+    capacity path slices its dispatch/combine one-hots by expert the
+    same way — _moe_capacity_grouped).  The router is replicated, so
+    its statistics are identical along ``ep_axis`` and still psum over
+    ``axis`` only.  The capacity path (with or without ep) requires
+    shard-aligned dispatch groups — see the check below.
 
     The shard_map is MANUAL only over the axes the body actually
     communicates on (``axis``, plus ``ep_axis`` under ep) — every other
@@ -103,13 +106,6 @@ def sequence_parallel_encode(
       and GSPMD inserts the contractions' collectives — grads come
       back with the same specs (the sharded-Adam invariant).
     """
-    if config.moe_experts and config.moe_capacity_factor > 0:
-        raise ValueError(
-            "sequence parallelism requires the exact no-drop MoE path "
-            "(moe_capacity_factor=0): capacity drops depend on the "
-            "dispatch-group population, which differs between a time "
-            "shard's halo window and the offline encode"
-        )
     if ep_axis is not None and not config.moe_experts:
         raise ValueError("ep_axis requires a MoE conformer (moe_experts)")
     n = mesh.shape[axis]
@@ -120,6 +116,26 @@ def sequence_parallel_encode(
             f"T={T} must be a multiple of n·chunk_size={n * config.chunk_size}"
         )
     S = T // n
+    if config.moe_experts and config.moe_capacity_factor > 0:
+        # Capacity drops depend on each dispatch group's population, so
+        # a shard's groups must BE the offline groups: fixed
+        # moe_group_size segments whose absolute boundaries every local
+        # window [shard·S − halo, shard·S + S) lands on.  seg | S and
+        # seg | halo make every shard's segmentation align with the
+        # offline one (halo segments recompute the neighbor's groups —
+        # deterministic, identical drops; shard 0's pre-recording halo
+        # forms whole all-invalid groups that dispatch nothing), so the
+        # sharded function is EXACTLY the unsharded one (tested).
+        seg = int(getattr(config, "moe_group_size", 0) or 0)
+        if not seg or S % seg or halo % seg:
+            raise ValueError(
+                "sequence parallelism with the capacity MoE path needs "
+                "shard-aligned dispatch groups: set moe_group_size to a "
+                f"divisor of both the per-shard steps ({S}) and the "
+                f"halo ({halo}); got moe_group_size={seg or 0}.  "
+                "(moe_group_size=0 groups per padded row — population "
+                "differs between a halo window and the offline encode.)"
+            )
     if S < halo:
         raise ValueError(
             f"per-shard steps {S} < halo {halo}: use fewer shards "

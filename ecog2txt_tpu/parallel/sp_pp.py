@@ -66,20 +66,23 @@ def sp_pp_conformer_encode(
     batch divides into ``microbatches`` (× the ``data`` axis when the
     mesh has one).
 
-    ``return_aux=True`` (MoE conformer, exact no-drop path only)
+    ``return_aux=True`` (MoE conformer)
     additionally returns the weighted router aux loss, equal to the
     unsharded one: per-block additive stats exclude halo replicas
     (position mask) and fill/drain ticks (tick mask), psum over
     ``data``+``seq`` BEFORE the nonlinear per-block loss, and the
     stage-local losses psum over the ring.
 
-    ``ep_axis`` (MoE conformer, no-drop path): the ep × sp × pp 3-D
+    ``ep_axis`` (MoE conformer): the ep × sp × pp 3-D
     composition — the STACKED stage weights' expert dims additionally
     shard over ``mesh[ep_axis]`` (same per-leaf specs as ep × pp,
     ``pipeline._stacked_spec``), each (seq, pp, expert-shard) device
     runs its E/K experts on its halo window inside its stage, and the
-    no-drop combine's partial outputs psum over ``ep_axis`` inside
-    every block (``models/moe.py::_moe_nodrop``).  The router is
+    combine's partial outputs psum over ``ep_axis`` inside
+    every block (``models/moe.py::_moe_nodrop``; the capacity path
+    slices its dispatch/combine one-hots by expert the same way, and
+    — like plain sp — needs shard-aligned dispatch groups, checked
+    below).  The router is
     replicated over ``ep_axis``, so the statistics stay identical
     along it and still psum over ``data``+``seq`` only.
 
@@ -95,13 +98,6 @@ def sp_pp_conformer_encode(
         raise ValueError("ep_axis requires a MoE conformer (moe_experts)")
     if tp_axis is not None and ep_axis is not None:
         raise ValueError("tp_axis and ep_axis are mutually exclusive")
-    if config.moe_experts and config.moe_capacity_factor > 0:
-        raise ValueError(
-            "sp × pp requires the exact no-drop MoE path "
-            "(moe_capacity_factor=0): capacity drops depend on the "
-            "dispatch-group population, which differs between a time "
-            "shard's halo window and the offline encode"
-        )
     n_seq = mesh.shape[seq_axis]
     S_pp = mesh.shape[pp_axis]
     M = microbatches or S_pp
@@ -117,6 +113,18 @@ def sp_pp_conformer_encode(
         raise ValueError(
             f"per-shard steps {S_loc} < halo {halo}: use fewer seq shards"
         )
+    if config.moe_experts and config.moe_capacity_factor > 0:
+        # same shard-aligned-groups condition as parallel/sequence.py:
+        # seg | S_loc and seg | halo make every time shard's dispatch
+        # groups BE the offline groups (identical populations → drops)
+        seg = int(getattr(config, "moe_group_size", 0) or 0)
+        if not seg or S_loc % seg or halo % seg:
+            raise ValueError(
+                "sp × pp with the capacity MoE path needs shard-aligned "
+                "dispatch groups: set moe_group_size to a divisor of "
+                f"both the per-shard steps ({S_loc}) and the halo "
+                f"({halo}); got moe_group_size={seg or 0}"
+            )
     if B % M:
         raise ValueError(f"batch {B} does not split into {M} microbatches")
     b = B // M

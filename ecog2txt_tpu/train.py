@@ -663,12 +663,13 @@ class MultiSubjectTrainer:
                 # ep axis rides pp[3], or sp[2] when a 'seq' axis is
                 # present); the expert leaves of the UNSTACKED resting
                 # params shard over 'model' via _place_state as usual
-                if ccfg.moe_capacity_factor > 0:
-                    raise ValueError(
-                        "expert_parallel × pipeline_parallel requires "
-                        "the exact no-drop MoE path "
-                        "(moe_capacity_factor=0)"
-                    )
+                # both MoE paths compose: no-drop always; the capacity
+                # dispatch shards its expert/dispatch/combine einsums
+                # over 'model' inside the shard_maps
+                # (models/moe.py::_moe_capacity_grouped ep_axis) — under
+                # a 'seq' axis the sp/sp_pp modules additionally require
+                # shard-aligned dispatch groups (moe_group_size | S and
+                # | halo) so drops equal the offline encode's exactly
                 self.ep = ("model", int(ccfg.moe_experts))
             else:
                 from .parallel import make_mesh

@@ -510,8 +510,9 @@ def test_ep_sp_encode_and_aux_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
-    # manual ep supports the exact no-drop path only
-    with pytest.raises(ValueError, match="no-drop|GSPMD"):
+    # the capacity path under sp needs shard-aligned dispatch groups
+    # (moe_group_size=0 groups per padded row — refused with guidance)
+    with pytest.raises(ValueError, match="shard-aligned|moe_group_size"):
         sequence_parallel_encode(
             p, ccfg._replace(moe_capacity_factor=1.0), xs, mesh,
             axis="seq", lengths=lens, ep_axis="model",
@@ -983,3 +984,139 @@ def test_trainer_ep_requires_moe():
                 SN_kwargs={"expert_parallel": 4},
                 VERBOSE=False,
             )
+
+
+def test_capacity_sp_parity_with_aligned_groups():
+    """r5 (VERDICT r4 #6): the GShard capacity dispatch composes with
+    sequence parallelism when the dispatch groups are shard-aligned
+    (moe_group_size | per-shard steps AND | halo): every time shard's
+    groups then have exactly the offline populations, so drops — and
+    therefore outputs and gradients — equal the unsharded encode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import halo_steps, sequence_parallel_encode
+
+    # cf=0.75 → C=3 < the ~4 assignments/expert/group: real drops
+    ccfg = _ccfg(moe_capacity_factor=0.75, moe_group_size=8)
+    p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 8)
+    n = 4
+    halo = halo_steps(ccfg)
+    assert halo % 8 == 0  # the alignment this test exercises
+    T = n * max(halo, 2 * ccfg.chunk_size)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("seq", "model"))
+    xs = jax.random.normal(jax.random.PRNGKey(3), (2, T, 8))
+    lens = jnp.asarray([T, T - 10])
+    m = (np.arange(T)[None, :] < np.asarray(lens)[:, None])[..., None]
+
+    ref, _, aux_ref = cf.conformer_encode(p, ccfg, xs, lens, return_aux=True)
+    # sanity: this operating point actually drops (capacity binds) —
+    # an ample-capacity run differs
+    ample, _ = cf.conformer_encode(
+        p, ccfg._replace(moe_capacity_factor=8.0), xs, lens
+    )
+    assert not np.allclose(np.asarray(ref) * m, np.asarray(ample) * m,
+                           atol=1e-5)
+
+    out, aux = sequence_parallel_encode(
+        p, ccfg, xs, mesh, axis="seq", lengths=lens, return_aux=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
+
+    # misaligned groups are refused with guidance
+    with pytest.raises(ValueError, match="shard-aligned|moe_group_size"):
+        sequence_parallel_encode(
+            p, ccfg._replace(moe_group_size=12), xs, mesh,
+            axis="seq", lengths=lens,
+        )
+
+
+def test_capacity_ep_sp_parity_and_grads():
+    """Capacity dispatch × manual expert parallelism × sp: each 'model'
+    device slices its E/K experts out of the replicated dispatch/combine
+    one-hots (sharding the expert FFN and dispatch einsum FLOPs) and the
+    linear combine psums — outputs, aux, and gradients equal the
+    single-device capacity encode."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import halo_steps, sequence_parallel_encode
+
+    ccfg = _ccfg(moe_capacity_factor=0.75, moe_group_size=8)
+    p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 8)
+    n = 4
+    T = n * max(halo_steps(ccfg), 2 * ccfg.chunk_size)
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("seq", "model"))
+    xs = jax.random.normal(jax.random.PRNGKey(3), (2, T, 8))
+    lens = jnp.asarray([T, T - 10])
+    m = (np.arange(T)[None, :] < np.asarray(lens)[:, None])[..., None]
+
+    ref, _, aux_ref = cf.conformer_encode(p, ccfg, xs, lens, return_aux=True)
+    out, aux = sequence_parallel_encode(
+        p, ccfg, xs, mesh, axis="seq", lengths=lens, return_aux=True,
+        ep_axis="model",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
+
+    def loss_epsp(p):
+        o, a = sequence_parallel_encode(
+            p, ccfg, xs, mesh, axis="seq", lengths=lens,
+            return_aux=True, ep_axis="model",
+        )
+        return jnp.sum((o * m) ** 2) * 1e-3 + a
+
+    def loss_1(p):
+        o, _, a = cf.conformer_encode(p, ccfg, xs, lens, return_aux=True)
+        return jnp.sum((o * m) ** 2) * 1e-3 + a
+
+    g_epsp = jax.jit(jax.grad(loss_epsp))(p)
+    g_1 = jax.jit(jax.grad(loss_1))(p)
+    for a, b in zip(jax.tree.leaves(g_1), jax.tree.leaves(g_epsp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_capacity_ep_sp_pp_parity():
+    """Capacity dispatch through the full ep × sp × pp 3-way (the
+    GPipe ring over halo time shards with expert-sharded stages)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import ecog2txt_tpu.models.conformer as cf
+    from ecog2txt_tpu.parallel import halo_steps, sp_pp_conformer_encode
+
+    ccfg = _ccfg(
+        num_blocks=4, moe_capacity_factor=0.75, moe_group_size=8
+    )  # 2 blocks/stage, 2 experts/device
+    p = cf.init_conformer(jax.random.PRNGKey(0), ccfg, 8)
+    mesh = Mesh(
+        np.array(jax.devices()).reshape(2, 2, 2), ("seq", "pp", "model")
+    )
+    halo = halo_steps(ccfg)
+    assert halo % 8 == 0
+    T = 2 * max(halo, 2 * ccfg.chunk_size)
+    xs = jax.random.normal(jax.random.PRNGKey(3), (4, T, 8))
+    lens = jnp.asarray([T, T - 6, T - 1, T])
+    m = (np.arange(T)[None, :] < np.asarray(lens)[:, None])[..., None]
+
+    ref, _, aux_ref = cf.conformer_encode(p, ccfg, xs, lens, return_aux=True)
+    out, aux = sp_pp_conformer_encode(
+        p, ccfg, xs, mesh, seq_axis="seq", pp_axis="pp",
+        microbatches=2, lengths=lens, return_aux=True, ep_axis="model",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out) * m, np.asarray(ref) * m, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-5)
