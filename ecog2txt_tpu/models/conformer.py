@@ -215,8 +215,14 @@ def _attention_dense(
     q = _rotary(qkv[:, :, 0], positions)
     k = _rotary(qkv[:, :, 1], positions)
     v = qkv[:, :, 2]
-    # scores GEMM in compute dtype; softmax in f32 for stability
-    logits = jnp.einsum("bthd,bshd->bhts", q, k).astype(
+    # scores GEMM in compute dtype; softmax in f32 for stability.
+    # HEAD-MINOR layout throughout: logits (B, T, S, H) straight from
+    # the (B, T, H, Dh) projections — no transpose to head-major.
+    # Measured on-chip at bench scale (B=256, T'=104, H=6): 32.6 vs
+    # 35.1 ms/step for the bhts ordering (scripts/
+    # attention_variants_bench.py, RESULTS.md r5) — XLA picks cheaper
+    # layouts for the scores/combine batched GEMMs.  Same math.
+    logits = jnp.einsum("bthd,bshd->btsh", q, k).astype(
         jnp.float32
     ) / np.sqrt(Dh)
     mask = _chunk_causal_mask(
@@ -229,12 +235,12 @@ def _attention_dense(
         mask = mask[None, :, :] & (
             positions[None, None, :] < lengths[:, None, None]
         )
-        mask = mask[:, None]  # (B, 1, T, T)
+        mask = mask[..., None]  # (B, T, S, 1)
     else:
-        mask = mask[None, None]
+        mask = mask[None, :, :, None]
     logits = jnp.where(mask, logits, -1e9)
-    attn = jax.nn.softmax(logits, axis=-1).astype(cd)
-    out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
+    attn = jax.nn.softmax(logits, axis=2).astype(cd)
+    out = jnp.einsum("btsh,bshd->bthd", attn, v).reshape(B, T, D)
     return _dot(out, p["wo"], cd)
 
 

@@ -451,8 +451,12 @@ def test_sp_moe_encode_and_aux_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
-    # the population-dependent capacity path cannot time-shard
-    with pytest.raises(ValueError, match="no-drop"):
+    # the capacity path composes only with shard-aligned dispatch
+    # groups (r5, RESULTS.md): without a moe_group_size the population
+    # would differ between a halo window and the offline encode, so the
+    # error carries the alignment guidance instead of the old blanket
+    # "no-drop only" refusal
+    with pytest.raises(ValueError, match="shard-aligned"):
         sequence_parallel_encode(
             p, ccfg._replace(moe_capacity_factor=1.0), xs, mesh,
             axis="seq", lengths=lens,
