@@ -64,9 +64,17 @@ def _ln_bwd_kernel(x_ref, dy_ref, g_ref, dx_ref, dg_ref, db_ref, *, eps):
     m1 = jnp.mean(dyg, axis=1, keepdims=True)
     m2 = jnp.mean(dyg * xhat, axis=1, keepdims=True)
     dx_ref[...] = ((dyg - m1 - xhat * m2) * rs).astype(dx_ref.dtype)
-    # per-block partial reductions over rows; summed outside the kernel
-    dg_ref[...] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    db_ref[...] = jnp.sum(dy, axis=0, keepdims=True)
+    # per-block partial reductions over rows; summed outside the kernel.
+    # Mosaic needs the sublane (2nd-to-last) block dim divisible by 8,
+    # so each partial is an (8, D) tile with the sum in row 0 and exact
+    # zeros below (no fp error when the caller sums over everything)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0) == 0
+    dg_ref[...] = jnp.where(
+        row0, jnp.sum(dy * xhat, axis=0, keepdims=True), 0.0
+    )[None]
+    db_ref[...] = jnp.where(
+        row0, jnp.sum(dy, axis=0, keepdims=True), 0.0
+    )[None]
 
 
 def _pad_rows(x2, br):
@@ -124,21 +132,22 @@ def _ln_bwd(eps, res, dy):
         ],
         out_specs=[
             pl.BlockSpec((_BLOCK_ROWS, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
-            pl.BlockSpec((1, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x2.shape, x.dtype),
-            jax.ShapeDtypeStruct((grid, d), jnp.float32),
-            jax.ShapeDtypeStruct((grid, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 8, d), jnp.float32),
         ],
         interpret=_default_interpret(),
     )(x2, dy2, g.reshape(1, d))
     # padded rows are all-zero: their dy is zero, so the partial
     # dg/db contributions vanish and dx rows are sliced away
     dx = dx2[:r].reshape(x.shape).astype(dy.dtype)
-    return dx, jnp.sum(dgp, axis=0).astype(g.dtype), jnp.sum(
-        dbp, axis=0
+    # rows 1..7 of each (8, D) partial tile are exact zeros
+    return dx, jnp.sum(dgp, axis=(0, 1)).astype(g.dtype), jnp.sum(
+        dbp, axis=(0, 1)
     ).astype(g.dtype)
 
 
