@@ -251,6 +251,59 @@ def _select_subject(stacked, subject_idx):
     return jax.tree.map(lambda a: a[subject_idx], stacked)
 
 
+@jax.custom_vjp
+def _strided_conv(xs, wg):
+    """(T, B, C) ⊛ (stride, C, F) width==stride 'VALID' conv → (T', B, F)
+    f32-accumulated.  The XLA conv primitive streams the (T, B, C)
+    input CONTIGUOUSLY (lhs dimension numbers chosen so no transpose is
+    inserted) — measured 0.55 ms/step faster than the grouped
+    dot_general at bench scale (scripts/conv_frontend_bench.py,
+    RESULTS.md r5).  The custom VJP exists because the conv primitive's
+    own transpose rule refuses the mixed bf16-lhs/f32-cotangent case;
+    it reproduces exactly the grouped-GEMM gradients (f32 accumulate),
+    and XLA DCEs the dxs arm when inputs are corpus leaves."""
+    stride = wg.shape[0]
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(1, 2, 0),  # (T, B, C): batch=B, feature=C, spatial=T
+        rhs_spec=(2, 1, 0),  # (stride, C, F): out=F, in=C, spatial=stride
+        out_spec=(1, 2, 0),  # (T', B, F)
+    )
+    return jax.lax.conv_general_dilated(
+        xs, wg, window_strides=(stride,), padding="VALID",
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+
+
+def _strided_conv_fwd(xs, wg):
+    return _strided_conv(xs, wg), (xs, wg)
+
+
+def _strided_conv_bwd(res, dy):  # dy: (T', B, F) f32
+    xs, wg = res
+    stride, C, F = wg.shape
+    T_out, B = dy.shape[0], dy.shape[1]
+    xs_g = xs[: T_out * stride].reshape(T_out, stride, B, C)
+    # dw[s,c,f] = Σ_{t,b} xs_g[t,s,b,c]·dy[t,b,f] — einsum promotes the
+    # bf16 operand in-register, f32 accumulate (== the grouped-GEMM VJP)
+    dw = jnp.einsum(
+        "tsbc,tbf->scf", xs_g, dy, preferred_element_type=jnp.float32
+    )
+    # dxs_g[t,s,b,c] = Σ_f dy[t,b,f]·wg[s,c,f]
+    dxs_g = jnp.einsum(
+        "tbf,scf->tsbc", dy, wg, preferred_element_type=jnp.float32
+    )
+    dxs = dxs_g.reshape(T_out * stride, B, C)
+    pad = xs.shape[0] - T_out * stride
+    if pad:
+        dxs = jnp.concatenate(
+            [dxs, jnp.zeros((pad, B, C), dxs.dtype)], axis=0
+        )
+    return dxs.astype(xs.dtype), dw.astype(wg.dtype)
+
+
+_strided_conv.defvjp(_strided_conv_fwd, _strided_conv_bwd)
+
+
 def convolve_sequences(
     params: dict,
     config: Seq2SeqConfig,
@@ -285,20 +338,16 @@ def convolve_sequences(
         if reverse_lengths is not None and i == 0:
             wg = jnp.flip(wg, axis=0)
         T_out = T // stride
-        # contract (stride, C) directly with dot_general — XLA folds
-        # the group "transpose" into the GEMM's lhs loads instead of
-        # materializing a (T', B, stride·C) copy of the raw sequence
-        # (profiled ~1.8× faster fwd+bwd at reference scale); early
-        # bf16 cast halves the streamed bytes
-        xs_g = xs.astype(config.compute_dtype)[: T_out * stride].reshape(
-            T_out, stride, B, C
-        )
-        out = jax.lax.dot_general(
-            xs_g,
+        # the conv primitive with no-transpose dimension numbers streams
+        # the raw input contiguously — measured faster than BOTH the
+        # grouped dot_general it replaces (−0.55 ms/step at bench
+        # scale) and the materialized (T', B, stride·C) reshape-GEMM
+        # (−2.4 ms) — see _strided_conv and RESULTS.md r5; early bf16
+        # cast halves the streamed bytes
+        out = _strided_conv(
+            xs.astype(config.compute_dtype)[: T_out * stride],
             wg.astype(config.compute_dtype),
-            dimension_numbers=(((1, 3), (0, 1)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (T', B, F)
+        )  # (T', B, F) f32
         xs = jax.nn.relu(out + w["b"])
         if reverse_lengths is not None and i == 0:
             lens0 = jnp.minimum(

@@ -102,10 +102,14 @@ def main():
             rhs_spec=(2, 1, 0),  # (H, I, O): out=F, in=C, spatial=H
             out_spec=(1, 2, 0),  # (T', B, F)
         )
+        # no preferred_element_type: its conv-VJP dtype plumbing breaks
+        # under bf16 (cotangent f32 vs lhs bf16).  TPU convs accumulate
+        # f32 internally either way; only the output rounding differs —
+        # timing-equivalent, numerics resolved properly if this wins.
         out = jax.lax.conv_general_dilated(
             xs.astype(cd), wg, window_strides=(stride,), padding="VALID",
-            dimension_numbers=dn, preferred_element_type=jnp.float32,
-        )
+            dimension_numbers=dn,
+        ).astype(jnp.float32)
         xs = jax.nn.relu(out + w["b"])
         rng, sub = jax.random.split(rng)
         return s2s._ff_dropout(sub, xs, config.FF_dropout, train)
