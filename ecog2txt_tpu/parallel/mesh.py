@@ -71,8 +71,22 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def _tp_spec(path: tuple, leaf: jax.Array, n_model: int) -> P:
     """Tensor-parallel spec for one param leaf: shard the wide output
-    axis of 2-D kernels over 'model' when it divides evenly."""
+    axis of 2-D kernels over 'model' when it divides evenly.
+
+    The subsample-conv stack is EXCLUDED: its output width (reference
+    conv_sizes=100) is below one MXU tile, so sharding it buys nothing
+    — and under tp×sp, a feature-sharded conv weight meeting a
+    spatially-('seq'-)sharded raw input MISCOMPILES in GSPMD's conv
+    partitioner (measured: values off by O(1); the minimal repro is in
+    RESULTS.md r5).  Conv leaves therefore stay replicated, which is
+    also what the sharded-Adam invariant expects of them."""
     if n_model <= 1 or leaf.ndim < 2:
+        return P()
+    keys = {getattr(k, "key", None) for k in path}
+    if "subnet" in keys and "conv" in keys:
+        # the subsample stack only — the conformer blocks' conv-module
+        # POINTWISE kernels (pw1/pw2 under blocks[i]['conv']) are real
+        # tp targets and stay sharded
         return P()
     if leaf.shape[-1] % n_model == 0 and leaf.shape[-1] >= 4 * n_model:
         return P(*([None] * (leaf.ndim - 1) + ["model"]))

@@ -39,6 +39,37 @@ def test_tp_sharding_targets_wide_kernels():
     # vocab projection sharded too
     out_w = params["decoder"]["out"]["w"]
     assert out_w.sharding.spec[-1] == "model"
+    # the SUBSAMPLE conv stays replicated (r5: a feature-sharded conv
+    # weight meeting a 'seq'-sharded raw input miscompiles in GSPMD's
+    # conv partitioner — minimal repro in RESULTS.md; its width is
+    # sub-tile anyway)
+    conv_w = params["subnet"]["conv"][0]["w"]
+    assert all(s is None for s in conv_w.sharding.spec), conv_w.sharding
+
+
+def test_tp_conformer_conv_module_pointwise_still_sharded():
+    """The exclusion is the subsample stack ONLY: the conformer conv
+    MODULE's pointwise kernels (blocks[i]['conv']['pw1']) are real tp
+    targets and keep their 'model' sharding."""
+    from ecog2txt_tpu.models import Seq2SeqConfig, init_seq2seq
+    from ecog2txt_tpu.models.conformer import ConformerConfig
+
+    cfg = Seq2SeqConfig(
+        vocab_size=64, num_subjects=1, in_channels=8, conv_sizes=(16,),
+        decimation_factor=4, rnn_sizes=(16,), aux_proj_sizes=(8,),
+        dec_embedding_size=8, dec_rnn_sizes=(32,), max_dec_len=4,
+        encoder_type="conformer",
+        conformer=ConformerConfig(
+            num_blocks=1, model_dim=64, num_heads=2, ffn_dim=128,
+            conv_kernel=4, chunk_size=4, left_context=1,
+        ),
+    )
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = shard_params_tp(init_seq2seq(jax.random.PRNGKey(0), cfg), mesh)
+    pw1 = params["encoder"]["conformer"]["blocks"][0]["conv"]["pw1"]
+    assert pw1.sharding.spec[-1] == "model", pw1.sharding
+    conv_w = params["subnet"]["conv"][0]["w"]
+    assert all(s is None for s in conv_w.sharding.spec), conv_w.sharding
 
 
 def test_dp_train_step_runs_and_reduces():
